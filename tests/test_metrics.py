@@ -1,0 +1,195 @@
+"""Metrics layer tests.
+
+The acceptance harness for everything else (SURVEY.md §7 build order step 1):
+the WER / B-WER implementations must reproduce the baseline numbers recomputed
+from the reference's committed eval artifacts exactly:
+
+    desc-prompt dev run:   WER 8.33%,  B-WER 45.04%
+    no-prompt test run:    WER 12.40%, B-WER 57.28%
+"""
+
+import json
+import os
+
+import pytest
+
+from whisper_context_biasing_tpu.metrics import (
+    BasicTextNormalizer,
+    compute_bias_wer_from_words,
+    corpus_wer,
+    parse_refs_and_pred_file,
+    word_edit_distance,
+)
+from conftest import REFERENCE_ROOT, requires_reference
+
+
+class TestNormalizer:
+    def test_lowercase_and_punct(self):
+        n = BasicTextNormalizer()
+        assert n("Hello, World!") == "hello world "
+
+    def test_brackets_and_parens_removed(self):
+        n = BasicTextNormalizer()
+        assert n("keep <noise> this [um] and (cough) that") == "keep this and that"
+
+    def test_symbols_to_space(self):
+        n = BasicTextNormalizer()
+        assert n("co-trimoxazole 5mg/ml") == "co trimoxazole 5mg ml"
+
+    def test_whitespace_collapse(self):
+        n = BasicTextNormalizer()
+        assert n("a   b\t\nc") == "a b c"
+
+    def test_diacritics_kept_by_default(self):
+        n = BasicTextNormalizer()
+        assert n("naïve café") == "naïve café"
+
+    def test_diacritics_removed(self):
+        n = BasicTextNormalizer(remove_diacritics=True)
+        assert n("naïve café øre straße") == "naive cafe ore strasse"
+
+    def test_nfkc_applied(self):
+        n = BasicTextNormalizer()
+        # full-width characters fold to ascii under NFKC
+        assert n("ＡＢＣ") == "abc"
+
+    @requires_reference
+    def test_matches_reference_implementation_on_corpus(self):
+        """Golden diff against the reference's own normalizer on real corpus text."""
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "ref_metric_norm_only", os.path.join(REFERENCE_ROOT, "utils/compute_metric.py")
+        )
+        # The reference module imports heavy deps at top level (evaluate, etc.)
+        # that aren't installed here, so extract just the normalizer source block.
+        src = open(os.path.join(REFERENCE_ROOT, "utils/compute_metric.py")).read()
+        start = src.index("ADDITIONAL_DIACRITICS")
+        end = src.index("# metric")
+        ns = {}
+        exec("import re, unicodedata, regex\n" + src[start:end], ns)
+        ref_norm = ns["BasicTextNormalizer"]()
+        ref_norm_d = ns["BasicTextNormalizer"](remove_diacritics=True)
+        ours = BasicTextNormalizer()
+        ours_d = BasicTextNormalizer(remove_diacritics=True)
+
+        samples = []
+        jsonl = os.path.join(REFERENCE_ROOT, "data/medical-united-syn-med-test-jsonl/test.jsonl")
+        with open(jsonl) as f:
+            for line in f:
+                if line.strip():
+                    d = json.loads(line)
+                    samples.append(d["text"])
+                    samples.append(d.get("description", ""))
+        samples += [
+            "Æsop's (fabled) <tale> [sic] — cœur øre ßtraße đình 100% +/- $5",
+            "ＨＥＬＬＯ ｗｏｒｌｄ ①②③",
+        ]
+        for s in samples:
+            assert ours(s) == ref_norm(s), repr(s)
+            assert ours_d(s) == ref_norm_d(s), repr(s)
+
+
+class TestWer:
+    def test_identical(self):
+        assert corpus_wer(["a b c"], ["a b c"]) == 0.0
+
+    def test_substitution(self):
+        assert corpus_wer(["a b c"], ["a x c"]) == pytest.approx(1 / 3)
+
+    def test_insertion_deletion(self):
+        assert corpus_wer(["a b"], ["a b c"]) == pytest.approx(1 / 2)
+        assert corpus_wer(["a b c"], ["a c"]) == pytest.approx(1 / 3)
+
+    def test_corpus_micro_average(self):
+        # corpus-level: (1 + 0) / (2 + 4)
+        assert corpus_wer(["a b", "w x y z"], ["a c", "w x y z"]) == pytest.approx(1 / 6)
+
+    def test_edit_distance_basics(self):
+        assert word_edit_distance([], ["a"]) == 1
+        assert word_edit_distance(["a"], []) == 1
+        assert word_edit_distance("kitten sits here".split(), "sitting sits there".split()) == 2
+
+
+class TestBiasWer:
+    def test_perfect_recall(self):
+        r = compute_bias_wer_from_words(["take aspirin daily"], ["take aspirin daily"], [["aspirin"]])
+        assert r.bias_wer == 0.0
+        assert r.total_tokens == 1
+
+    def test_missed_bias_word(self):
+        r = compute_bias_wer_from_words(["take aspirin daily"], ["take a spin daily"], [["aspirin"]])
+        assert r.bias_wer == 100.0
+
+    def test_multiword_bias(self):
+        r = compute_bias_wer_from_words(
+            ["he has acid reflux now"], ["he has acid redux now"], [["acid reflux"]]
+        )
+        assert r.total_tokens == 2
+        assert r.bias_wer == 100.0
+
+    def test_bias_absent_from_ref_ignored(self):
+        r = compute_bias_wer_from_words(["no mention here"], ["ibuprofen everywhere"], [["ibuprofen"]])
+        assert r.bias_wer == 0.0
+        assert r.total_tokens == 0
+
+    def test_overcount_penalized(self):
+        r = compute_bias_wer_from_words(
+            ["aspirin once"], ["aspirin aspirin aspirin"], [["aspirin"]]
+        )
+        assert r.total_distance == 2
+
+
+@requires_reference
+class TestBaselineParity:
+    """Reproduce BASELINE.md from the committed reference artifacts."""
+
+    def _load_bias_lists(self, path):
+        out = []
+        with open(path) as f:
+            for line in f:
+                if line.strip():
+                    d = json.loads(line)
+                    out.append([w.lower() for w in d.get("bias_words", [])])
+        return out
+
+    def test_desc_only_dev_wer(self):
+        refs, preds = parse_refs_and_pred_file(
+            os.path.join(REFERENCE_ROOT, "results/refs_and_pred_desc_only.txt")
+        )
+        assert len(refs) == 4842
+        wer = 100 * corpus_wer(refs, preds)
+        assert wer == pytest.approx(8.33, abs=0.005)
+
+    def test_desc_only_dev_bias_wer(self):
+        refs, preds = parse_refs_and_pred_file(
+            os.path.join(REFERENCE_ROOT, "results/refs_and_pred_desc_only.txt")
+        )
+        bias = self._load_bias_lists(
+            os.path.join(REFERENCE_ROOT, "data/all_dev_with_bias_list.jsonl")
+        )
+        r = compute_bias_wer_from_words(refs, preds, bias)
+        # Exact value of the reference algorithm on the committed artifacts
+        # (BASELINE.md rounds this to 45.04; a literal transcription of
+        # utils/compute_metric.py:197-239 yields 45.0521..., dist 5964/13238).
+        assert r.bias_wer == pytest.approx(45.05212267714156, abs=1e-9)
+        assert (r.total_distance, r.total_tokens) == (5964, 13238)
+
+    def test_baseline_test_wer(self):
+        refs, preds = parse_refs_and_pred_file(
+            os.path.join(REFERENCE_ROOT, "results/refs_and_pred_baseline_ko_prompt.txt")
+        )
+        assert len(refs) == 5114
+        wer = 100 * corpus_wer(refs, preds)
+        assert wer == pytest.approx(12.40, abs=0.005)
+
+    def test_baseline_test_bias_wer(self):
+        refs, preds = parse_refs_and_pred_file(
+            os.path.join(REFERENCE_ROOT, "results/refs_and_pred_baseline_ko_prompt.txt")
+        )
+        bias = self._load_bias_lists(
+            os.path.join(REFERENCE_ROOT, "data/medical-united-syn-med-75-jsonl/test.jsonl")
+        )
+        r = compute_bias_wer_from_words(refs, preds, bias)
+        assert r.bias_wer == pytest.approx(57.28744939271255, abs=1e-9)
+        assert (r.total_distance, r.total_tokens) == (7358, 12844)
