@@ -144,11 +144,18 @@ def log_mel_spectrogram(audio: jax.Array, n_mels: int = 80) -> jax.Array:
     idx = jnp.arange(N_FRAMES)[:, None] * HOP_LENGTH + jnp.arange(N_FFT)[None, :]
     frames = padded[:, idx] * window  # (B, 3000, 400)
 
+    # precision=HIGHEST: the default matmul precision truncates f32 operands
+    # (bf16 passes on TPU), which costs ~3 decades of dynamic range in the
+    # low-power bins; the frontend is ~1 GFLOP/clip so full f32 is free.
     spec = jnp.einsum(
-        "btn,nk->btk", frames, basis, preferred_element_type=jnp.float32
+        "btn,nk->btk", frames, basis,
+        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
     )  # (B, 3000, 402)
     power = spec[..., :n_bins] ** 2 + spec[..., n_bins:] ** 2
-    mel = jnp.einsum("btf,mf->btm", power, fb, preferred_element_type=jnp.float32)
+    mel = jnp.einsum(
+        "btf,mf->btm", power, fb,
+        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+    )
 
     log_spec = jnp.log10(jnp.maximum(mel, 1e-10))
     peak = jnp.max(log_spec, axis=(1, 2), keepdims=True)
