@@ -1,0 +1,35 @@
+"""Model layer: functional JAX Whisper + configs + HF checkpoint import."""
+
+from .config import WhisperConfig, get_config, tiny_test_config
+from .whisper import (
+    decode_tokens,
+    encode_audio,
+    forward,
+    init_kv_cache,
+    init_params,
+    precompute_cross_kv,
+    sinusoids,
+)
+from .load_hf import (
+    load_pretrained,
+    load_safetensors,
+    load_torch_model,
+    params_from_state_dict,
+)
+
+__all__ = [
+    "WhisperConfig",
+    "get_config",
+    "tiny_test_config",
+    "forward",
+    "encode_audio",
+    "decode_tokens",
+    "precompute_cross_kv",
+    "init_kv_cache",
+    "init_params",
+    "sinusoids",
+    "load_pretrained",
+    "load_safetensors",
+    "load_torch_model",
+    "params_from_state_dict",
+]

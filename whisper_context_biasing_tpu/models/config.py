@@ -1,0 +1,106 @@
+"""Whisper architecture configurations (public model family dimensions).
+
+The reference fine-tunes ``openai/whisper-base.en`` via HF Transformers
+(scripts/train.py:96,193); this framework supports the whole family
+tiny..large-v3 in both English-only (vocab 51864) and multilingual
+(51865/51866) variants.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+
+import jax.numpy as jnp
+
+
+@dataclass(frozen=True)
+class WhisperConfig:
+    n_mels: int = 80
+    n_audio_ctx: int = 1500
+    d_model: int = 512
+    n_heads: int = 8
+    n_audio_layers: int = 6
+    n_text_layers: int = 6
+    n_vocab: int = 51864
+    n_text_ctx: int = 448
+    multilingual: bool = False
+    # compute dtype for block matmuls; params are kept f32 master copies
+    dtype: str = "bfloat16"
+
+    @property
+    def head_dim(self) -> int:
+        return self.d_model // self.n_heads
+
+    @property
+    def compute_dtype(self):
+        return jnp.dtype(self.dtype)
+
+    # reference-parity aliases (HF WhisperConfig names used by the reference)
+    @property
+    def vocab_size(self) -> int:
+        return self.n_vocab
+
+    @property
+    def max_target_positions(self) -> int:
+        return self.n_text_ctx
+
+    @property
+    def decoder_start_token_id(self) -> int:
+        return 50258 if self.multilingual else 50257
+
+    @property
+    def pad_token_id(self) -> int:
+        return 50257 if self.multilingual else 50256
+
+    @property
+    def eos_token_id(self) -> int:
+        return self.pad_token_id
+
+
+_FAMILY = {
+    # name: (d_model, n_heads, n_layers)
+    "tiny": (384, 6, 4),
+    "base": (512, 8, 6),
+    "small": (768, 12, 12),
+    "medium": (1024, 16, 24),
+    "large": (1280, 20, 32),
+    "large-v2": (1280, 20, 32),
+    "large-v3": (1280, 20, 32),
+}
+
+
+def get_config(name: str, **overrides) -> WhisperConfig:
+    """``get_config("base.en")``, ``get_config("large-v3")`` etc."""
+    base = name
+    english = name.endswith(".en")
+    if english:
+        base = name[: -len(".en")]
+    if base not in _FAMILY:
+        raise ValueError(f"unknown whisper model: {name!r} (know {sorted(_FAMILY)})")
+    d, h, layers = _FAMILY[base]
+    if english:
+        vocab = 51864
+    elif base == "large-v3":
+        vocab = 51866
+    else:
+        vocab = 51865
+    cfg = WhisperConfig(
+        n_mels=128 if base == "large-v3" else 80,
+        d_model=d,
+        n_heads=h,
+        n_audio_layers=layers,
+        n_text_layers=layers,
+        n_vocab=vocab,
+        multilingual=not english,
+    )
+    return replace(cfg, **overrides)
+
+
+def tiny_test_config(**overrides) -> WhisperConfig:
+    """A miniature config for fast CPU tests."""
+    cfg = WhisperConfig(
+        n_mels=80, n_audio_ctx=1500, d_model=64, n_heads=2,
+        n_audio_layers=2, n_text_layers=2, n_vocab=51864, n_text_ctx=448,
+        dtype="float32",
+    )
+    return replace(cfg, **overrides)

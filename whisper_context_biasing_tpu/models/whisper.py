@@ -1,0 +1,376 @@
+"""Functional JAX Whisper encoder/decoder.
+
+A from-scratch, TPU-first implementation of the Whisper architecture the
+reference drives through HF ``WhisperModel`` (models/whisper_medical.py:18,93):
+
+  * pure functions over a params pytree — no module framework, so sharding
+    annotations, remat, and scan-over-layers compose directly
+  * transformer blocks are *stacked* along a leading layer axis and driven by
+    ``lax.scan`` (O(1) compile time in depth, remat-friendly)
+  * attention/MLP matmuls run in bf16 on the MXU (configurable), layer norms
+    and softmax in f32
+  * the decoder supports full-sequence (training / prefix prefill) and
+    single-step cached modes over a preallocated KV cache with static shapes,
+    ready for ``lax.while_loop`` decoding (decode/greedy.py)
+
+Weight layout notes: linear weights are stored (in, out); conv stems (W, I, O);
+the output projection is the token embedding transposed (tied, as in
+openai/whisper-base.en — the reference's ``proj_out`` is tied via
+``_tied_weights_keys``, models/whisper_medical.py:14) unless an untied
+``proj_out`` entry is present in the params.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import WhisperConfig
+
+Params = dict[str, Any]
+
+
+def _acc(x) -> jnp.dtype:
+    """Matmul accumulator dtype: f32, widened when operands are wider."""
+    return x.dtype if jnp.dtype(x.dtype).itemsize > 4 else jnp.float32
+
+
+# ---------------------------------------------------------------------------
+# initialization
+# ---------------------------------------------------------------------------
+
+def sinusoids(length: int, channels: int) -> np.ndarray:
+    """Fixed sinusoidal position embeddings (public Whisper formula)."""
+    assert channels % 2 == 0
+    log_timescale_increment = np.log(10000) / (channels // 2 - 1)
+    inv_timescales = np.exp(-log_timescale_increment * np.arange(channels // 2))
+    scaled_time = np.arange(length)[:, None] * inv_timescales[None, :]
+    return np.concatenate([np.sin(scaled_time), np.cos(scaled_time)], axis=1).astype(
+        np.float32
+    )
+
+
+def _dense_init(key, shape, scale=None):
+    fan_in = shape[-2] if len(shape) >= 2 else shape[0]
+    scale = scale if scale is not None else 1.0 / math.sqrt(fan_in)
+    return jax.random.normal(key, shape, dtype=jnp.float32) * scale
+
+
+def _attn_params(key, n_layers, d):
+    ks = jax.random.split(key, 7)
+    return {
+        "wq": _dense_init(ks[0], (n_layers, d, d)),
+        "bq": jnp.zeros((n_layers, d)),
+        "wk": _dense_init(ks[1], (n_layers, d, d)),  # no k bias in Whisper
+        "wv": _dense_init(ks[2], (n_layers, d, d)),
+        "bv": jnp.zeros((n_layers, d)),
+        "wo": _dense_init(ks[3], (n_layers, d, d)),
+        "bo": jnp.zeros((n_layers, d)),
+    }
+
+
+def _ln_params(n_layers, d):
+    return {"scale": jnp.ones((n_layers, d)), "bias": jnp.zeros((n_layers, d))}
+
+
+def _mlp_params(key, n_layers, d):
+    k1, k2 = jax.random.split(key)
+    return {
+        "w1": _dense_init(k1, (n_layers, d, 4 * d)),
+        "b1": jnp.zeros((n_layers, 4 * d)),
+        "w2": _dense_init(k2, (n_layers, 4 * d, d)),
+        "b2": jnp.zeros((n_layers, d)),
+    }
+
+
+def init_params(cfg: WhisperConfig, key: jax.Array | int = 0) -> Params:
+    if isinstance(key, int):
+        key = jax.random.PRNGKey(key)
+    ke, kd = jax.random.split(key)
+    ke1, ke2, ke3, ke4 = jax.random.split(ke, 4)
+    kd1, kd2, kd3, kd4 = jax.random.split(kd, 4)
+    d = cfg.d_model
+    enc = {
+        "conv1": {"w": _dense_init(ke1, (3, cfg.n_mels, d)), "b": jnp.zeros((d,))},
+        "conv2": {"w": _dense_init(ke2, (3, d, d)), "b": jnp.zeros((d,))},
+        "pos_emb": jnp.asarray(sinusoids(cfg.n_audio_ctx, d)),
+        "attn_ln": _ln_params(cfg.n_audio_layers, d),
+        "attn": _attn_params(ke3, cfg.n_audio_layers, d),
+        "mlp_ln": _ln_params(cfg.n_audio_layers, d),
+        "mlp": _mlp_params(ke4, cfg.n_audio_layers, d),
+        "ln_post": {"scale": jnp.ones((d,)), "bias": jnp.zeros((d,))},
+    }
+    dec = {
+        "token_emb": _dense_init(kd1, (cfg.n_vocab, d), scale=0.02),
+        "pos_emb": _dense_init(kd2, (cfg.n_text_ctx, d), scale=0.02),
+        "self_attn_ln": _ln_params(cfg.n_text_layers, d),
+        "self_attn": _attn_params(kd3, cfg.n_text_layers, d),
+        "cross_attn_ln": _ln_params(cfg.n_text_layers, d),
+        "cross_attn": _attn_params(jax.random.fold_in(kd3, 1), cfg.n_text_layers, d),
+        "mlp_ln": _ln_params(cfg.n_text_layers, d),
+        "mlp": _mlp_params(kd4, cfg.n_text_layers, d),
+        "ln": {"scale": jnp.ones((d,)), "bias": jnp.zeros((d,))},
+    }
+    return {"encoder": enc, "decoder": dec}
+
+
+# ---------------------------------------------------------------------------
+# primitives
+# ---------------------------------------------------------------------------
+
+def layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array) -> jax.Array:
+    """LayerNorm in f32 regardless of compute dtype."""
+    dt = x.dtype
+    ft = _acc(x)
+    x = x.astype(ft)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    y = (x - mean) * jax.lax.rsqrt(var + 1e-5)
+    return (y * scale.astype(ft) + bias.astype(ft)).astype(dt)
+
+
+def _split_heads(x: jax.Array, n_heads: int) -> jax.Array:
+    b, t, d = x.shape
+    return x.reshape(b, t, n_heads, d // n_heads)
+
+
+def _merge_heads(x: jax.Array) -> jax.Array:
+    b, t, h, dh = x.shape
+    return x.reshape(b, t, h * dh)
+
+
+def attention(
+    q: jax.Array,  # (B, Tq, D)
+    k: jax.Array,  # (B, Tk, D)
+    v: jax.Array,  # (B, Tk, D)
+    n_heads: int,
+    mask: jax.Array | None = None,  # broadcastable to (B, H, Tq, Tk), True=attend
+) -> jax.Array:
+    dh = q.shape[-1] // n_heads
+    qh = _split_heads(q, n_heads)
+    kh = _split_heads(k, n_heads)
+    vh = _split_heads(v, n_heads)
+    scores = jnp.einsum(
+        "bqhd,bkhd->bhqk", qh, kh, preferred_element_type=_acc(q)
+    ) / math.sqrt(dh)
+    if mask is not None:
+        scores = jnp.where(mask, scores, jnp.finfo(scores.dtype).min)
+    w = jax.nn.softmax(scores.astype(_acc(q)), axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", w, vh, preferred_element_type=_acc(q))
+    return _merge_heads(out.astype(q.dtype))
+
+
+def _proj(x, w, b=None):
+    y = jnp.einsum("btd,de->bte", x, w.astype(x.dtype), preferred_element_type=_acc(x))
+    y = y.astype(x.dtype)
+    if b is not None:
+        y = y + b.astype(x.dtype)
+    return y
+
+
+def _mlp(x, w1, b1, w2, b2):
+    h = _proj(x, w1, b1)
+    h = jax.nn.gelu(h, approximate=False)
+    return _proj(h, w2, b2)
+
+
+def _layer_slice(tree, i):
+    return jax.tree.map(lambda a: a[i], tree)
+
+
+# ---------------------------------------------------------------------------
+# encoder
+# ---------------------------------------------------------------------------
+
+def _conv1d(x: jax.Array, w: jax.Array, b: jax.Array, stride: int) -> jax.Array:
+    """x: (B, T, C_in), w: (W, I, O) -> (B, T/stride, O), SAME padding."""
+    y = jax.lax.conv_general_dilated(
+        x.astype(w.dtype), w,
+        window_strides=(stride,), padding=((1, 1),),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=_acc(w),
+    )
+    return y.astype(x.dtype) + b.astype(x.dtype)
+
+
+def encode_audio(params: Params, cfg: WhisperConfig, mel: jax.Array) -> jax.Array:
+    """mel: (B, n_mels, 3000) -> encoder states (B, 1500, D)."""
+    enc = params["encoder"]
+    dt = cfg.compute_dtype
+    x = jnp.transpose(mel, (0, 2, 1)).astype(dt)  # (B, 3000, n_mels)
+    x = jax.nn.gelu(_conv1d(x, enc["conv1"]["w"], enc["conv1"]["b"], 1), approximate=False)
+    x = jax.nn.gelu(_conv1d(x, enc["conv2"]["w"], enc["conv2"]["b"], 2), approximate=False)
+    x = x + enc["pos_emb"].astype(dt)
+
+    blocks = {
+        "attn_ln": enc["attn_ln"], "attn": enc["attn"],
+        "mlp_ln": enc["mlp_ln"], "mlp": enc["mlp"],
+    }
+
+    def block(h, blk):
+        a = layer_norm(h, blk["attn_ln"]["scale"], blk["attn_ln"]["bias"])
+        q = _proj(a, blk["attn"]["wq"], blk["attn"]["bq"])
+        k = _proj(a, blk["attn"]["wk"])
+        v = _proj(a, blk["attn"]["wv"], blk["attn"]["bv"])
+        h = h + _proj(attention(q, k, v, cfg.n_heads), blk["attn"]["wo"], blk["attn"]["bo"])
+        m = layer_norm(h, blk["mlp_ln"]["scale"], blk["mlp_ln"]["bias"])
+        h = h + _mlp(m, blk["mlp"]["w1"], blk["mlp"]["b1"], blk["mlp"]["w2"], blk["mlp"]["b2"])
+        return h, None
+
+    block = jax.checkpoint(block)  # remat: trade FLOPs for HBM in training
+    x, _ = jax.lax.scan(block, x, blocks)
+    return layer_norm(x, enc["ln_post"]["scale"], enc["ln_post"]["bias"])
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+def precompute_cross_kv(params: Params, cfg: WhisperConfig, enc_out: jax.Array):
+    """Cross-attention K/V for all layers: each (L, B, T_audio, D)."""
+    dec = params["decoder"]
+
+    def per_layer(blk):
+        k = _proj(enc_out, blk["wk"])
+        v = _proj(enc_out, blk["wv"], blk["bv"])
+        return k, v
+
+    return jax.lax.map(per_layer, dec["cross_attn"])
+
+
+def init_kv_cache(cfg: WhisperConfig, batch: int, max_len: int):
+    shape = (cfg.n_text_layers, batch, max_len, cfg.d_model)
+    dt = cfg.compute_dtype
+    return {"k": jnp.zeros(shape, dt), "v": jnp.zeros(shape, dt)}
+
+
+def decode_tokens(
+    params: Params,
+    cfg: WhisperConfig,
+    tokens: jax.Array,          # (B, S) int32
+    enc_out: jax.Array | None = None,   # (B, T_audio, D); or pass cross_kv
+    cross_kv=None,              # precomputed (k, v), each (L, B, T_audio, D)
+    cache=None,                 # KV cache dict or None (plain full-sequence mode)
+    pos_offset: int | jax.Array = 0,    # write/read position of tokens[:, 0]
+    token_positions: jax.Array | None = None,  # (B, S) explicit positions (left-pad support)
+    self_mask: jax.Array | None = None,  # extra key-side mask (B, T_cache) True=attend
+):
+    """Decoder forward.
+
+    Full-sequence mode (cache=None): causal self-attention over ``tokens``.
+    Cached mode: keys/values are written into ``cache`` at
+    ``pos_offset..pos_offset+S`` and attention spans the whole cache with
+    positions > current masked; returns (logits, new_cache).
+    """
+    dec = params["decoder"]
+    dt = cfg.compute_dtype
+    b, s = tokens.shape
+
+    if token_positions is None:
+        token_positions = pos_offset + jnp.arange(s, dtype=jnp.int32)[None, :]
+    x = dec["token_emb"][tokens].astype(dt) + dec["pos_emb"][token_positions].astype(dt)
+
+    if cross_kv is None:
+        if enc_out is None:
+            raise ValueError("need enc_out or cross_kv")
+        cross_kv = precompute_cross_kv(params, cfg, enc_out)
+    cross_k, cross_v = cross_kv
+
+    blocks = {
+        "sa_ln": dec["self_attn_ln"], "sa": dec["self_attn"],
+        "ca_ln": dec["cross_attn_ln"], "ca": dec["cross_attn"],
+        "mlp_ln": dec["mlp_ln"], "mlp": dec["mlp"],
+    }
+
+    if cache is None:
+        causal = jnp.tril(jnp.ones((s, s), bool))[None, None]
+
+        def block(h, xs):
+            blk = xs
+            a = layer_norm(h, blk["sa_ln"]["scale"], blk["sa_ln"]["bias"])
+            q = _proj(a, blk["sa"]["wq"], blk["sa"]["bq"])
+            k = _proj(a, blk["sa"]["wk"])
+            v = _proj(a, blk["sa"]["wv"], blk["sa"]["bv"])
+            h = h + _proj(attention(q, k, v, cfg.n_heads, causal), blk["sa"]["wo"], blk["sa"]["bo"])
+            c = layer_norm(h, blk["ca_ln"]["scale"], blk["ca_ln"]["bias"])
+            cq = _proj(c, blk["ca"]["wq"], blk["ca"]["bq"])
+            h = h + _proj(attention(cq, blk["ck"], blk["cv"], cfg.n_heads), blk["ca"]["wo"], blk["ca"]["bo"])
+            m = layer_norm(h, blk["mlp_ln"]["scale"], blk["mlp_ln"]["bias"])
+            h = h + _mlp(m, blk["mlp"]["w1"], blk["mlp"]["b1"], blk["mlp"]["w2"], blk["mlp"]["b2"])
+            return h, None
+
+        xs = dict(blocks, ck=cross_k.astype(dt), cv=cross_v.astype(dt))
+        block = jax.checkpoint(block)
+        x, _ = jax.lax.scan(block, x, xs)
+        new_cache = None
+    else:
+        t_cache = cache["k"].shape[2]
+        # causal over cache *slots* (slot i holds token i of the padded
+        # sequence; position ids may lag slots under left-padding, so the
+        # mask must compare slots, not positions)
+        key_slot = jnp.arange(t_cache, dtype=jnp.int32)
+        query_slot = pos_offset + jnp.arange(s, dtype=jnp.int32)
+        attn_mask = key_slot[None, None, :] <= query_slot[None, :, None]  # (1, S, T)
+        if self_mask is not None:
+            attn_mask = attn_mask & self_mask[:, None, :]
+        else:
+            attn_mask = jnp.broadcast_to(attn_mask, (b, s, t_cache))
+        attn_mask = attn_mask[:, None]  # (B, 1, S, T_cache) -> broadcast heads
+
+        def block(h, xs):
+            blk = xs
+            a = layer_norm(h, blk["sa_ln"]["scale"], blk["sa_ln"]["bias"])
+            q = _proj(a, blk["sa"]["wq"], blk["sa"]["bq"])
+            k_new = _proj(a, blk["sa"]["wk"])
+            v_new = _proj(a, blk["sa"]["wv"], blk["sa"]["bv"])
+            ck_upd = jax.lax.dynamic_update_slice(
+                blk["cache_k"], k_new.astype(blk["cache_k"].dtype), (0, pos_offset, 0)
+            )
+            cv_upd = jax.lax.dynamic_update_slice(
+                blk["cache_v"], v_new.astype(blk["cache_v"].dtype), (0, pos_offset, 0)
+            )
+            h = h + _proj(
+                attention(q, ck_upd.astype(dt), cv_upd.astype(dt), cfg.n_heads, attn_mask),
+                blk["sa"]["wo"], blk["sa"]["bo"],
+            )
+            c = layer_norm(h, blk["ca_ln"]["scale"], blk["ca_ln"]["bias"])
+            cq = _proj(c, blk["ca"]["wq"], blk["ca"]["bq"])
+            h = h + _proj(attention(cq, blk["ck"], blk["cv"], cfg.n_heads), blk["ca"]["wo"], blk["ca"]["bo"])
+            m = layer_norm(h, blk["mlp_ln"]["scale"], blk["mlp_ln"]["bias"])
+            h = h + _mlp(m, blk["mlp"]["w1"], blk["mlp"]["b1"], blk["mlp"]["w2"], blk["mlp"]["b2"])
+            return h, (ck_upd, cv_upd)
+
+        xs = dict(
+            blocks,
+            ck=cross_k.astype(dt), cv=cross_v.astype(dt),
+            cache_k=cache["k"], cache_v=cache["v"],
+        )
+        x, (new_k, new_v) = jax.lax.scan(block, x, xs)
+        new_cache = {"k": new_k, "v": new_v}
+
+    x = layer_norm(x, dec["ln"]["scale"], dec["ln"]["bias"])
+    proj = params.get("proj_out", dec["token_emb"])
+    ft = _acc(x)
+    logits = jnp.einsum(
+        "btd,vd->btv", x.astype(ft), proj.astype(ft),
+        preferred_element_type=ft,
+    )
+    return logits, new_cache
+
+
+def forward(
+    params: Params,
+    cfg: WhisperConfig,
+    input_features: jax.Array,   # (B, n_mels, 3000)
+    decoder_input_ids: jax.Array,  # (B, S)
+) -> jax.Array:
+    """Training forward: mel + teacher-forced tokens -> logits (B, S, V).
+    Mirrors the reference model's forward contract
+    (models/whisper_medical.py:45-111) minus the loss (train/loss.py)."""
+    enc_out = encode_audio(params, cfg, input_features)
+    logits, _ = decode_tokens(params, cfg, decoder_input_ids, enc_out=enc_out)
+    return logits
