@@ -1,0 +1,183 @@
+"""Decode tests: while_loop+cache greedy must equal a naive recompute-per-token
+reference; bias trie state machine; prompted decode with ragged contexts."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from whisper_context_biasing_tpu.decode import (
+    advance_bias_state,
+    bias_bonus,
+    decode_batch,
+    greedy_decode,
+    init_bias_state,
+    pack_prefixes,
+)
+from whisper_context_biasing_tpu.models import (
+    decode_tokens,
+    encode_audio,
+    init_params,
+    tiny_test_config,
+)
+from whisper_context_biasing_tpu.tokenizer import load_tokenizer
+
+EOT = 50256
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_test_config()
+    params = init_params(cfg, 0)
+    rng = np.random.default_rng(0)
+    mel = (rng.standard_normal((2, 80, 128)) * 0.5).astype(np.float32)
+    return cfg, params, mel
+
+
+def naive_greedy(params, cfg, mel, prefixes, max_new):
+    """use_cache=False reference: rerun the full decoder every token (what the
+    reference's generate does, scripts/train.py:209)."""
+    enc = encode_audio(params, cfg, jnp.asarray(mel))
+    outs = []
+    for i, prefix in enumerate(prefixes):
+        seq = list(prefix)
+        for _ in range(max_new):
+            logits, _ = decode_tokens(
+                params, cfg, jnp.asarray([seq], jnp.int32), enc_out=enc[i : i + 1]
+            )
+            nxt = int(jnp.argmax(logits[0, -1]))
+            seq.append(nxt)
+            if nxt == EOT:
+                break
+        outs.append(seq[len(prefix):])
+    return outs
+
+
+class TestGreedyEquivalence:
+    def test_matches_naive_recompute(self, setup):
+        cfg, params, mel = setup
+        max_new = 12
+        prefixes = [[50257], [50257]]
+        naive = naive_greedy(params, cfg, mel, prefixes, max_new)
+
+        ids, mask = pack_prefixes(prefixes, EOT)
+        res = greedy_decode(
+            params, cfg, jnp.asarray(mel), jnp.asarray(ids), jnp.asarray(mask),
+            max_new=max_new,
+        )
+        toks = np.asarray(res.tokens)
+        lens = np.asarray(res.lengths)
+        for i in range(2):
+            got = toks[i, : lens[i]].tolist()
+            want = naive[i][: max_new]
+            if want and want[-1] == EOT:
+                want = want[:-1]
+            assert got == want, (i, got, want)
+
+    def test_ragged_prompts_match_unbatched(self, setup):
+        cfg, params, mel = setup
+        max_new = 8
+        prefixes = [[50360, 11, 22, 50257], [50257]]  # different lengths
+        naive = naive_greedy(params, cfg, mel, prefixes, max_new)
+
+        ids, mask = pack_prefixes(prefixes, EOT)
+        res = greedy_decode(
+            params, cfg, jnp.asarray(mel), jnp.asarray(ids), jnp.asarray(mask),
+            max_new=max_new,
+        )
+        toks = np.asarray(res.tokens)
+        lens = np.asarray(res.lengths)
+        for i in range(2):
+            got = toks[i, : lens[i]].tolist()
+            want = naive[i][:max_new]
+            if want and want[-1] == EOT:
+                want = want[:-1]
+            assert got == want, (i, got, want)
+
+    def test_decode_batch_wrapper(self, setup):
+        cfg, params, mel = setup
+        tok = load_tokenizer()
+        hyps = decode_batch(params, cfg, tok, mel, max_new=6)
+        assert len(hyps) == 2
+        for h in hyps:
+            assert all(0 <= t < cfg.n_vocab for t in h)
+
+    def test_prompted_wrapper(self, setup):
+        cfg, params, mel = setup
+        tok = load_tokenizer()
+        ctxs = [tok.encode("context one", add_special_tokens=False),
+                tok.encode("b", add_special_tokens=False)]
+        hyps = decode_batch(params, cfg, tok, mel, contexts=ctxs, max_new=6)
+        assert len(hyps) == 2
+
+
+class TestBiasBoost:
+    def test_boost_forces_span(self, setup):
+        """An overwhelming bonus must steer greedy through the whole span."""
+        cfg, params, mel = setup
+        span = [123, 456, 789]
+        spans = np.full((2, 1, 3), 50256, np.int32)
+        spans[0, 0] = span  # only batch row 0 biased
+        res = greedy_decode(
+            params, cfg, jnp.asarray(mel),
+            jnp.asarray([[50257], [50257]], jnp.int32),
+            jnp.ones((2, 1), bool),
+            max_new=6, bias_spans=jnp.asarray(spans), bias_boost=1e6,
+        )
+        toks = np.asarray(res.tokens)
+        # row 0 keeps cycling through the span (state resets after completion)
+        assert toks[0, :3].tolist() == span
+        # row 1 (no spans) is unaffected by row 0's bias
+        res_plain = greedy_decode(
+            params, cfg, jnp.asarray(mel),
+            jnp.asarray([[50257], [50257]], jnp.int32),
+            jnp.ones((2, 1), bool), max_new=6,
+        )
+        assert toks[1].tolist() == np.asarray(res_plain.tokens)[1].tolist()
+
+
+class TestBiasTrie:
+    def test_state_machine(self):
+        spans = jnp.asarray([[[7, 8, 9], [5, 50256, 50256]]], jnp.int32)  # (1,2,3)
+        st = init_bias_state(spans)
+        assert st.span_len.tolist() == [[3, 1]]
+        st = advance_bias_state(st, spans, jnp.asarray([7]))
+        assert st.matched.tolist() == [[1, 0]]
+        st = advance_bias_state(st, spans, jnp.asarray([8]))
+        assert st.matched.tolist() == [[2, 0]]
+        st = advance_bias_state(st, spans, jnp.asarray([9]))  # completed -> reset
+        assert st.matched.tolist() == [[0, 0]]
+        st = advance_bias_state(st, spans, jnp.asarray([7]))  # restart
+        assert st.matched.tolist() == [[1, 0]]
+        st = advance_bias_state(st, spans, jnp.asarray([7]))  # mismatch but restarts
+        assert st.matched.tolist() == [[1, 0]]
+        st = advance_bias_state(st, spans, jnp.asarray([4]))  # full reset
+        assert st.matched.tolist() == [[0, 0]]
+
+    def test_bonus_targets_next_token(self):
+        spans = jnp.asarray([[[7, 8, 9]]], jnp.int32)
+        st = init_bias_state(spans)
+        bonus = bias_bonus(st, spans, 1000, 4.0)
+        assert bonus.shape == (1, 1000)
+        assert float(bonus[0, 7]) == 4.0
+        assert float(jnp.sum(bonus != 0)) == 1
+        st = advance_bias_state(st, spans, jnp.asarray([7]))
+        bonus = bias_bonus(st, spans, 1000, 4.0)
+        assert float(bonus[0, 8]) == 4.0
+
+    def test_single_token_span_completion(self):
+        spans = jnp.asarray([[[42, 50256]]], jnp.int32)
+        st = init_bias_state(spans)
+        assert st.span_len.tolist() == [[1]]
+        st = advance_bias_state(st, spans, jnp.asarray([42]))
+        assert st.matched.tolist() == [[0]]  # completed, reset
+
+    def test_duplicate_spans_no_double_bonus(self):
+        spans = jnp.asarray([[[7], [7]]], jnp.int32)
+        st = init_bias_state(spans)
+        bonus = bias_bonus(st, spans, 100, 4.0)
+        assert float(bonus[0, 7]) == 4.0  # max, not sum
+
+    def test_pack_prefixes(self):
+        ids, mask = pack_prefixes([[1, 2, 3], [9]], 0)
+        assert ids.tolist() == [[1, 2, 3], [0, 0, 9]]
+        assert mask.tolist() == [[True, True, True], [False, False, True]]

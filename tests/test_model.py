@@ -39,7 +39,7 @@ def tiny():
     return cfg, params
 
 
-def _mel(b=1, n_mels=80, seed=0, frames=3000):
+def _mel(b=1, n_mels=80, seed=0, frames=128):
     rng = np.random.default_rng(seed)
     return rng.standard_normal((b, n_mels, frames)).astype(np.float32) * 0.5
 

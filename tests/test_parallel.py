@@ -1,0 +1,110 @@
+"""Sharding tests on the virtual 8-device CPU mesh (conftest forces
+xla_force_host_platform_device_count=8): tensor-parallel forward parity and a
+full dp+tp train step."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from whisper_context_biasing_tpu.models import forward, init_params, tiny_test_config
+from whisper_context_biasing_tpu.parallel import (
+    make_mesh,
+    param_specs,
+    shard_batch,
+    shard_params,
+)
+from whisper_context_biasing_tpu.train import (
+    init_train_state,
+    make_optimizer,
+    make_train_step,
+)
+from jax.sharding import PartitionSpec as P
+from conftest import cpu_devices
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices("cpu")) < 8, reason="needs 8 (virtual) devices"
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_test_config()
+    params = init_params(cfg, 0)
+    rng = np.random.default_rng(0)
+    batch = {
+        "input_features": (rng.standard_normal((8, 80, 128)) * 0.3).astype(np.float32),
+        "decoder_input_ids": np.tile([[50257, 5, 6, 7]], (8, 1)).astype(np.int32),
+        "labels": np.tile([[5, 6, 7, 50256]], (8, 1)).astype(np.int32),
+        "bias_spans": np.full((8, 2, 3), 50256, np.int32),
+    }
+    return cfg, params, batch
+
+
+class TestSpecs:
+    def test_spec_shapes(self, setup):
+        cfg, params, _ = setup
+        specs = param_specs(params)
+        assert specs["decoder"]["self_attn"]["wq"] == P(None, None, "model")
+        assert specs["decoder"]["self_attn"]["wo"] == P(None, "model", None)
+        assert specs["decoder"]["mlp"]["w1"] == P(None, None, "model")
+        assert specs["decoder"]["token_emb"] == P("model", None)
+        assert specs["encoder"]["ln_post"]["scale"] == P()
+        assert specs["encoder"]["conv1"]["w"] == P()
+
+
+class TestTensorParallelParity:
+    @pytest.mark.parametrize("model_par", [2, 4])
+    def test_forward_matches_single_device(self, setup, model_par):
+        cfg, params, batch = setup
+        ref = np.asarray(
+            forward(params, cfg, jnp.asarray(batch["input_features"]),
+                    jnp.asarray(batch["decoder_input_ids"]))
+        )
+        mesh = make_mesh(model_parallelism=model_par, devices=cpu_devices())
+        p_sh = shard_params(params, mesh)
+        b_sh = shard_batch(
+            {"input_features": batch["input_features"],
+             "decoder_input_ids": batch["decoder_input_ids"]},
+            mesh,
+        )
+        with mesh:
+            out = np.asarray(
+                jax.jit(lambda p, m, t: forward(p, cfg, m, t))(
+                    p_sh, b_sh["input_features"], b_sh["decoder_input_ids"]
+                )
+            )
+        np.testing.assert_allclose(out, ref, atol=2e-3)
+
+
+class TestDistributedTrainStep:
+    def test_dp_tp_step(self, setup):
+        cfg, params, batch = setup
+        mesh = make_mesh(model_parallelism=2, devices=cpu_devices())  # 4-way dp x 2-way tp
+        opt = make_optimizer(peak_lr=1e-4, warmup_steps=0, total_steps=10)
+        step = make_train_step(cfg, opt, donate=False)
+        p_sh = shard_params(params, mesh)
+        b_sh = shard_batch(batch, mesh)
+        with mesh:
+            state = init_train_state(p_sh, opt)
+            state, metrics = step(state, b_sh)
+            loss = float(metrics["loss"])
+        assert np.isfinite(loss)
+        # loss must equal the single-device step loss
+        step1 = make_train_step(cfg, opt, donate=False)
+        _, m1 = step1(init_train_state(params, opt), jax.tree.map(jnp.asarray, batch))
+        assert loss == pytest.approx(float(m1["loss"]), rel=1e-4)
+
+    def test_grad_accum_sharded(self, setup):
+        cfg, params, batch = setup
+        # data=4 so each microbatch of 4 shards evenly
+        mesh = make_mesh(model_parallelism=2, devices=cpu_devices())
+        opt = make_optimizer(peak_lr=1e-4, warmup_steps=0, total_steps=10)
+        step = make_train_step(cfg, opt, grad_accum=2, donate=False)
+        stacked = jax.tree.map(lambda a: np.stack([a[:4], a[4:]]), batch)
+        p_sh = shard_params(params, mesh)
+        b_sh = shard_batch(stacked, mesh, extra_leading_axes=1)
+        with mesh:
+            state = init_train_state(p_sh, opt)
+            state, metrics = step(state, b_sh)
+        assert np.isfinite(float(metrics["loss"]))

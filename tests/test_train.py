@@ -1,0 +1,246 @@
+import os
+
+"""Training layer tests: WeightCE parity against a literal replica of the
+reference check-harness algorithm (scripts/check_WeightCE.py), optimizer/step
+behavior, and checkpoint lifecycle."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from whisper_context_biasing_tpu.train import (
+    TrainState,
+    bias_span_weights,
+    find_best_checkpoint,
+    init_train_state,
+    latest_checkpoint,
+    list_checkpoints,
+    load_checkpoint,
+    make_optimizer,
+    make_train_step,
+    save_checkpoint,
+    warmup_cosine_schedule,
+    weighted_ce_loss,
+)
+from whisper_context_biasing_tpu.models import init_params, tiny_test_config
+
+PAD = 50256
+SPECIALS = {50256, 50257, 50258, 50358, 50362}
+
+
+def reference_weighted_ce(lm_logits, labels, bias_spans, bias_weight=1.5):
+    """Literal numpy transcription of scripts/check_WeightCE.py:16-69
+    (pad-stripping + special-token skip — the harness 'spec' semantics)."""
+    batch_size, seq_len, vocab_size = lm_logits.shape
+    weights = np.ones(labels.shape, np.float32)
+    for i in range(batch_size):
+        for span in bias_spans[i]:
+            span = [t for t in span if t != PAD]
+            if not span:
+                continue
+            L = len(span)
+            for j in range(seq_len - L + 1):
+                if labels[i, j : j + L].tolist() == span:
+                    for k in range(L):
+                        if labels[i, j + k] not in SPECIALS:
+                            weights[i, j + k] = bias_weight
+    logits64 = lm_logits.astype(np.float64)
+    logp = logits64 - np.log(np.exp(logits64 - logits64.max(-1, keepdims=True)).sum(-1, keepdims=True)) - logits64.max(-1, keepdims=True)
+    lab = labels.reshape(-1)
+    valid = lab != -100
+    safe = np.where(valid, lab, 0)
+    nll = -logp.reshape(-1, vocab_size)[np.arange(lab.size), safe]
+    nll = nll * valid
+    w = weights.reshape(-1) * valid
+    return float((nll * w).sum() / (valid.sum() + 1e-8)), weights
+
+
+def _fabricate(seed=0, b=2, s=40, v=120, n=3, k=4):
+    rng = np.random.default_rng(seed)
+    labels = rng.integers(0, 100, (b, s)).astype(np.int32)
+    labels[:, :5] = -100  # masked prompt
+    labels[0, -3:] = -100
+    spans = np.full((b, n, k), PAD, np.int32)
+    # plant span [7, 8] at positions 10..11 of row 0
+    labels[0, 10:12] = [7, 8]
+    spans[0, 0, :2] = [7, 8]
+    # plant single-token span at row 1
+    labels[1, 20] = 55
+    spans[1, 0, :1] = [55]
+    # a span that appears twice
+    labels[1, 25:27] = [9, 9]
+    labels[1, 30:32] = [9, 9]
+    spans[1, 1, :2] = [9, 9]
+    logits = rng.standard_normal((b, s, v)).astype(np.float32)
+    return logits, labels, spans
+
+
+class TestWeightCEParity:
+    def test_weights_match_reference(self):
+        logits, labels, spans = _fabricate()
+        _, ref_w = reference_weighted_ce(logits, labels, spans)
+        ours = np.asarray(bias_span_weights(jnp.asarray(labels), jnp.asarray(spans), 1.5))
+        np.testing.assert_array_equal(ours, ref_w)
+
+    def test_loss_matches_reference(self):
+        logits, labels, spans = _fabricate()
+        ref_loss, _ = reference_weighted_ce(logits, labels, spans, bias_weight=2.5)
+        ours = float(weighted_ce_loss(jnp.asarray(logits), jnp.asarray(labels),
+                                      jnp.asarray(spans), 2.5))
+        assert ours == pytest.approx(ref_loss, rel=1e-5)
+
+    @pytest.mark.parametrize("seed", [1, 2, 3])
+    def test_randomized_parity(self, seed):
+        rng = np.random.default_rng(seed)
+        b, s, v, n, k = 3, 30, 80, 4, 3
+        labels = rng.integers(-1, 60, (b, s)).astype(np.int32)
+        labels[labels < 0] = -100
+        spans = rng.integers(0, 60, (b, n, k)).astype(np.int32)
+        # randomly pad span tails
+        for i in range(b):
+            for j in range(n):
+                cut = rng.integers(0, k + 1)
+                spans[i, j, cut:] = PAD
+        # plant some spans into labels so matches actually occur
+        for i in range(b):
+            L = int(np.sum(spans[i, 0] != PAD))
+            if L and s > L + 2:
+                labels[i, 2 : 2 + L] = spans[i, 0, :L]
+        logits = rng.standard_normal((b, s, v)).astype(np.float32)
+        ref_loss, ref_w = reference_weighted_ce(logits, labels, spans)
+        ours_w = np.asarray(bias_span_weights(jnp.asarray(labels), jnp.asarray(spans), 1.5))
+        np.testing.assert_array_equal(ours_w, ref_w)
+        ours_loss = float(weighted_ce_loss(jnp.asarray(logits), jnp.asarray(labels),
+                                           jnp.asarray(spans), 1.5))
+        assert ours_loss == pytest.approx(ref_loss, rel=1e-5)
+
+    def test_special_tokens_not_upweighted(self):
+        labels = np.asarray([[50257, 7, 8, 50256]], np.int32)
+        spans = np.asarray([[[50257, 7, 8, 50256]]], np.int32)
+        # span containing specials: matched but specials keep weight 1
+        w = np.asarray(bias_span_weights(jnp.asarray(labels), jnp.asarray(spans), 3.0))
+        assert w.tolist() == [[1.0, 3.0, 3.0, 1.0]]
+
+    def test_plain_ce_fallback(self):
+        rng = np.random.default_rng(0)
+        logits = rng.standard_normal((2, 6, 30)).astype(np.float32)
+        labels = rng.integers(0, 30, (2, 6)).astype(np.int32)
+        labels[0, :2] = -100
+        ours = float(weighted_ce_loss(jnp.asarray(logits), jnp.asarray(labels)))
+        # torch CrossEntropyLoss(ignore_index=-100) equivalent
+        import torch
+        import torch.nn.functional as F
+
+        ref = F.cross_entropy(
+            torch.tensor(logits).view(-1, 30), torch.tensor(labels.astype(np.int64)).view(-1),
+            ignore_index=-100,
+        ).item()
+        assert ours == pytest.approx(ref, rel=1e-5)
+
+    def test_no_match_equals_plain_ce(self):
+        rng = np.random.default_rng(1)
+        logits = rng.standard_normal((1, 8, 30)).astype(np.float32)
+        labels = rng.integers(0, 30, (1, 8)).astype(np.int32)
+        spans = np.full((1, 2, 3), PAD, np.int32)  # all-pad spans
+        a = float(weighted_ce_loss(jnp.asarray(logits), jnp.asarray(labels)))
+        b = float(weighted_ce_loss(jnp.asarray(logits), jnp.asarray(labels), jnp.asarray(spans)))
+        assert a == pytest.approx(b, rel=1e-6)
+
+
+class TestSchedule:
+    def test_warmup_cosine(self):
+        sched = warmup_cosine_schedule(1e-5, 50, 1000)
+        assert float(sched(0)) == 0.0
+        assert float(sched(50)) == pytest.approx(1e-5)
+        assert float(sched(1000)) == pytest.approx(0.0, abs=1e-9)
+        assert float(sched(500)) < 1e-5
+
+
+class TestTrainStep:
+    @pytest.fixture(scope="class")
+    def tiny_batch(self):
+        cfg = tiny_test_config()
+        params = init_params(cfg, 0)
+        rng = np.random.default_rng(0)
+        batch = {
+            "input_features": jnp.asarray(
+                rng.standard_normal((2, 80, 128)).astype(np.float32) * 0.3
+            ),
+            "decoder_input_ids": jnp.asarray([[50257, 5, 6, 7], [50257, 8, 9, 10]], jnp.int32),
+            "labels": jnp.asarray([[5, 6, 7, 50256], [8, 9, 10, 50256]], jnp.int32),
+            "bias_spans": jnp.asarray(np.full((2, 1, 2), PAD, np.int32)),
+        }
+        return cfg, params, batch
+
+    def test_loss_decreases(self, tiny_batch):
+        cfg, params, batch = tiny_batch
+        opt = make_optimizer(peak_lr=1e-3, warmup_steps=0, total_steps=100)
+        step = make_train_step(cfg, opt, donate=False)
+        state = init_train_state(params, opt)
+        losses = []
+        for _ in range(5):
+            state, m = step(state, batch)
+            losses.append(float(m["loss"]))
+        assert losses[-1] < losses[0]
+        assert int(state.step) == 5
+
+    def test_freeze_encoder(self, tiny_batch):
+        cfg, params, batch = tiny_batch
+        opt = make_optimizer(peak_lr=1e-3, warmup_steps=0, total_steps=100)
+        step = make_train_step(cfg, opt, freeze_encoder=True, donate=False)
+        state = init_train_state(params, opt)
+        state2, _ = step(state, batch)
+        # encoder untouched, decoder changed
+        enc_same = jax.tree.all(jax.tree.map(
+            lambda a, b: bool(jnp.all(a == b)), state.params["encoder"], state2.params["encoder"]))
+        dec_same = jax.tree.all(jax.tree.map(
+            lambda a, b: bool(jnp.all(a == b)), state.params["decoder"], state2.params["decoder"]))
+        assert enc_same and not dec_same
+
+    def test_grad_accum_equivalence(self, tiny_batch):
+        """accum over two identical microbatches == single step on one."""
+        cfg, params, batch = tiny_batch
+        opt = make_optimizer(peak_lr=1e-3, warmup_steps=0, total_steps=100)
+        step1 = make_train_step(cfg, opt, donate=False)
+        stepA = make_train_step(cfg, opt, grad_accum=2, donate=False)
+        s1, m1 = step1(init_train_state(params, opt), batch)
+        stacked = jax.tree.map(lambda a: jnp.stack([a, a]), batch)
+        sA, mA = stepA(init_train_state(params, opt), stacked)
+        assert float(m1["loss"]) == pytest.approx(float(mA["loss"]), rel=1e-5)
+        d = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))), s1.params, sA.params)
+        assert max(jax.tree.leaves(d)) < 1e-5
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        cfg = tiny_test_config()
+        params = init_params(cfg, 0)
+        p = save_checkpoint(str(tmp_path), 10, params, metadata={"eval_wer": 12.5})
+        loaded, _, meta = load_checkpoint(p)
+        assert meta["step"] == 10 and meta["eval_wer"] == 12.5
+        same = jax.tree.map(lambda a, b: np.array_equal(np.asarray(a), np.asarray(b)),
+                            params, loaded)
+        assert all(jax.tree.leaves(same))
+
+    def test_retention_keeps_best_and_latest(self, tmp_path):
+        cfg = tiny_test_config(n_audio_layers=1, n_text_layers=1, d_model=8, n_heads=1)
+        params = init_params(cfg, 0)
+        save_checkpoint(str(tmp_path), 1, params, metadata={"eval_wer": 5.0}, keep=1)
+        save_checkpoint(str(tmp_path), 2, params, metadata={"eval_wer": 9.0}, keep=1)
+        save_checkpoint(str(tmp_path), 3, params, metadata={"eval_wer": 8.0}, keep=1)
+        names = sorted(os.path.basename(c) for c in list_checkpoints(str(tmp_path)))
+        # best (step 1, wer 5.0) + latest (step 3) survive
+        assert names == ["checkpoint-1", "checkpoint-3"]
+        assert os.path.basename(find_best_checkpoint(str(tmp_path))) == "checkpoint-1"
+        assert os.path.basename(latest_checkpoint(str(tmp_path))) == "checkpoint-3"
+
+    def test_log_history_format(self, tmp_path):
+        cfg = tiny_test_config(n_audio_layers=1, n_text_layers=1, d_model=8, n_heads=1)
+        params = init_params(cfg, 0)
+        save_checkpoint(str(tmp_path), 5, params,
+                        metadata={"log_history": [{"eval_wer": 3.3}, {"loss": 1.0}]})
+        assert os.path.basename(find_best_checkpoint(str(tmp_path))) == "checkpoint-5"
+
+
+

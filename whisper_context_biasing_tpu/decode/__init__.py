@@ -1,0 +1,21 @@
+"""Decode layer: single-XLA-program greedy/beam decoding with KV cache and
+vectorized bias-word logits processing."""
+
+from .bias_processor import (
+    BiasTrieState,
+    advance_bias_state,
+    bias_bonus,
+    init_bias_state,
+)
+from .greedy import GreedyResult, decode_batch, greedy_decode, pack_prefixes
+
+__all__ = [
+    "BiasTrieState",
+    "init_bias_state",
+    "bias_bonus",
+    "advance_bias_state",
+    "GreedyResult",
+    "greedy_decode",
+    "decode_batch",
+    "pack_prefixes",
+]

@@ -1,0 +1,81 @@
+"""Vectorized bias-word logits processor (shallow fusion over token spans).
+
+The reference biases decoding only implicitly (prompt conditioning + the
+WeightCE fine-tune); its Python decode control flow has no logits processor.
+This module supplies the TPU-native generalization called for by the north
+star (BASELINE.json): the bias-word list is advanced as a dense integer trie
+*inside* the XLA decode program, so a per-step bonus can be added to tokens
+that extend any bias span — no host round-trips.
+
+State: ``(B, N)`` int32 — how many tokens of span ``n`` the current hypothesis
+suffix has matched. Spans are the collator's dense ``(B, N, K)`` int32 padded
+with 50256 (data_utils/data_collator.py:119-125 contract).
+
+All ops are static-shaped scatter/gather; cost per step is O(B·N) + one
+(B, V) bonus buffer.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..data.collator import BIAS_SPAN_PAD_ID
+
+
+class BiasTrieState(NamedTuple):
+    matched: jax.Array  # (B, N) int32: matched prefix length per span
+    span_len: jax.Array  # (B, N) int32: true span lengths (0 = empty/pad row)
+
+
+def init_bias_state(bias_spans: jax.Array) -> BiasTrieState:
+    """bias_spans: (B, N, K) int32, padded with BIAS_SPAN_PAD_ID."""
+    span_len = jnp.sum(bias_spans != BIAS_SPAN_PAD_ID, axis=-1).astype(jnp.int32)
+    matched = jnp.zeros(bias_spans.shape[:2], jnp.int32)
+    return BiasTrieState(matched, span_len)
+
+
+def bias_bonus(
+    state: BiasTrieState,
+    bias_spans: jax.Array,  # (B, N, K)
+    vocab_size: int,
+    boost: float,
+) -> jax.Array:
+    """Per-step additive logit bonus (B, V): each span whose next expected
+    token is t contributes ``boost`` to t (max over spans, so duplicated
+    words don't double-count)."""
+    b, n, k = bias_spans.shape
+    next_idx = jnp.minimum(state.matched, k - 1)
+    next_tok = jnp.take_along_axis(bias_spans, next_idx[..., None], axis=-1)[..., 0]
+    active = state.matched < state.span_len  # span not yet fully matched
+    rows = jnp.broadcast_to(jnp.arange(b, dtype=jnp.int32)[:, None], (b, n))
+    safe_tok = jnp.where(active, next_tok, 0)
+    bonus = jnp.zeros((b, vocab_size), jnp.float32)
+    bonus = bonus.at[rows.reshape(-1), safe_tok.reshape(-1)].max(
+        jnp.where(active, jnp.float32(boost), 0.0).reshape(-1)
+    )
+    return bonus
+
+
+def advance_bias_state(
+    state: BiasTrieState,
+    bias_spans: jax.Array,  # (B, N, K)
+    token: jax.Array,  # (B,) int32 — the token just emitted
+) -> BiasTrieState:
+    """Advance each span's matched length: extend on match, else restart
+    (matched=1 if the token re-starts the span, 0 otherwise). Completed spans
+    also restart so repeated mentions keep getting biased."""
+    b, n, k = bias_spans.shape
+    cur_idx = jnp.minimum(state.matched, k - 1)
+    expected = jnp.take_along_axis(bias_spans, cur_idx[..., None], axis=-1)[..., 0]
+    first = bias_spans[..., 0]
+    tok = token[:, None]
+    in_progress = state.matched < state.span_len
+    extended = jnp.where(in_progress & (expected == tok), state.matched + 1, 0)
+    restarted = jnp.where((first == tok) & (state.span_len > 0), 1, 0)
+    new_matched = jnp.maximum(extended, restarted).astype(jnp.int32)
+    # a just-completed span resets (ready to match the next mention)
+    new_matched = jnp.where(new_matched >= state.span_len, 0, new_matched)
+    return BiasTrieState(new_matched, state.span_len)

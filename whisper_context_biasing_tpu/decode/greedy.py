@@ -1,0 +1,181 @@
+"""Greedy decoding as ONE XLA program.
+
+The reference decodes through HF ``generate`` with ``use_cache=False`` — a
+Python loop that re-runs the full decoder per token (scripts/train.py:209
+quirk, fixed here per SURVEY.md §7). This module runs the whole
+utterance→tokens path inside ``jax.lax.while_loop`` over a preallocated KV
+cache, with optional decoder-prompt conditioning (left-padded
+``<|startofprev|>`` contexts) and the vectorized bias-trie logits processor.
+
+Matches the reference generation contract: ``max_length=225`` semantics
+(prefix + new tokens capped by the model's 448-position window), greedy
+argmax, stop at <|endoftext|>, no token suppression
+(``model.config.suppress_tokens = []``, scripts/train.py:211).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.config import WhisperConfig
+from ..models.whisper import (
+    decode_tokens,
+    encode_audio,
+    init_kv_cache,
+    precompute_cross_kv,
+)
+from .bias_processor import BiasTrieState, advance_bias_state, bias_bonus, init_bias_state
+
+
+class GreedyResult(NamedTuple):
+    tokens: jax.Array   # (B, max_new) int32, eot-padded after finish
+    lengths: jax.Array  # (B,) int32 — number of tokens before (excl.) eot
+
+
+def pack_prefixes(
+    prefixes: list[list[int]], pad_id: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Left-pad variable-length decoder prefixes to a common length.
+    Returns (ids (B, P), mask (B, P)); mask False marks pads."""
+    p = max(len(x) for x in prefixes)
+    ids = np.full((len(prefixes), p), pad_id, dtype=np.int32)
+    mask = np.zeros((len(prefixes), p), dtype=bool)
+    for i, x in enumerate(prefixes):
+        ids[i, p - len(x):] = x
+        mask[i, p - len(x):] = True
+    return ids, mask
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "max_new", "eot_id", "bias_boost", "vocab_size"),
+)
+def greedy_decode(
+    params,
+    cfg: WhisperConfig,
+    input_features: jax.Array,   # (B, n_mels, 3000)
+    prefix_ids: jax.Array,       # (B, P) int32, left-padded
+    prefix_mask: jax.Array,      # (B, P) bool
+    max_new: int = 224,
+    eot_id: int = 50256,
+    bias_spans: jax.Array | None = None,  # (B, N, K) int32 or None
+    bias_boost: float = 0.0,
+    vocab_size: int | None = None,
+) -> GreedyResult:
+    """Batched greedy decode. The prefix must end with the token the model
+    should continue from (e.g. ``[<|sot|>]`` for reference-parity generation,
+    or ``[<|sop|>, ctx..., <|sot|>, <|notimestamps|>]`` for prompted decode)."""
+    b, p = prefix_ids.shape
+    v = vocab_size or cfg.n_vocab
+    cache_len = p + max_new
+    if cache_len > cfg.n_text_ctx:
+        raise ValueError(f"prefix {p} + max_new {max_new} exceeds n_text_ctx {cfg.n_text_ctx}")
+
+    enc_out = encode_audio(params, cfg, input_features)
+    cross_kv = precompute_cross_kv(params, cfg, enc_out)
+    cache = init_kv_cache(cfg, b, cache_len)
+
+    # positions: pads don't advance the position counter (left-pad support)
+    prefix_pos = jnp.maximum(jnp.cumsum(prefix_mask.astype(jnp.int32), axis=1) - 1, 0)
+    key_mask = jnp.concatenate(
+        [prefix_mask, jnp.ones((b, max_new), bool)], axis=1
+    )  # (B, cache_len)
+
+    logits, cache = decode_tokens(
+        params, cfg, prefix_ids, cross_kv=cross_kv, cache=cache, pos_offset=0,
+        token_positions=prefix_pos, self_mask=key_mask,
+    )
+    next_pos = prefix_pos[:, -1] + 1  # (B,)
+
+    use_bias = bias_spans is not None and bias_boost != 0.0
+    if bias_spans is None:  # keep the loop state static
+        bias_spans = jnp.zeros((b, 1, 1), jnp.int32)
+    bias_state = init_bias_state(bias_spans)
+    if use_bias:
+        # the prefix's last real token may already start a span
+        bias_state = advance_bias_state(bias_state, bias_spans, prefix_ids[:, -1])
+
+    def pick(lg, state):
+        lg = lg.astype(jnp.float32)
+        if use_bias:
+            lg = lg + bias_bonus(state, bias_spans, v, bias_boost)
+        return jnp.argmax(lg, axis=-1).astype(jnp.int32)
+
+    first_tok = pick(logits[:, -1], bias_state)
+
+    class Carry(NamedTuple):
+        t: jax.Array
+        cur: jax.Array        # (B,) current token to feed next step
+        pos: jax.Array        # (B,) its position id
+        cache: dict
+        out: jax.Array        # (B, max_new)
+        finished: jax.Array   # (B,) bool
+        bias_state: BiasTrieState
+
+    out0 = jnp.full((b, max_new), eot_id, jnp.int32)
+    finished0 = first_tok == eot_id
+    out0 = out0.at[:, 0].set(first_tok)
+    bias_state = advance_bias_state(bias_state, bias_spans, first_tok) if use_bias else bias_state
+
+    init = Carry(jnp.int32(1), first_tok, next_pos, cache, out0, finished0, bias_state)
+
+    def cond(c: Carry):
+        return (c.t < max_new) & ~jnp.all(c.finished)
+
+    def body(c: Carry):
+        lg, cache = decode_tokens(
+            params, cfg, c.cur[:, None], cross_kv=cross_kv, cache=c.cache,
+            pos_offset=p - 1 + c.t, token_positions=c.pos[:, None],
+            self_mask=key_mask,
+        )
+        nxt = pick(lg[:, -1], c.bias_state)
+        nxt = jnp.where(c.finished, eot_id, nxt)
+        out = jax.lax.dynamic_update_slice(c.out, nxt[:, None], (0, c.t))
+        finished = c.finished | (nxt == eot_id)
+        bs = advance_bias_state(c.bias_state, bias_spans, nxt) if use_bias else c.bias_state
+        return Carry(c.t + 1, nxt, c.pos + 1, cache, out, finished, bs)
+
+    final = jax.lax.while_loop(cond, body, init)
+    lengths = jnp.sum(
+        jnp.cumprod((final.out != eot_id).astype(jnp.int32), axis=1), axis=1
+    )
+    return GreedyResult(final.out, lengths)
+
+
+def decode_batch(
+    params,
+    cfg: WhisperConfig,
+    tokenizer,
+    input_features: np.ndarray,
+    contexts: list[list[int]] | None = None,
+    max_new: int = 224,
+    bias_spans: np.ndarray | None = None,
+    bias_boost: float = 0.0,
+    include_notimestamps: bool = False,
+) -> list[list[int]]:
+    """Host-side convenience: build prefixes (reference-parity ``[<|sot|>]``
+    start, optionally ``<|sop|> + context`` conditioning), run the jitted
+    greedy loop, and strip to finished token lists (without the prefix)."""
+    b = input_features.shape[0]
+    start: list[int] = [tokenizer.sot]
+    if include_notimestamps:
+        start = tokenizer.prefix_tokens
+    if contexts is None:
+        prefixes = [start] * b
+    else:
+        prefixes = [[tokenizer.sop] + list(c) + start for c in contexts]
+    ids, mask = pack_prefixes(prefixes, tokenizer.eot)
+    res = greedy_decode(
+        params, cfg, jnp.asarray(input_features), jnp.asarray(ids), jnp.asarray(mask),
+        max_new=max_new, eot_id=tokenizer.eot,
+        bias_spans=None if bias_spans is None else jnp.asarray(bias_spans),
+        bias_boost=bias_boost,
+    )
+    toks = np.asarray(res.tokens)
+    lens = np.asarray(res.lengths)
+    return [toks[i, : lens[i]].tolist() for i in range(b)]

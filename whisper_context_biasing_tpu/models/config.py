@@ -99,7 +99,7 @@ def get_config(name: str, **overrides) -> WhisperConfig:
 def tiny_test_config(**overrides) -> WhisperConfig:
     """A miniature config for fast CPU tests."""
     cfg = WhisperConfig(
-        n_mels=80, n_audio_ctx=1500, d_model=64, n_heads=2,
+        n_mels=80, n_audio_ctx=64, d_model=64, n_heads=2,
         n_audio_layers=2, n_text_layers=2, n_vocab=51864, n_text_ctx=448,
         dtype="float32",
     )

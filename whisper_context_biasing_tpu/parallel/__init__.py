@@ -1,0 +1,16 @@
+"""Parallelism layer: device mesh + GSPMD partition specs."""
+
+from .mesh import DATA_AXIS, MODEL_AXIS, data_sharding, make_mesh, replicated
+from .sharding import param_specs, shard_batch, shard_opt_state, shard_params
+
+__all__ = [
+    "DATA_AXIS",
+    "MODEL_AXIS",
+    "make_mesh",
+    "replicated",
+    "data_sharding",
+    "param_specs",
+    "shard_params",
+    "shard_batch",
+    "shard_opt_state",
+]

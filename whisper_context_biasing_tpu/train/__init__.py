@@ -1,0 +1,36 @@
+"""Training layer: WeightCE loss, AdamW+cosine, jitted train step with
+microbatch accumulation, checkpoint/resume with best-by-WER retention."""
+
+from .loss import bias_span_weights, weighted_ce_loss
+from .optim import make_optimizer, warmup_cosine_schedule
+from .step import (
+    TrainState,
+    init_train_state,
+    make_eval_loss_step,
+    make_loss_fn,
+    make_train_step,
+)
+from .checkpoint import (
+    find_best_checkpoint,
+    latest_checkpoint,
+    list_checkpoints,
+    load_checkpoint,
+    save_checkpoint,
+)
+
+__all__ = [
+    "bias_span_weights",
+    "weighted_ce_loss",
+    "make_optimizer",
+    "warmup_cosine_schedule",
+    "TrainState",
+    "init_train_state",
+    "make_train_step",
+    "make_eval_loss_step",
+    "make_loss_fn",
+    "save_checkpoint",
+    "load_checkpoint",
+    "latest_checkpoint",
+    "find_best_checkpoint",
+    "list_checkpoints",
+]

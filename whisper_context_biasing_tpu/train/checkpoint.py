@@ -1,0 +1,158 @@
+"""Checkpoint / resume.
+
+The reference relies on HF Trainer ``checkpoint-NNN`` dirs with
+``save_total_limit=1`` and best-by-eval-WER selection
+(scripts/train.py:236,242-245; scripts/evaluation.py:75-94). This module
+provides the same lifecycle natively and offline:
+
+  * ``save_checkpoint(dir, state_dict)`` -> ``checkpoint-{step}/`` with the
+    flattened pytree in a single .npz plus a json metadata/trainer-state file
+  * retention: keep the newest N checkpoints plus the best-by-wer one
+  * ``latest_checkpoint`` / ``find_best_checkpoint`` mirror the reference's
+    resume and best-selection logic (max by step / min by eval_wer scanned
+    from the recorded log history)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+from typing import Any
+
+import jax
+import numpy as np
+
+_CKPT_RE = re.compile(r"^checkpoint-(\d+)$")
+
+
+def _flatten(tree: Any, prefix: str = "") -> dict[str, np.ndarray]:
+    out = {}
+    if isinstance(tree, dict):
+        for k in sorted(tree):
+            out.update(_flatten(tree[k], f"{prefix}{k}/"))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            out.update(_flatten(v, f"{prefix}{i}/"))
+    else:
+        out[prefix[:-1]] = np.asarray(tree)
+    return out
+
+
+def _unflatten(flat: dict[str, np.ndarray]) -> Any:
+    root: dict = {}
+    for key, value in flat.items():
+        parts = key.split("/")
+        node = root
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value
+
+    def fix(node):
+        if not isinstance(node, dict):
+            return node
+        keys = list(node)
+        if keys and all(k.isdigit() for k in keys):
+            return [fix(node[k]) for k in sorted(keys, key=int)]
+        return {k: fix(v) for k, v in node.items()}
+
+    return fix(root)
+
+
+def save_checkpoint(
+    output_dir: str,
+    step: int,
+    params: Any,
+    opt_state: Any = None,
+    metadata: dict | None = None,
+    keep: int = 1,
+    best_metric_key: str = "eval_wer",
+) -> str:
+    path = os.path.join(output_dir, f"checkpoint-{step}")
+    os.makedirs(path, exist_ok=True)
+    params_np = jax.tree.map(np.asarray, params)
+    np.savez(os.path.join(path, "params.npz"), **_flatten(params_np))
+    if opt_state is not None:
+        opt_np = jax.tree.map(np.asarray, jax.tree.leaves(opt_state))
+        np.savez(
+            os.path.join(path, "opt_state.npz"),
+            **{str(i): a for i, a in enumerate(opt_np)},
+        )
+    meta = {"step": step, **(metadata or {})}
+    with open(os.path.join(path, "trainer_state.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+    _apply_retention(output_dir, keep, best_metric_key)
+    return path
+
+
+def _apply_retention(output_dir: str, keep: int, best_metric_key: str) -> None:
+    ckpts = list_checkpoints(output_dir)
+    if len(ckpts) <= keep:
+        return
+    best = find_best_checkpoint(output_dir, metric_key=best_metric_key)
+    by_step = sorted(ckpts, key=lambda p: checkpoint_step(p))
+    protected = set(by_step[-keep:])
+    if best:
+        protected.add(best)
+    for c in by_step:
+        if c not in protected:
+            shutil.rmtree(c, ignore_errors=True)
+
+
+def list_checkpoints(output_dir: str) -> list[str]:
+    if not os.path.isdir(output_dir):
+        return []
+    return [
+        os.path.join(output_dir, d)
+        for d in os.listdir(output_dir)
+        if _CKPT_RE.match(d) and os.path.isdir(os.path.join(output_dir, d))
+    ]
+
+
+def checkpoint_step(path: str) -> int:
+    m = _CKPT_RE.match(os.path.basename(path))
+    return int(m.group(1)) if m else -1
+
+
+def latest_checkpoint(output_dir: str) -> str | None:
+    """Resume source: newest checkpoint-N (scripts/train.py:172-176)."""
+    ckpts = list_checkpoints(output_dir)
+    return max(ckpts, key=checkpoint_step) if ckpts else None
+
+
+def find_best_checkpoint(output_dir: str, metric_key: str = "eval_wer") -> str | None:
+    """Lowest recorded eval metric across checkpoints' trainer_state.json
+    (scripts/evaluation.py:75-94: scans log_history for eval_wer)."""
+    best, best_val = None, float("inf")
+    for c in list_checkpoints(output_dir):
+        state_file = os.path.join(c, "trainer_state.json")
+        if not os.path.isfile(state_file):
+            continue
+        with open(state_file) as f:
+            meta = json.load(f)
+        candidates = []
+        if metric_key in meta:
+            candidates.append(meta[metric_key])
+        for entry in meta.get("log_history", []):
+            if metric_key in entry:
+                candidates.append(entry[metric_key])
+        for v in candidates:
+            if v < best_val:
+                best_val, best = v, c
+    return best
+
+
+def load_checkpoint(path: str, opt_state_template: Any = None):
+    """Returns (params, opt_state_or_None, metadata)."""
+    with np.load(os.path.join(path, "params.npz")) as z:
+        params = _unflatten({k: z[k] for k in z.files})
+    opt_state = None
+    opt_file = os.path.join(path, "opt_state.npz")
+    if opt_state_template is not None and os.path.isfile(opt_file):
+        with np.load(opt_file) as z:
+            leaves = [z[str(i)] for i in range(len(z.files))]
+        opt_state = jax.tree.unflatten(jax.tree.structure(opt_state_template), leaves)
+    with open(os.path.join(path, "trainer_state.json")) as f:
+        meta = json.load(f)
+    return params, opt_state, meta

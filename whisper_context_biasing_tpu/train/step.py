@@ -1,0 +1,101 @@
+"""Jittable training step: WeightCE forward/backward + AdamW, with
+``lax.scan``-based microbatch gradient accumulation (the TPU-native
+equivalent of the reference's ``gradient_accumulation_steps=4``,
+scripts/train.py:229) and optional encoder freezing
+(models/whisper_medical.py:39-43).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.config import WhisperConfig
+from ..models.whisper import forward
+from .loss import weighted_ce_loss
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def init_train_state(params, optimizer: optax.GradientTransformation) -> TrainState:
+    return TrainState(params, optimizer.init(params), jnp.zeros((), jnp.int32))
+
+
+def make_loss_fn(cfg: WhisperConfig, bias_weight: float, use_bias_spans: bool = True):
+    def loss_fn(params, batch):
+        logits = forward(params, cfg, batch["input_features"], batch["decoder_input_ids"])
+        spans = batch.get("bias_spans") if use_bias_spans else None
+        return weighted_ce_loss(logits, batch["labels"], spans, bias_weight)
+
+    return loss_fn
+
+
+def _freeze_encoder_grads(grads):
+    return dict(grads, encoder=jax.tree.map(jnp.zeros_like, grads["encoder"]))
+
+
+def make_train_step(
+    cfg: WhisperConfig,
+    optimizer: optax.GradientTransformation,
+    bias_weight: float = 1.5,
+    grad_accum: int = 1,
+    freeze_encoder: bool = False,
+    use_bias_spans: bool = True,
+    donate: bool = True,
+):
+    """Returns ``step(state, batch) -> (state, metrics)``.
+
+    With ``grad_accum > 1`` every array in ``batch`` must carry a leading
+    microbatch axis (A, ...); gradients are averaged across microbatches by a
+    ``lax.scan`` so peak memory stays one microbatch.
+    """
+    loss_fn = make_loss_fn(cfg, bias_weight, use_bias_spans)
+    grad_fn = jax.value_and_grad(loss_fn)
+
+    def single_grads(params, batch):
+        return grad_fn(params, batch)
+
+    def accum_grads(params, batch):
+        def micro(carry, mb):
+            acc, loss_sum = carry
+            loss, g = grad_fn(params, mb)
+            return (jax.tree.map(jnp.add, acc, g), loss_sum + loss), None
+
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        (g, loss_sum), _ = jax.lax.scan(micro, (zeros, jnp.float32(0)), batch)
+        scale = 1.0 / grad_accum
+        return loss_sum * scale, jax.tree.map(lambda a: a * scale, g)
+
+    def step(state: TrainState, batch):
+        if grad_accum > 1:
+            loss, grads = accum_grads(state.params, batch)
+        else:
+            loss, grads = single_grads(state.params, batch)
+        if freeze_encoder:
+            grads = _freeze_encoder_grads(grads)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        if freeze_encoder:
+            # AdamW weight decay would still move zero-grad params; mask it
+            updates = dict(
+                updates, encoder=jax.tree.map(jnp.zeros_like, updates["encoder"])
+            )
+        params = optax.apply_updates(state.params, updates)
+        gnorm = optax.global_norm(grads)
+        return TrainState(params, opt_state, state.step + 1), {
+            "loss": loss,
+            "grad_norm": gnorm,
+        }
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_loss_step(cfg: WhisperConfig, bias_weight: float = 1.5, use_bias_spans: bool = True):
+    loss_fn = make_loss_fn(cfg, bias_weight, use_bias_spans)
+    return jax.jit(loss_fn)
