@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""RTF benchmark: whisper-small batched greedy decode on one TPU chip.
+
+Measures the full utterance->tokens pipeline as ONE XLA program per stage:
+raw 30 s audio -> fused log-mel (matmul STFT) -> encoder -> while_loop greedy
+decode with KV cache and the bias-trie logits processor, bf16 compute.
+
+Prints one JSON line:
+  {"metric": "decode_rtf_per_chip", "value": <audio-sec per wall-sec>,
+   "unit": "x_realtime", "vs_baseline": value / 50.0}
+
+The baseline divisor is the north-star target (>=50x real-time per v5e chip on
+whisper-small batched decode, BASELINE.json; the reference publishes no
+throughput numbers at all). Decode length is fixed at DECODE_TOKENS per clip
+(EOT disabled) so random weights don't terminate early — a conservative
+stand-in for real medical utterances (~15-40 tokens / 30 s clip in the
+reference corpus).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+BATCH = int(os.environ.get("BENCH_BATCH", "16"))
+DECODE_TOKENS = int(os.environ.get("BENCH_TOKENS", "32"))
+MODEL = os.environ.get("BENCH_MODEL", "small")
+ITERS = int(os.environ.get("BENCH_ITERS", "5"))
+BIAS_N, BIAS_K = 16, 8  # bias-list size per utterance
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from whisper_context_biasing_tpu.utils import setup_jax
+    setup_jax()
+
+    from whisper_context_biasing_tpu.audio.mel import log_mel_spectrogram
+    from whisper_context_biasing_tpu.decode.greedy import greedy_decode
+    from whisper_context_biasing_tpu.models import get_config, init_params
+
+    cfg = get_config(MODEL, dtype="bfloat16")
+    params = init_params(cfg, 0)
+    params = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, params
+    )
+
+    rng = np.random.default_rng(0)
+    audio = (rng.standard_normal((BATCH, 480000)) * 0.1).astype(np.float32)
+    prefix = jnp.asarray([[cfg.decoder_start_token_id]] * BATCH, jnp.int32)
+    mask = jnp.ones((BATCH, 1), bool)
+    spans = rng.integers(0, 50000, (BATCH, BIAS_N, BIAS_K)).astype(np.int32)
+
+    @jax.jit
+    def pipeline(params, audio, spans):
+        mel = log_mel_spectrogram(audio, n_mels=cfg.n_mels)
+        return greedy_decode(
+            params, cfg, mel.astype(jnp.bfloat16), prefix, mask,
+            max_new=DECODE_TOKENS,
+            eot_id=-1,  # never fires: fixed-length decode for stable timing
+            bias_spans=jnp.asarray(spans), bias_boost=0.5,
+        )
+
+    audio_j = jnp.asarray(audio)
+    spans_j = jnp.asarray(spans)
+
+    # warmup / compile
+    r = pipeline(params, audio_j, spans_j)
+    jax.block_until_ready(r.tokens)
+
+    times = []
+    for _ in range(ITERS):
+        t0 = time.perf_counter()
+        r = pipeline(params, audio_j, spans_j)
+        jax.block_until_ready(r.tokens)
+        times.append(time.perf_counter() - t0)
+
+    wall = min(times)
+    audio_seconds = BATCH * 30.0
+    rtf = audio_seconds / wall
+    print(json.dumps({
+        "metric": "decode_rtf_per_chip",
+        "value": round(rtf, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(rtf / 50.0, 3),
+        "detail": {
+            "model": MODEL, "batch": BATCH, "decode_tokens": DECODE_TOKENS,
+            "wall_s": round(wall, 4), "device": str(jax.devices()[0]),
+            "iters": ITERS,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

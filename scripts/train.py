@@ -1,0 +1,177 @@
+#!/usr/bin/env python
+"""Train the Whisper medical context-biasing model (TPU-native).
+
+CLI surface preserved from the reference ``scripts/train.py:26-45`` with the
+documented dead flags fixed (SURVEY.md §7): ``--lr``/``--epoch`` are honored
+(defaults = the values the reference hardcodes: lr 1e-5, 5 epochs), hub sync
+is optional/gated (this environment is offline), and bias spans are collected
+tokenizer-only instead of decoding the whole test audio set.
+
+New TPU-native flags: --model (family preset), --vocab/--merges (real
+tokenizer assets; offline byte-fallback otherwise), --init_checkpoint
+(HF safetensors or native checkpoint), --model_parallelism,
+--prompt_generation / --bias_boost (decode-time biasing, a new capability).
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
+
+from whisper_context_biasing_tpu.utils import setup_jax
+setup_jax()
+
+from whisper_context_biasing_tpu.data import PromptWhisperDataset, SpeechSeq2SeqCollator
+from whisper_context_biasing_tpu.metrics import compute_bias_wer
+from whisper_context_biasing_tpu.models import get_config, init_params, load_safetensors
+from whisper_context_biasing_tpu.tokenizer import load_tokenizer
+from whisper_context_biasing_tpu.train import (
+    TrainingConfig,
+    evaluate_wer,
+    load_checkpoint,
+    train_and_evaluate,
+)
+from whisper_context_biasing_tpu.parallel import make_mesh, shard_batch, shard_params
+
+DEFAULT_DATA_DIR = "data/medical-united-syn-med-test"
+DEFAULT_JSONL = "data/medical-united-syn-med-test-jsonl"
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Train Whisper medical model with context biasing")
+    # reference surface (scripts/train.py:26-45)
+    p.add_argument("--output", type=str, default="results")
+    p.add_argument("--data_root", type=str, default="")
+    p.add_argument("--data_dir", type=str, default=DEFAULT_DATA_DIR)
+    p.add_argument("--jsonl_data", type=str, default=DEFAULT_JSONL)
+    p.add_argument("--refs_pred_file", type=str, default=None)
+    p.add_argument("--bias_weight", type=float, default=1.5)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--epoch", type=float, default=5)
+    p.add_argument("--lr", type=float, default=1e-5)
+    p.add_argument("--hub_model_id", type=str, default=None,
+                   help="kept for API parity; hub sync is skipped offline")
+    p.add_argument("--hf_token", type=str, default=None)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--prompt", action="store_true")
+    p.add_argument("--random", action="store_true")
+    p.add_argument("--bias_list", action="store_true")
+    p.add_argument("--bias_nums", type=int, default=0)
+    p.add_argument("--bias_desc", action="store_true")
+    # TPU-native additions
+    p.add_argument("--model", type=str, default="base.en")
+    p.add_argument("--vocab", type=str, default=None)
+    p.add_argument("--merges", type=str, default=None)
+    p.add_argument("--init_checkpoint", type=str, default=None,
+                   help="HF model.safetensors or native checkpoint-N dir")
+    p.add_argument("--model_parallelism", type=int, default=1)
+    p.add_argument("--eval_steps", type=int, default=135)
+    p.add_argument("--save_steps", type=int, default=135)
+    p.add_argument("--eval_batch", type=int, default=2)
+    p.add_argument("--grad_accum", type=int, default=4)
+    p.add_argument("--prompt_generation", action="store_true",
+                   help="condition eval generation on the context prefix")
+    p.add_argument("--bias_boost", type=float, default=0.0,
+                   help="decode-time bias-span logit bonus")
+    p.add_argument("--seed", type=int, default=42)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    print(f"Arguments: {vars(args)}")
+
+    tokenizer = load_tokenizer(args.vocab, args.merges,
+                               multilingual=not args.model.endswith(".en"))
+    model_cfg = get_config(args.model)
+    collator = SpeechSeq2SeqCollator(
+        pad_token_id=tokenizer.pad_token_id,
+        decoder_start_token_id=tokenizer.sot,
+        decoder_prev_token_id=tokenizer.sop,
+        pad_to_multiple=32,
+    )
+
+    for phase in ("train", "dev", "test"):
+        path = os.path.join(args.jsonl_data, f"{phase}.jsonl")
+        if not os.path.isfile(path):
+            raise FileNotFoundError(f"JSONL file not found: {path}")
+
+    ds_kwargs = dict(
+        base_path=os.path.join(args.data_root, args.data_dir),
+        jsonl_data=args.jsonl_data, tokenizer=tokenizer,
+        prompt=args.prompt, random=args.random, bias_list=args.bias_list,
+        bias_nums=args.bias_nums, bias_desc=args.bias_desc, seed=args.seed,
+    )
+    data_train = PromptWhisperDataset(phase="train", **ds_kwargs)
+    data_eval = PromptWhisperDataset(phase="dev", **ds_kwargs)
+    data_test = PromptWhisperDataset(phase="test", **ds_kwargs)
+    for name, ds in (("train", data_train), ("dev", data_eval), ("test", data_test)):
+        if len(ds) == 0:
+            raise ValueError(f"{name} dataset is empty")
+        print(f"{name} data length: {len(ds)}")
+
+    # spans need only the tokenizer (fixes scripts/train.py:163 audio decode)
+    bias_spans = data_test.all_bias_spans()
+
+    # model init: native checkpoint > HF safetensors > random
+    if args.init_checkpoint and os.path.isdir(args.init_checkpoint) and os.path.isfile(
+        os.path.join(args.init_checkpoint, "params.npz")
+    ):
+        params, _, _ = load_checkpoint(args.init_checkpoint)
+    elif args.init_checkpoint:
+        params, model_cfg = load_safetensors(args.init_checkpoint, model_cfg)
+    else:
+        print("no init checkpoint given: random init (offline environment)")
+        params = init_params(model_cfg, args.seed)
+
+    shard_fn = None
+    if args.model_parallelism > 1:
+        mesh = make_mesh(model_parallelism=args.model_parallelism)
+        params = shard_params(params, mesh)
+        shard_fn = lambda b: shard_batch(  # noqa: E731
+            b, mesh, extra_leading_axes=1 if args.grad_accum > 1 else 0
+        )
+
+    tcfg = TrainingConfig(
+        output_dir=args.output,
+        per_device_train_batch_size=args.batch,
+        per_device_eval_batch_size=args.eval_batch,
+        gradient_accumulation_steps=args.grad_accum,
+        learning_rate=args.lr,
+        num_train_epochs=args.epoch,
+        eval_steps=args.eval_steps,
+        save_steps=args.save_steps,
+        bias_weight=args.bias_weight,
+        prompt_generation=args.prompt_generation,
+        bias_boost=args.bias_boost,
+        seed=args.seed,
+    )
+    print("Starting training...")
+    params, log_history = train_and_evaluate(
+        model_cfg, params, tokenizer, data_train, data_eval, collator, tcfg,
+        resume=args.resume, shard_fn=shard_fn,
+    )
+
+    print("Starting final evaluation on test set...")
+    refs_pred_file = args.refs_pred_file or os.path.join(args.output, "refs_and_pred.txt")
+    result = evaluate_wer(
+        params, model_cfg, tokenizer, data_test, collator,
+        tcfg.per_device_eval_batch_size, tcfg.generation_max_length - 1,
+        refs_pred_file=refs_pred_file,
+        prompt_generation=args.prompt_generation, bias_boost=args.bias_boost,
+    )
+    print("Test set evaluation results:", result)
+    with open(os.path.join(args.output, "test_results.json"), "w") as f:
+        json.dump(result, f, indent=4)
+
+    print("Calculating bias WER...")
+    bias_result = compute_bias_wer(refs_pred_file, bias_spans, tokenizer)
+    print("Bias WER result:", bias_result)
+    with open(os.path.join(args.output, "bias_wer_results.json"), "w") as f:
+        json.dump(bias_result, f, indent=4)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,152 @@
+"""End-to-end slice (SURVEY.md §7 step 5-6): synthetic WAV corpus -> dataset
+-> collator -> WeightCE fine-tune -> greedy decode eval -> refs_and_pred.txt
+artifact -> WER + B-WER, with checkpointing/early-stop plumbing exercised."""
+
+import json
+import os
+import wave
+
+import numpy as np
+import pytest
+
+from whisper_context_biasing_tpu.audio import log_mel_spectrogram_np
+from whisper_context_biasing_tpu.data import PromptWhisperDataset, SpeechSeq2SeqCollator
+from whisper_context_biasing_tpu.metrics import compute_bias_wer, parse_refs_and_pred_file
+from whisper_context_biasing_tpu.models import init_params, tiny_test_config
+from whisper_context_biasing_tpu.tokenizer import load_tokenizer
+from whisper_context_biasing_tpu.train import (
+    TrainingConfig,
+    evaluate_wer,
+    list_checkpoints,
+    train_and_evaluate,
+)
+
+ROWS = [
+    {"id": "0", "file": "a0.wav", "text": "take aspirin daily",
+     "description": "aspirin for heart", "bias_words": ["aspirin"]},
+    {"id": "1", "file": "a1.wav", "text": "promisec treats pressure",
+     "description": "promisec for pressure", "bias_words": ["promisec"]},
+    {"id": "2", "file": "a2.wav", "text": "use the nebulizer now",
+     "description": "nebulizer for asthma", "bias_words": ["nebulizer"]},
+    {"id": "3", "file": "a3.wav", "text": "plain words here",
+     "description": "plain", "bias_words": []},
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    jsonl_dir = root / "jsonl"
+    jsonl_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for phase in ("train", "dev", "test"):
+        with open(jsonl_dir / f"{phase}.jsonl", "w") as f:
+            for r in ROWS:
+                f.write(json.dumps(r) + "\n")
+        d = root / "audio" / phase
+        d.mkdir(parents=True, exist_ok=True)
+        for r in ROWS:
+            sig = (rng.standard_normal(16000) * 3000).astype(np.int16)
+            with wave.open(str(d / r["file"]), "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(16000)
+                w.writeframes(sig.tobytes())
+    return {"base": str(root / "audio"), "jsonl": str(jsonl_dir)}
+
+
+def _short_mel(audio):
+    # tiny model: n_audio_ctx=64 -> 128 mel frames
+    return log_mel_spectrogram_np(audio)[:, :128]
+
+
+def _make_ds(corpus, tok, phase, **kw):
+    return PromptWhisperDataset(
+        base_path=corpus["base"], jsonl_data=corpus["jsonl"], phase=phase,
+        tokenizer=tok, feature_extractor=_short_mel, **kw,
+    )
+
+
+class TestEndToEnd:
+    def test_full_pipeline(self, corpus, tmp_path):
+        tok = load_tokenizer()
+        cfg = tiny_test_config()
+        params = init_params(cfg, 0)
+        collator = SpeechSeq2SeqCollator(
+            pad_token_id=tok.pad_token_id,
+            decoder_start_token_id=tok.sot,
+            decoder_prev_token_id=tok.sop,
+            pad_to_multiple=16,
+        )
+        train_ds = _make_ds(corpus, tok, "train", prompt=True)
+        dev_ds = _make_ds(corpus, tok, "dev", prompt=True)
+        out = str(tmp_path / "out")
+
+        tcfg = TrainingConfig(
+            output_dir=out,
+            per_device_train_batch_size=2,
+            per_device_eval_batch_size=2,
+            gradient_accumulation_steps=2,
+            learning_rate=1e-4,
+            num_train_epochs=4,
+            warmup_steps=1,
+            eval_steps=2,
+            save_steps=2,
+            logging_steps=1,
+            early_stopping_patience=50,
+            generation_max_length=8,
+        )
+        params_out, log_history = train_and_evaluate(
+            cfg, params, tok, train_ds, dev_ds, collator, tcfg
+        )
+
+        assert any("loss" in e for e in log_history)
+        assert any("eval_wer" in e for e in log_history)
+        assert list_checkpoints(out)
+        assert os.path.isfile(os.path.join(out, "refs_and_pred.txt"))
+
+        # artifact is parseable and row-aligned with the eval set
+        refs, preds = parse_refs_and_pred_file(os.path.join(out, "refs_and_pred.txt"))
+        assert len(refs) == len(dev_ds)
+        # refs decode back to the (normalized) transcripts, prompt-free
+        assert "aspirin" in " ".join(refs)
+        assert not any("<|" in r for r in refs)
+
+        # final test-set eval + B-WER from the artifact
+        test_ds = _make_ds(corpus, tok, "test")
+        rp = str(tmp_path / "rp.txt")
+        result = evaluate_wer(params_out, cfg, tok, test_ds, collator, 2, 8,
+                              refs_pred_file=rp)
+        assert "wer" in result and np.isfinite(result["wer"])
+        bias = compute_bias_wer(rp, test_ds.all_bias_spans(), tok)
+        assert "bias_wer" in bias
+
+    def test_resume(self, corpus, tmp_path):
+        tok = load_tokenizer()
+        cfg = tiny_test_config()
+        params = init_params(cfg, 0)
+        collator = SpeechSeq2SeqCollator(
+            pad_token_id=tok.pad_token_id, decoder_start_token_id=tok.sot,
+            decoder_prev_token_id=tok.sop, pad_to_multiple=16,
+        )
+        train_ds = _make_ds(corpus, tok, "train")
+        dev_ds = _make_ds(corpus, tok, "dev")
+        out = str(tmp_path / "resume")
+        tcfg = TrainingConfig(
+            output_dir=out, per_device_train_batch_size=2,
+            per_device_eval_batch_size=2, gradient_accumulation_steps=1,
+            num_train_epochs=2, eval_steps=2, save_steps=2, logging_steps=1,
+            warmup_steps=0, generation_max_length=6, early_stopping_patience=50,
+            load_best_model_at_end=False,
+        )
+        train_and_evaluate(cfg, params, tok, train_ds, dev_ds, collator, tcfg)
+        first = {os.path.basename(c) for c in list_checkpoints(out)}
+        assert first
+        # resume continues past the previous step count
+        tcfg2 = TrainingConfig(**{**tcfg.__dict__, "num_train_epochs": 4})
+        _, hist = train_and_evaluate(
+            cfg, params, tok, train_ds, dev_ds, collator, tcfg2, resume=True
+        )
+        assert max(e["step"] for e in hist) > max(
+            int(c.split("-")[1]) for c in first
+        ) - 1

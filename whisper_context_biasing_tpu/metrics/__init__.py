@@ -4,6 +4,7 @@ committed eval artifacts (results/refs_and_pred_*.txt)."""
 
 from .normalizer import BasicTextNormalizer
 from .wer import corpus_wer, word_edit_distance
+from .evaluate import score_predictions
 from .bias_wer import (
     BiasWerResult,
     compute_bias_wer,
@@ -19,4 +20,5 @@ __all__ = [
     "compute_bias_wer",
     "compute_bias_wer_from_words",
     "parse_refs_and_pred_file",
+    "score_predictions",
 ]

@@ -10,6 +10,7 @@ from .step import (
     make_loss_fn,
     make_train_step,
 )
+from .loop import TrainingConfig, evaluate_wer, train_and_evaluate
 from .checkpoint import (
     find_best_checkpoint,
     latest_checkpoint,
@@ -33,4 +34,7 @@ __all__ = [
     "latest_checkpoint",
     "find_best_checkpoint",
     "list_checkpoints",
+    "TrainingConfig",
+    "train_and_evaluate",
+    "evaluate_wer",
 ]

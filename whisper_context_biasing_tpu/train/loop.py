@@ -1,0 +1,237 @@
+"""Training loop — the native replacement for HF ``Seq2SeqTrainer`` as the
+reference drives it (scripts/train.py:225-273):
+
+  * effective batch = per-step batch × grad accumulation (8×4)
+  * AdamW + cosine w/ warmup, weight decay, grad clipping
+  * eval every ``eval_steps`` optimizer steps: batched greedy decode
+    (KV cache — fixing the reference's use_cache=False recompute) scored by
+    the compute_wer flow, refs_and_pred.txt artifact written
+  * checkpoint every ``save_steps`` with accumulated log_history; retention
+    keep-1 + best (load_best_model_at_end on lowest eval_wer)
+  * early stopping patience on eval_wer
+  * resume from the newest local checkpoint
+
+Generation during eval is UNPROMPTED (prefix = <|startoftranscript|> only),
+matching the reference pipeline: HF Seq2SeqTrainer drops the collator's
+decoder_input_ids when they shape-match labels, so its generate() never sees
+the context prefix — conditioning acts through training only. Prompted
+generation is available via ``prompt_generation=True`` (a new capability).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.collator import SpeechSeq2SeqCollator
+from ..decode.greedy import greedy_decode, pack_prefixes
+from ..metrics.evaluate import score_predictions
+from ..models.config import WhisperConfig
+from .checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
+from .optim import make_optimizer
+from .step import TrainState, init_train_state, make_train_step
+
+
+@dataclass
+class TrainingConfig:
+    output_dir: str
+    per_device_train_batch_size: int = 8
+    per_device_eval_batch_size: int = 2
+    gradient_accumulation_steps: int = 4
+    learning_rate: float = 1e-5
+    num_train_epochs: float = 5
+    warmup_steps: int = 50
+    weight_decay: float = 0.01
+    max_grad_norm: float = 1.0
+    eval_steps: int = 135
+    save_steps: int = 135
+    logging_steps: int = 50
+    save_total_limit: int = 1
+    early_stopping_patience: int = 3
+    generation_max_length: int = 225
+    bias_weight: float = 1.5
+    freeze_encoder: bool = False
+    seed: int = 42
+    label_pad_multiple: int = 32
+    prompt_generation: bool = False
+    bias_boost: float = 0.0
+    load_best_model_at_end: bool = True
+
+
+def _batched_indices(n: int, batch: int, rng: np.random.Generator | None):
+    idx = np.arange(n)
+    if rng is not None:
+        rng.shuffle(idx)
+    for i in range(0, n, batch):
+        yield idx[i : i + batch]
+
+
+def evaluate_wer(
+    params,
+    model_cfg: WhisperConfig,
+    tokenizer,
+    dataset,
+    collator: SpeechSeq2SeqCollator,
+    batch_size: int,
+    max_new: int,
+    refs_pred_file: str | None = None,
+    prompt_generation: bool = False,
+    bias_boost: float = 0.0,
+) -> dict:
+    """Batched greedy decode over a dataset + compute_wer scoring."""
+    all_preds: list[list[int]] = []
+    all_labels: list[list[int]] = []
+    for chunk in _batched_indices(len(dataset), batch_size, None):
+        items = [dataset[int(i)] for i in chunk]
+        batch = collator(items)
+        b = len(items)
+        if prompt_generation:
+            prefixes = []
+            for item in items:
+                seq = item["labels"].tolist()
+                sot_at = seq.index(tokenizer.sot) if tokenizer.sot in seq else 0
+                prefixes.append(seq[: sot_at + 1])  # context + sot
+        else:
+            prefixes = [[tokenizer.sot]] * b
+        ids, mask = pack_prefixes(prefixes, tokenizer.eot)
+        spans = None
+        if bias_boost and "bias_spans" in batch:
+            spans = jnp.asarray(batch["bias_spans"])
+        res = greedy_decode(
+            params, model_cfg, jnp.asarray(batch["input_features"]),
+            jnp.asarray(ids), jnp.asarray(mask),
+            max_new=max_new, eot_id=tokenizer.eot,
+            bias_spans=spans, bias_boost=bias_boost,
+        )
+        toks = np.asarray(res.tokens)
+        lens = np.asarray(res.lengths)
+        for i in range(b):
+            all_preds.append(toks[i, : lens[i]].tolist())
+            all_labels.append(batch["labels"][i].tolist())
+    return score_predictions(all_preds, all_labels, tokenizer, refs_pred_file)
+
+
+def train_and_evaluate(
+    model_cfg: WhisperConfig,
+    params,
+    tokenizer,
+    data_train,
+    data_eval,
+    collator: SpeechSeq2SeqCollator,
+    tcfg: TrainingConfig,
+    resume: bool = False,
+    shard_fn=None,  # optional: fn(batch_pytree) -> device-sharded batch
+):
+    """Runs the full fine-tune. Returns (params, log_history)."""
+    os.makedirs(tcfg.output_dir, exist_ok=True)
+    accum = tcfg.gradient_accumulation_steps
+    chunk = tcfg.per_device_train_batch_size * accum
+    steps_per_epoch = max(1, len(data_train) // chunk)
+    total_steps = int(steps_per_epoch * tcfg.num_train_epochs)
+
+    optimizer = make_optimizer(
+        peak_lr=tcfg.learning_rate, warmup_steps=tcfg.warmup_steps,
+        total_steps=total_steps, weight_decay=tcfg.weight_decay,
+        max_grad_norm=tcfg.max_grad_norm,
+    )
+    step_fn = make_train_step(
+        model_cfg, optimizer, bias_weight=tcfg.bias_weight, grad_accum=accum,
+        freeze_encoder=tcfg.freeze_encoder,
+    )
+
+    log_history: list[dict] = []
+    start_step = 0
+    if resume:
+        ckpt = latest_checkpoint(tcfg.output_dir)
+        if ckpt:
+            params, _, meta = load_checkpoint(ckpt)
+            start_step = meta.get("step", 0)
+            log_history = meta.get("log_history", [])
+            print(f"resumed from {ckpt} at step {start_step}")
+
+    state = init_train_state(params, optimizer)
+    if start_step:
+        state = TrainState(state.params, state.opt_state, jnp.int32(start_step))
+
+    rng = np.random.default_rng(tcfg.seed)
+    best_wer = min((e["eval_wer"] for e in log_history if "eval_wer" in e), default=float("inf"))
+    bad_evals = 0
+    step = start_step
+    t0 = time.time()
+    loss_window: list[float] = []
+    stop = False
+
+    for epoch in range(int(np.ceil(tcfg.num_train_epochs))):
+        if stop or step >= total_steps:
+            break
+        for chunk_idx in _batched_indices(len(data_train), chunk, rng):
+            if len(chunk_idx) < chunk:
+                continue  # drop ragged tail (static shapes)
+            if stop or step >= total_steps:
+                break
+            items = [data_train[int(i)] for i in chunk_idx]
+            batch = collator(items)
+            if accum > 1:
+                batch = {
+                    k: v.reshape((accum, tcfg.per_device_train_batch_size) + v.shape[1:])
+                    for k, v in batch.items()
+                }
+            if shard_fn is not None:
+                batch = shard_fn(batch)
+            state, metrics = step_fn(state, batch)
+            step += 1
+            loss_window.append(float(metrics["loss"]))
+
+            if step % tcfg.logging_steps == 0:
+                entry = {
+                    "step": step, "epoch": round(step / steps_per_epoch, 3),
+                    "loss": float(np.mean(loss_window)),
+                    "grad_norm": float(metrics["grad_norm"]),
+                    "elapsed_s": round(time.time() - t0, 1),
+                }
+                loss_window.clear()
+                log_history.append(entry)
+                print(json.dumps(entry))
+
+            if step % tcfg.eval_steps == 0:
+                wer = evaluate_wer(
+                    state.params, model_cfg, tokenizer, data_eval, collator,
+                    tcfg.per_device_eval_batch_size,
+                    tcfg.generation_max_length - 1,
+                    refs_pred_file=os.path.join(tcfg.output_dir, "refs_and_pred.txt"),
+                    prompt_generation=tcfg.prompt_generation,
+                    bias_boost=tcfg.bias_boost,
+                )["wer"]
+                entry = {"step": step, "eval_wer": wer}
+                log_history.append(entry)
+                print(json.dumps(entry))
+                if wer < best_wer:
+                    best_wer, bad_evals = wer, 0
+                else:
+                    bad_evals += 1
+                if step % tcfg.save_steps == 0:
+                    save_checkpoint(
+                        tcfg.output_dir, step, state.params,
+                        metadata={"eval_wer": wer, "log_history": log_history},
+                        keep=tcfg.save_total_limit,
+                    )
+                if bad_evals >= tcfg.early_stopping_patience:
+                    print(f"early stopping at step {step} (patience "
+                          f"{tcfg.early_stopping_patience} on eval_wer)")
+                    stop = True
+
+    final_params = state.params
+    if tcfg.load_best_model_at_end:
+        from .checkpoint import find_best_checkpoint
+
+        best = find_best_checkpoint(tcfg.output_dir)
+        if best:
+            final_params, _, _ = load_checkpoint(best)
+            print(f"loaded best checkpoint: {best} (eval_wer {best_wer:.3f})")
+    return final_params, log_history
