@@ -1,0 +1,183 @@
+"""Beam-search tests: k=1 must equal greedy; scores are exact sequence
+log-probs; bias boost steers beams; prefetch pipeline integrity."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from whisper_context_biasing_tpu.decode import (
+    beam_decode,
+    beam_decode_batch,
+    greedy_decode,
+    pack_prefixes,
+)
+from whisper_context_biasing_tpu.models import (
+    decode_tokens,
+    encode_audio,
+    init_params,
+    tiny_test_config,
+)
+from whisper_context_biasing_tpu.tokenizer import load_tokenizer
+
+EOT = 50256
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_test_config()
+    params = init_params(cfg, 0)
+    rng = np.random.default_rng(0)
+    mel = (rng.standard_normal((2, 80, 128)) * 0.5).astype(np.float32)
+    return cfg, params, mel
+
+
+def seq_logprob(params, cfg, mel_row, prefix, tokens):
+    """Exact log-prob of `tokens` after `prefix` by full forward."""
+    enc = encode_audio(params, cfg, jnp.asarray(mel_row[None]))
+    seq = list(prefix) + list(tokens)
+    logits, _ = decode_tokens(params, cfg, jnp.asarray([seq], jnp.int32), enc_out=enc)
+    lp = jnp.log(jnp.exp(logits[0] - jnp.max(logits[0], -1, keepdims=True)).sum(-1))
+    logp = logits[0] - jnp.max(logits[0], -1, keepdims=True) - lp[:, None]
+    total = 0.0
+    for t, tok in enumerate(tokens):
+        total += float(logp[len(prefix) - 1 + t, tok])
+    return total
+
+
+class TestBeam:
+    def test_k1_equals_greedy(self, setup):
+        cfg, params, mel = setup
+        ids, mask = pack_prefixes([[50257], [50257]], EOT)
+        g = greedy_decode(params, cfg, jnp.asarray(mel), jnp.asarray(ids),
+                          jnp.asarray(mask), max_new=8)
+        b = beam_decode(params, cfg, jnp.asarray(mel), jnp.asarray(ids),
+                        jnp.asarray(mask), num_beams=1, max_new=8)
+        np.testing.assert_array_equal(np.asarray(g.tokens), np.asarray(b.best))
+
+    def test_scores_are_exact_logprobs(self, setup):
+        cfg, params, mel = setup
+        ids, mask = pack_prefixes([[50257], [50257]], EOT)
+        res = beam_decode(params, cfg, jnp.asarray(mel), jnp.asarray(ids),
+                          jnp.asarray(mask), num_beams=3, max_new=4)
+        toks = np.asarray(res.tokens)
+        scores = np.asarray(res.scores)
+        lens = np.asarray(res.lengths)
+        for i in range(2):
+            for kk in range(3):
+                n = int(lens[i, kk])
+                seq = toks[i, kk, :n].tolist()
+                if n < 4:
+                    seq = seq + [EOT]  # finished: eot cost is included
+                want = seq_logprob(params, cfg, mel[i], [50257], seq)
+                assert scores[i, kk] == pytest.approx(want, abs=2e-3), (i, kk, seq)
+
+    def test_beams_are_distinct_and_sorted(self, setup):
+        cfg, params, mel = setup
+        ids, mask = pack_prefixes([[50257], [50257]], EOT)
+        res = beam_decode(params, cfg, jnp.asarray(mel), jnp.asarray(ids),
+                          jnp.asarray(mask), num_beams=4, max_new=5)
+        scores = np.asarray(res.scores)
+        assert (np.diff(scores, axis=1) <= 1e-6).all()  # descending
+        toks = np.asarray(res.tokens)
+        for i in range(2):
+            rows = {tuple(toks[i, kk].tolist()) for kk in range(4)}
+            assert len(rows) == 4  # no duplicated beams
+
+    def test_beam_at_least_greedy_score(self, setup):
+        """The best beam's sequence log-prob >= the greedy sequence's."""
+        cfg, params, mel = setup
+        ids, mask = pack_prefixes([[50257], [50257]], EOT)
+        g = greedy_decode(params, cfg, jnp.asarray(mel), jnp.asarray(ids),
+                          jnp.asarray(mask), max_new=6)
+        res = beam_decode(params, cfg, jnp.asarray(mel), jnp.asarray(ids),
+                          jnp.asarray(mask), num_beams=4, max_new=6,
+                          length_penalty=0.0)  # pure logprob selection
+        gt = np.asarray(g.tokens)
+        glen = np.asarray(g.lengths)
+        for i in range(2):
+            seq = gt[i, : glen[i]].tolist()
+            if len(seq) < 6:
+                seq += [EOT]
+            greedy_lp = seq_logprob(params, cfg, mel[i], [50257], seq)
+            assert float(np.asarray(res.scores)[i, 0]) >= greedy_lp - 2e-3
+
+    def test_bias_boost_steers_beam(self, setup):
+        cfg, params, mel = setup
+        span = [321, 654]
+        spans = np.full((2, 1, 2), EOT, np.int32)
+        spans[0, 0] = span
+        ids, mask = pack_prefixes([[50257], [50257]], EOT)
+        res = beam_decode(params, cfg, jnp.asarray(mel), jnp.asarray(ids),
+                          jnp.asarray(mask), num_beams=2, max_new=4,
+                          bias_spans=jnp.asarray(spans), bias_boost=1e6)
+        best = np.asarray(res.best)
+        assert best[0, :2].tolist() == span
+
+    def test_batch_wrapper_with_contexts(self, setup):
+        cfg, params, mel = setup
+        tok = load_tokenizer()
+        ctxs = [tok.encode("ctx a", add_special_tokens=False),
+                tok.encode("b", add_special_tokens=False)]
+        outs = beam_decode_batch(params, cfg, tok, mel, contexts=ctxs,
+                                 num_beams=2, max_new=4)
+        assert len(outs) == 2
+        for o in outs:
+            assert all(0 <= t < cfg.n_vocab for t in o)
+
+
+class TestPrefetch:
+    def test_batch_loader_order_and_content(self):
+        from whisper_context_biasing_tpu.data import BatchLoader
+
+        class DS:
+            def __len__(self):
+                return 10
+
+            def __getitem__(self, i):
+                return {"x": np.full((3,), i, np.int32)}
+
+        def collate(items):
+            return {"x": np.stack([it["x"] for it in items])}
+
+        loader = BatchLoader(DS(), collate, batch_size=4, num_workers=3)
+        batches = list(loader)
+        assert len(batches) == 3
+        got = np.concatenate([b["x"][:, 0] for b in batches])
+        np.testing.assert_array_equal(got, np.arange(10))
+
+    def test_batch_loader_shuffle_deterministic(self):
+        from whisper_context_biasing_tpu.data import BatchLoader
+
+        class DS:
+            def __len__(self):
+                return 8
+
+            def __getitem__(self, i):
+                return {"x": np.asarray([i])}
+
+        collate = lambda items: {"x": np.stack([i["x"] for i in items])}  # noqa: E731
+        a = [b["x"].ravel().tolist() for b in BatchLoader(DS(), collate, 4, shuffle=True, seed=1)]
+        b = [b["x"].ravel().tolist() for b in BatchLoader(DS(), collate, 4, shuffle=True, seed=1)]
+        assert a == b
+        assert sorted(sum(a, [])) == list(range(8))
+
+    def test_prefetch_to_device(self):
+        from whisper_context_biasing_tpu.data import prefetch_to_device
+
+        batches = [{"x": np.full((2,), i, np.float32)} for i in range(5)]
+        out = list(prefetch_to_device(iter(batches), size=2))
+        assert len(out) == 5
+        for i, b in enumerate(out):
+            assert float(b["x"][0]) == i
+
+    def test_prefetch_propagates_errors(self):
+        from whisper_context_biasing_tpu.data import prefetch_to_device
+
+        def gen():
+            yield {"x": np.zeros(1)}
+            raise RuntimeError("boom")
+
+        it = prefetch_to_device(gen(), size=1)
+        next(it)
+        with pytest.raises(RuntimeError, match="boom"):
+            list(it)

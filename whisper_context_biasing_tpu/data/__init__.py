@@ -2,6 +2,7 @@
 
 from .dataset import PromptWhisperDataset, read_jsonl
 from .collator import BIAS_SPAN_PAD_ID, IGNORE_INDEX, SpeechSeq2SeqCollator
+from .prefetch import BatchLoader, batched_indices, prefetch_to_device
 
 __all__ = [
     "PromptWhisperDataset",
@@ -9,4 +10,7 @@ __all__ = [
     "SpeechSeq2SeqCollator",
     "IGNORE_INDEX",
     "BIAS_SPAN_PAD_ID",
+    "BatchLoader",
+    "batched_indices",
+    "prefetch_to_device",
 ]

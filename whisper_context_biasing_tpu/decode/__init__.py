@@ -8,6 +8,7 @@ from .bias_processor import (
     init_bias_state,
 )
 from .greedy import GreedyResult, decode_batch, greedy_decode, pack_prefixes
+from .beam import BeamResult, beam_decode, beam_decode_batch
 
 __all__ = [
     "BiasTrieState",
@@ -18,4 +19,7 @@ __all__ = [
     "greedy_decode",
     "decode_batch",
     "pack_prefixes",
+    "BeamResult",
+    "beam_decode",
+    "beam_decode_batch",
 ]

@@ -1,0 +1,231 @@
+"""Beam-search decoding as ONE XLA program.
+
+The reference decodes greedily (HF GenerationConfig default num_beams=1);
+beam search with the bias-list logits processor is a target capability of the
+rebuild (BASELINE.json config #2). Everything the reference's Python generate
+loop would do per step happens inside ``lax.while_loop`` here:
+
+  * beams are flattened into the batch axis for the cached decoder step
+  * beam reordering is a gather over the preallocated KV cache
+  * finished beams are frozen (forced <|endoftext|>, score preserved)
+  * the bias trie advances per beam; its bonus is added pre-top-k
+  * standard length-penalized selection (HF ``length_penalty`` semantics)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.config import WhisperConfig
+from ..models.whisper import (
+    decode_tokens,
+    encode_audio,
+    init_kv_cache,
+    precompute_cross_kv,
+)
+from .bias_processor import BiasTrieState, advance_bias_state, bias_bonus, init_bias_state
+
+NEG_INF = jnp.float32(-1e9)
+
+
+class BeamResult(NamedTuple):
+    tokens: jax.Array   # (B, K, max_new) int32, eot-padded
+    scores: jax.Array   # (B, K) cumulative logprob (unpenalized)
+    lengths: jax.Array  # (B, K) tokens before eot
+    best: jax.Array     # (B, max_new) best beam per batch row
+
+
+def _gather_beams(tree, idx):
+    """Gather along the beam axis. idx: (B, K) into axis 1 of (B, K, ...)."""
+
+    def g(a):
+        return jnp.take_along_axis(
+            a, idx.reshape(idx.shape + (1,) * (a.ndim - 2)), axis=1
+        )
+
+    return jax.tree.map(g, tree)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "num_beams", "max_new", "eot_id", "bias_boost",
+                     "length_penalty"),
+)
+def beam_decode(
+    params,
+    cfg: WhisperConfig,
+    input_features: jax.Array,   # (B, n_mels, T)
+    prefix_ids: jax.Array,       # (B, P) int32, left-padded
+    prefix_mask: jax.Array,      # (B, P) bool
+    num_beams: int = 5,
+    max_new: int = 224,
+    eot_id: int = 50256,
+    bias_spans: jax.Array | None = None,  # (B, N, Kspan)
+    bias_boost: float = 0.0,
+    length_penalty: float = 1.0,
+) -> BeamResult:
+    b, p = prefix_ids.shape
+    k = num_beams
+    v = cfg.n_vocab
+    cache_len = p + max_new
+    if cache_len > cfg.n_text_ctx:
+        raise ValueError(f"prefix {p} + max_new {max_new} exceeds n_text_ctx")
+
+    enc_out = encode_audio(params, cfg, input_features)
+    # tile every per-utterance tensor across beams (flattened into batch)
+    enc_tiled = jnp.repeat(enc_out, k, axis=0)  # (B*K, T, D)
+    cross_kv = precompute_cross_kv(params, cfg, enc_tiled)
+    prefix_tiled = jnp.repeat(prefix_ids, k, axis=0)
+    mask_tiled = jnp.repeat(prefix_mask, k, axis=0)
+
+    cache = init_kv_cache(cfg, b * k, cache_len)
+    prefix_pos = jnp.maximum(jnp.cumsum(mask_tiled.astype(jnp.int32), axis=1) - 1, 0)
+    key_mask = jnp.concatenate(
+        [mask_tiled, jnp.ones((b * k, max_new), bool)], axis=1
+    )
+
+    logits, cache = decode_tokens(
+        params, cfg, prefix_tiled, cross_kv=cross_kv, cache=cache, pos_offset=0,
+        token_positions=prefix_pos, self_mask=key_mask,
+    )
+    next_pos = prefix_pos[:, -1] + 1  # (B*K,)
+
+    use_bias = bias_spans is not None and bias_boost != 0.0
+    if bias_spans is None:
+        bias_spans = jnp.zeros((b, 1, 1), jnp.int32)
+    spans_tiled = jnp.repeat(bias_spans, k, axis=0)  # (B*K, N, Ks)
+    bias_state = init_bias_state(spans_tiled)
+    if use_bias:
+        bias_state = advance_bias_state(bias_state, spans_tiled, prefix_tiled[:, -1])
+
+    def step_logprobs(step_logits, state, finished):
+        """(B*K, V) masked log-probs for candidate expansion."""
+        lp = jax.nn.log_softmax(step_logits.astype(jnp.float32), axis=-1)
+        if use_bias:
+            lp = lp + bias_bonus(state, spans_tiled, v, bias_boost)
+        # finished beams may only emit eot, at zero incremental cost
+        frozen = jnp.full_like(lp, NEG_INF).at[:, eot_id].set(0.0)
+        return jnp.where(finished[:, None], frozen, lp)
+
+    class Carry(NamedTuple):
+        t: jax.Array
+        cur: jax.Array         # (B*K,) last emitted token
+        pos: jax.Array         # (B*K,)
+        cache: dict
+        out: jax.Array         # (B, K, max_new)
+        scores: jax.Array      # (B, K)
+        finished: jax.Array    # (B*K,)
+        bias_state: BiasTrieState
+
+    # first expansion: only beam 0 contributes candidates
+    init_scores = jnp.tile(
+        jnp.asarray([0.0] + [float(NEG_INF)] * (k - 1), jnp.float32), (b, 1)
+    )
+    finished0 = jnp.zeros((b * k,), bool)
+    lp0 = step_logprobs(logits[:, -1], bias_state, finished0)  # (B*K, V)
+    cand = init_scores.reshape(b * k, 1) + lp0
+    scores, flat_idx = jax.lax.top_k(cand.reshape(b, k * v), k)  # (B, K)
+    beam_idx = flat_idx // v
+    token = (flat_idx % v).astype(jnp.int32)
+
+    def reorder(cache, state, pos, beam_idx):
+        """Gather beam-major tensors after top-k selection."""
+        def g_cache(a):  # (L, B*K, T, D)
+            l, bk, t, d = a.shape
+            a = a.reshape(l, b, k, t, d)
+            a = jnp.take_along_axis(a, beam_idx[None, :, :, None, None], axis=2)
+            return a.reshape(l, bk, t, d)
+
+        cache = jax.tree.map(g_cache, cache)
+
+        def g_bk(a):  # (B*K, ...)
+            a2 = a.reshape((b, k) + a.shape[1:])
+            a2 = jnp.take_along_axis(
+                a2, beam_idx.reshape((b, k) + (1,) * (a.ndim - 1)), axis=1
+            )
+            return a2.reshape(a.shape)
+
+        state = BiasTrieState(g_bk(state.matched), g_bk(state.span_len))
+        pos = g_bk(pos)
+        return cache, state, pos
+
+    cache, bias_state, next_pos = reorder(cache, bias_state, next_pos, beam_idx)
+    token_flat = token.reshape(b * k)
+    finished = token_flat == eot_id
+    out0 = jnp.full((b, k, max_new), eot_id, jnp.int32).at[:, :, 0].set(token)
+    if use_bias:
+        bias_state = advance_bias_state(bias_state, spans_tiled, token_flat)
+
+    init = Carry(jnp.int32(1), token_flat, next_pos, cache, out0, scores,
+                 finished, bias_state)
+
+    def cond(c: Carry):
+        return (c.t < max_new) & ~jnp.all(c.finished)
+
+    def body(c: Carry):
+        lg, cache = decode_tokens(
+            params, cfg, c.cur[:, None], cross_kv=cross_kv, cache=c.cache,
+            pos_offset=p - 1 + c.t, token_positions=c.pos[:, None],
+            self_mask=key_mask,
+        )
+        lp = step_logprobs(lg[:, -1], c.bias_state, c.finished)  # (B*K, V)
+        cand = c.scores.reshape(b * k, 1) + lp
+        scores, flat_idx = jax.lax.top_k(cand.reshape(b, k * v), k)
+        beam_idx = flat_idx // v
+        token = (flat_idx % v).astype(jnp.int32)
+
+        cache, state, pos = reorder(cache, c.bias_state, c.pos, beam_idx)
+        fin = jnp.take_along_axis(c.finished.reshape(b, k), beam_idx, axis=1)
+        out = jnp.take_along_axis(c.out, beam_idx[:, :, None], axis=1)
+        out = jax.lax.dynamic_update_slice(out, token[:, :, None], (0, 0, c.t))
+        token_flat = token.reshape(b * k)
+        finished = fin.reshape(b * k) | (token_flat == eot_id)
+        if use_bias:
+            state = advance_bias_state(state, spans_tiled, token_flat)
+        return Carry(c.t + 1, token_flat, pos + 1, cache, out, scores,
+                     finished, state)
+
+    final = jax.lax.while_loop(cond, body, init)
+
+    lengths = jnp.sum(
+        jnp.cumprod((final.out != eot_id).astype(jnp.int32), axis=2), axis=2
+    )  # (B, K)
+    # HF-style length-penalized selection over final beams
+    penal = final.scores / jnp.maximum(lengths, 1).astype(jnp.float32) ** length_penalty
+    best_idx = jnp.argmax(penal, axis=1)  # (B,)
+    best = jnp.take_along_axis(final.out, best_idx[:, None, None], axis=1)[:, 0]
+    return BeamResult(final.out, final.scores, lengths, best)
+
+
+def beam_decode_batch(
+    params, cfg, tokenizer, input_features: np.ndarray,
+    contexts=None, num_beams: int = 5, max_new: int = 224,
+    bias_spans=None, bias_boost: float = 0.0, length_penalty: float = 1.0,
+):
+    """Host-side convenience mirroring decode.greedy.decode_batch."""
+    from .greedy import pack_prefixes
+
+    bsz = input_features.shape[0]
+    start = [tokenizer.sot]
+    if contexts is None:
+        prefixes = [start] * bsz
+    else:
+        prefixes = [[tokenizer.sop] + list(c) + start for c in contexts]
+    ids, mask = pack_prefixes(prefixes, tokenizer.eot)
+    res = beam_decode(
+        params, cfg, jnp.asarray(input_features), jnp.asarray(ids), jnp.asarray(mask),
+        num_beams=num_beams, max_new=max_new, eot_id=tokenizer.eot,
+        bias_spans=None if bias_spans is None else jnp.asarray(bias_spans),
+        bias_boost=bias_boost, length_penalty=length_penalty,
+    )
+    toks = np.asarray(res.best)
+    outs = []
+    for i in range(bsz):
+        row = toks[i].tolist()
+        outs.append(row[: row.index(tokenizer.eot)] if tokenizer.eot in row else row)
+    return outs
