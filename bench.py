@@ -30,6 +30,8 @@ BATCH = int(os.environ.get("BENCH_BATCH", "16"))
 DECODE_TOKENS = int(os.environ.get("BENCH_TOKENS", "32"))
 MODEL = os.environ.get("BENCH_MODEL", "small")
 ITERS = int(os.environ.get("BENCH_ITERS", "5"))
+FLASH = os.environ.get("BENCH_FLASH", "1") == "1"  # Pallas encoder attention
+FUSED_MEL = os.environ.get("BENCH_FUSED_MEL", "1") == "1"
 BIAS_N, BIAS_K = 16, 8  # bias-list size per utterance
 
 
@@ -44,7 +46,7 @@ def main():
     from whisper_context_biasing_tpu.decode.greedy import greedy_decode
     from whisper_context_biasing_tpu.models import get_config, init_params
 
-    cfg = get_config(MODEL, dtype="bfloat16")
+    cfg = get_config(MODEL, dtype="bfloat16", flash_attention=FLASH)
     params = init_params(cfg, 0)
     params = jax.tree.map(
         lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, params
@@ -56,9 +58,15 @@ def main():
     mask = jnp.ones((BATCH, 1), bool)
     spans = rng.integers(0, 50000, (BATCH, BIAS_N, BIAS_K)).astype(np.int32)
 
+    if FUSED_MEL:
+        from whisper_context_biasing_tpu.ops.mel_kernel import log_mel_spectrogram_fused
+
     @jax.jit
     def pipeline(params, audio, spans):
-        mel = log_mel_spectrogram(audio, n_mels=cfg.n_mels)
+        if FUSED_MEL:
+            mel = log_mel_spectrogram_fused(audio, n_mels=cfg.n_mels)
+        else:
+            mel = log_mel_spectrogram(audio, n_mels=cfg.n_mels)
         return greedy_decode(
             params, cfg, mel.astype(jnp.bfloat16), prefix, mask,
             max_new=DECODE_TOKENS,
@@ -91,7 +99,7 @@ def main():
         "detail": {
             "model": MODEL, "batch": BATCH, "decode_tokens": DECODE_TOKENS,
             "wall_s": round(wall, 4), "device": str(jax.devices()[0]),
-            "iters": ITERS,
+            "iters": ITERS, "flash_attention": FLASH, "fused_mel": FUSED_MEL,
         },
     }))
 

@@ -1,0 +1,64 @@
+"""Pallas kernel tests (interpret mode on CPU): flash attention vs the jnp
+reference, fused log-mel vs the numpy reference, and flash-enabled encoder
+forward parity."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from whisper_context_biasing_tpu.audio import log_mel_spectrogram_np
+from whisper_context_biasing_tpu.models import encode_audio, init_params, tiny_test_config
+from whisper_context_biasing_tpu.models.whisper import attention
+from whisper_context_biasing_tpu.ops import flash_attention
+from whisper_context_biasing_tpu.ops.mel_kernel import log_mel_spectrogram_fused
+
+
+class TestFlashAttention:
+    @pytest.mark.parametrize("t,block_q", [(256, 128), (300, 128), (257, 256)])
+    def test_matches_reference(self, t, block_q):
+        rng = np.random.default_rng(0)
+        b, d, h = 2, 64, 2
+        q, k, v = (jnp.asarray(rng.standard_normal((b, t, d)).astype(np.float32))
+                   for _ in range(3))
+        ref = attention(q, k, v, h)
+        out = flash_attention(q, k, v, h, block_q=block_q, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_bf16(self):
+        rng = np.random.default_rng(1)
+        b, t, d, h = 1, 128, 128, 4
+        mk = lambda: jnp.asarray(  # noqa: E731
+            rng.standard_normal((b, t, d)).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        q, k, v = mk(), mk(), mk()
+        ref = attention(q, k, v, h).astype(jnp.float32)
+        out = flash_attention(q, k, v, h, block_q=128, interpret=True).astype(jnp.float32)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2)
+
+    def test_encoder_with_flash_matches_xla(self):
+        cfg_x = tiny_test_config()
+        cfg_f = tiny_test_config(flash_attention=True, flash_interpret=True)
+        params = init_params(cfg_x, 0)
+        rng = np.random.default_rng(2)
+        mel = jnp.asarray((rng.standard_normal((2, 80, 128)) * 0.4).astype(np.float32))
+        ref = np.asarray(encode_audio(params, cfg_x, mel))
+        out = np.asarray(encode_audio(params, cfg_f, mel))
+        np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+class TestFusedMel:
+    def test_matches_numpy_reference(self):
+        rng = np.random.default_rng(0)
+        sig = (rng.standard_normal((2, 480000)) * 0.3).astype(np.float32)
+        out = np.asarray(log_mel_spectrogram_fused(jnp.asarray(sig), interpret=True))
+        ref = np.stack([log_mel_spectrogram_np(s) for s in sig])
+        assert out.shape == (2, 80, 3000)
+        np.testing.assert_allclose(out, ref, atol=1e-4)
+
+    def test_128_mels(self):
+        rng = np.random.default_rng(1)
+        sig = (rng.standard_normal((1, 480000)) * 0.2).astype(np.float32)
+        out = np.asarray(log_mel_spectrogram_fused(jnp.asarray(sig), n_mels=128,
+                                                   interpret=True))
+        ref = log_mel_spectrogram_np(sig[0], n_mels=128)
+        np.testing.assert_allclose(out[0], ref, atol=1e-4)

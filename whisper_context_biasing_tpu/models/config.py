@@ -26,6 +26,10 @@ class WhisperConfig:
     multilingual: bool = False
     # compute dtype for block matmuls; params are kept f32 master copies
     dtype: str = "bfloat16"
+    # Pallas flash attention for encoder self-attention (ops/flash_attention.py);
+    # flash_interpret runs the kernel in interpreter mode (CPU tests)
+    flash_attention: bool = False
+    flash_interpret: bool = False
 
     @property
     def head_dim(self) -> int:

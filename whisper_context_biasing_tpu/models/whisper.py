@@ -216,7 +216,13 @@ def encode_audio(params: Params, cfg: WhisperConfig, mel: jax.Array) -> jax.Arra
         q = _proj(a, blk["attn"]["wq"], blk["attn"]["bq"])
         k = _proj(a, blk["attn"]["wk"])
         v = _proj(a, blk["attn"]["wv"], blk["attn"]["bv"])
-        h = h + _proj(attention(q, k, v, cfg.n_heads), blk["attn"]["wo"], blk["attn"]["bo"])
+        if cfg.flash_attention:
+            from ..ops.flash_attention import flash_attention
+
+            att = flash_attention(q, k, v, cfg.n_heads, interpret=cfg.flash_interpret)
+        else:
+            att = attention(q, k, v, cfg.n_heads)
+        h = h + _proj(att, blk["attn"]["wo"], blk["attn"]["bo"])
         m = layer_norm(h, blk["mlp_ln"]["scale"], blk["mlp_ln"]["bias"])
         h = h + _mlp(m, blk["mlp"]["w1"], blk["mlp"]["b1"], blk["mlp"]["w2"], blk["mlp"]["b2"])
         return h, None

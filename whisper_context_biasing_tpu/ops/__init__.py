@@ -1,0 +1,5 @@
+"""Pallas TPU kernels for the hot ops."""
+
+from .flash_attention import flash_attention
+
+__all__ = ["flash_attention"]
