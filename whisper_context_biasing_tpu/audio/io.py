@@ -51,13 +51,20 @@ def resample(audio: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
     return resample_poly(audio, target_sr // g, orig_sr // g, axis=-1).astype(np.float32)
 
 
-def load_audio(path: str, sample_rate: int = 16000) -> np.ndarray:
+def load_audio(path: str, sample_rate: int = 16000, prefer_native: bool = False) -> np.ndarray:
     """Load any supported audio file -> mono float32 at ``sample_rate``.
 
     Matches the librosa.load contract the reference uses: stereo is downmixed
-    by channel mean, output is 1-D float32 in [-1, 1].
+    by channel mean, output is 1-D float32 in [-1, 1]. With
+    ``prefer_native=True`` WAV files go through the C++ runtime
+    (audio/native.py) when it is available.
     """
     ext = os.path.splitext(path)[1].lower()
+    if prefer_native and ext in (".wav", ".wave"):
+        from . import native
+
+        if native.available():
+            return native.decode_audio(path, sample_rate)
     if ext in EXTRA_DECODERS:
         data, sr = EXTRA_DECODERS[ext](path)
     elif ext in (".wav", ".wave"):
