@@ -1,0 +1,156 @@
+"""Tests for aux subsystems (logging, profiling, debug checks) and the
+offline data-preparation pipeline."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from whisper_context_biasing_tpu.data.prepare import (
+    build_manifest,
+    extract_bias_words,
+    label_descriptions,
+    lexicon_from_labeled,
+    split_train_dev,
+    write_jsonl,
+)
+from whisper_context_biasing_tpu.utils import (
+    RtfMeter,
+    RunLogger,
+    StepTimer,
+    assert_shape,
+    finite_check,
+)
+
+
+class TestLogger:
+    def test_jsonl_log(self, tmp_path):
+        lg = RunLogger(str(tmp_path), echo=False)
+        lg.log({"loss": 1.5}, step=10)
+        lg.log({"eval_wer": 42.0}, step=20)
+        lg.close()
+        lines = [json.loads(x) for x in open(lg.path)]
+        assert lines[0]["loss"] == 1.5 and lines[0]["step"] == 10
+        assert lines[1]["eval_wer"] == 42.0
+
+    def test_wandb_gracefully_disabled(self, tmp_path):
+        lg = RunLogger(str(tmp_path), use_wandb=True, echo=False)  # offline
+        lg.log({"x": 1.0}, step=1)
+        lg.close()
+
+
+class TestProfiling:
+    def test_step_timer_warmup(self):
+        t = StepTimer(warmup=1)
+        for _ in range(3):
+            with t:
+                pass
+        assert len(t.times) == 2
+        assert t.best <= t.mean
+
+    def test_rtf_meter(self):
+        m = RtfMeter()
+        m.add(audio_seconds=60.0, wall_seconds=2.0)
+        m.add(audio_seconds=30.0, wall_seconds=1.0)
+        assert m.rtf == pytest.approx(30.0)
+
+
+class TestDebug:
+    def test_finite_check_passes(self):
+        finite_check({"a": np.ones(3), "b": [np.zeros(2)]})
+
+    def test_finite_check_raises(self):
+        with pytest.raises(FloatingPointError, match="bad"):
+            finite_check({"bad": np.asarray([1.0, np.nan])}, name="bad")
+
+    def test_assert_shape(self):
+        assert_shape(np.zeros((2, 3)), (2, None))
+        with pytest.raises(ValueError):
+            assert_shape(np.zeros((2, 3)), (3, None), "x")
+
+
+class TestPrepare:
+    def _rows(self):
+        return [
+            {"id": "0", "file": "a.mp3", "text": "Take zovirax daily for relief."},
+            {"id": "1", "file": "b.mp3", "text": "The nebulizer helps with asthma."},
+            {"id": "2", "file": "c.mp3", "text": "Check with your doctor before use."},
+        ]
+
+    def test_manifest_from_jsonl(self, tmp_path):
+        p = tmp_path / "src.jsonl"
+        write_jsonl(self._rows(), str(p))
+        rows = build_manifest(str(p))
+        assert len(rows) == 3 and rows[0]["text"].startswith("Take")
+
+    def test_manifest_from_dir(self, tmp_path):
+        d = tmp_path / "utts"
+        d.mkdir()
+        for r in self._rows():
+            with open(d / f"{r['id']}.json", "w") as f:
+                json.dump({"id": r["id"], "text": r["text"]}, f)
+        rows = build_manifest(str(d))
+        assert len(rows) == 3
+        assert rows[0]["file"].endswith(".mp3")
+
+    def test_split(self):
+        rows = [{"id": str(i)} for i in range(10)]
+        tr, dv = split_train_dev(rows, 7, 3, seed=1)
+        assert len(tr) == 7 and len(dv) == 3
+        assert {r["id"] for r in tr} | {r["id"] for r in dv} == {str(i) for i in range(10)}
+        with pytest.raises(ValueError):
+            split_train_dev(rows, 9, 5)
+
+    def test_descriptions_fallback(self):
+        out = label_descriptions(self._rows())
+        assert all(r["description"] == r["text"] for r in out)
+
+    def test_descriptions_llm(self):
+        out = label_descriptions(self._rows(), llm=lambda p: "A clinical note. ")
+        assert all(r["description"] == "A clinical note." for r in out)
+
+    def test_bias_rule_based(self):
+        out = extract_bias_words(self._rows())
+        words0 = [w.lower() for w in out[0]["bias_words"]]
+        assert "zovirax" in words0          # rare brand-like token found
+        assert "daily" not in words0        # common word excluded
+        assert out[2]["bias_words"] == [] or "doctor" not in [
+            w.lower() for w in out[2]["bias_words"]
+        ]
+
+    def test_bias_lexicon(self, tmp_path):
+        labeled = [{"id": "x", "entities": [
+            {"word": "zovirax", "type": "DRUGCHEMICAL"},
+            {"word": "nebulizer", "type": "MEDDEVICETECHNIQUE"},
+            {"word": "asthma", "type": "DISEASESYMPTOM"},  # excluded category
+        ]}]
+        p = tmp_path / "ner.jsonl"
+        write_jsonl(labeled, str(p))
+        lex = lexicon_from_labeled(str(p))
+        assert lex == {"zovirax", "nebulizer"}
+        out = extract_bias_words(self._rows(), lexicon=lex)
+        assert [w.lower() for w in out[0]["bias_words"]] == ["zovirax"]
+        assert [w.lower() for w in out[1]["bias_words"]] == ["nebulizer"]
+
+    def test_bias_llm_json(self):
+        out = extract_bias_words(self._rows(), llm=lambda p: '["Zovirax"]')
+        assert out[0]["bias_words"] == ["Zovirax"]
+        out = extract_bias_words(self._rows(), llm=lambda p: "not json")
+        assert out[0]["bias_words"] == []
+
+    def test_roundtrip_into_dataset(self, tmp_path):
+        """The pipeline's output is directly consumable by PromptWhisperDataset."""
+        from whisper_context_biasing_tpu.data import PromptWhisperDataset
+        from whisper_context_biasing_tpu.tokenizer import load_tokenizer
+
+        rows = extract_bias_words(label_descriptions(self._rows()))
+        d = tmp_path / "jsonl"
+        write_jsonl(rows, str(d / "test.jsonl"))
+        ds = PromptWhisperDataset(
+            base_path=str(tmp_path), jsonl_data=str(d), phase="test",
+            tokenizer=load_tokenizer(), prompt=True,
+        )
+        assert len(ds) == 3
+        seq = ds.build_label_sequence(0)
+        assert seq[0] == ds.tokenizer.sop

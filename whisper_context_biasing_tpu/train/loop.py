@@ -33,6 +33,7 @@ from ..data.collator import SpeechSeq2SeqCollator
 from ..decode.greedy import greedy_decode, pack_prefixes
 from ..metrics.evaluate import score_predictions
 from ..models.config import WhisperConfig
+from ..utils.logging import RunLogger
 from .checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
 from .optim import make_optimizer
 from .step import TrainState, init_train_state, make_train_step
@@ -62,6 +63,8 @@ class TrainingConfig:
     prompt_generation: bool = False
     bias_boost: float = 0.0
     load_best_model_at_end: bool = True
+    use_wandb: bool = False
+    wandb_project: str | None = None
 
 
 def _batched_indices(n: int, batch: int, rng: np.random.Generator | None):
@@ -127,9 +130,13 @@ def train_and_evaluate(
     tcfg: TrainingConfig,
     resume: bool = False,
     shard_fn=None,  # optional: fn(batch_pytree) -> device-sharded batch
+    logger: RunLogger | None = None,
 ):
     """Runs the full fine-tune. Returns (params, log_history)."""
     os.makedirs(tcfg.output_dir, exist_ok=True)
+    if logger is None:
+        logger = RunLogger(tcfg.output_dir, use_wandb=tcfg.use_wandb,
+                           wandb_project=tcfg.wandb_project)
     accum = tcfg.gradient_accumulation_steps
     chunk = tcfg.per_device_train_batch_size * accum
     steps_per_epoch = max(1, len(data_train) // chunk)
@@ -197,7 +204,7 @@ def train_and_evaluate(
                 }
                 loss_window.clear()
                 log_history.append(entry)
-                print(json.dumps(entry))
+                logger.log(entry)
 
             if step % tcfg.eval_steps == 0:
                 wer = evaluate_wer(
@@ -210,7 +217,7 @@ def train_and_evaluate(
                 )["wer"]
                 entry = {"step": step, "eval_wer": wer}
                 log_history.append(entry)
-                print(json.dumps(entry))
+                logger.log(entry)
                 if wer < best_wer:
                     best_wer, bad_evals = wer, 0
                 else:
