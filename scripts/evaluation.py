@@ -64,6 +64,7 @@ def parse_args():
     p.add_argument("--merges", type=str, default=None)
     p.add_argument("--prompt_generation", action="store_true")
     p.add_argument("--bias_boost", type=float, default=0.0)
+    p.add_argument("--num_beams", type=int, default=1)
     return p.parse_args()
 
 
@@ -83,6 +84,7 @@ def run_eval(args, params, model_cfg, tokenizer, data_test, collator, bias_spans
         params, model_cfg, tokenizer, data_test, collator, args.batch, 224,
         refs_pred_file=refs_pred_file,
         prompt_generation=args.prompt_generation, bias_boost=args.bias_boost,
+        num_beams=args.num_beams,
     )
     if not args.only_eval_bias_wer:
         print(f"{model_name} Test set evaluation results:", result)

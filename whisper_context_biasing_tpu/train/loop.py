@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.collator import SpeechSeq2SeqCollator
+from ..decode.beam import beam_decode
 from ..decode.greedy import greedy_decode, pack_prefixes
 from ..metrics.evaluate import score_predictions
 from ..models.config import WhisperConfig
@@ -86,8 +87,10 @@ def evaluate_wer(
     refs_pred_file: str | None = None,
     prompt_generation: bool = False,
     bias_boost: float = 0.0,
+    num_beams: int = 1,
 ) -> dict:
-    """Batched greedy decode over a dataset + compute_wer scoring."""
+    """Batched greedy (or beam, num_beams>1) decode over a dataset +
+    compute_wer scoring."""
     all_preds: list[list[int]] = []
     all_labels: list[list[int]] = []
     for chunk in _batched_indices(len(dataset), batch_size, None):
@@ -106,14 +109,26 @@ def evaluate_wer(
         spans = None
         if bias_boost and "bias_spans" in batch:
             spans = jnp.asarray(batch["bias_spans"])
-        res = greedy_decode(
-            params, model_cfg, jnp.asarray(batch["input_features"]),
-            jnp.asarray(ids), jnp.asarray(mask),
-            max_new=max_new, eot_id=tokenizer.eot,
-            bias_spans=spans, bias_boost=bias_boost,
-        )
-        toks = np.asarray(res.tokens)
-        lens = np.asarray(res.lengths)
+        if num_beams > 1:
+            bres = beam_decode(
+                params, model_cfg, jnp.asarray(batch["input_features"]),
+                jnp.asarray(ids), jnp.asarray(mask),
+                num_beams=num_beams, max_new=max_new, eot_id=tokenizer.eot,
+                bias_spans=spans, bias_boost=bias_boost,
+            )
+            toks = np.asarray(bres.best)
+            lens = np.asarray(
+                np.cumprod(toks != tokenizer.eot, axis=1).sum(axis=1)
+            )
+        else:
+            res = greedy_decode(
+                params, model_cfg, jnp.asarray(batch["input_features"]),
+                jnp.asarray(ids), jnp.asarray(mask),
+                max_new=max_new, eot_id=tokenizer.eot,
+                bias_spans=spans, bias_boost=bias_boost,
+            )
+            toks = np.asarray(res.tokens)
+            lens = np.asarray(res.lengths)
         for i in range(b):
             all_preds.append(toks[i, : lens[i]].tolist())
             all_labels.append(batch["labels"][i].tolist())
