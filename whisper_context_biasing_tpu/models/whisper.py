@@ -360,11 +360,13 @@ def decode_tokens(
 
     x = layer_norm(x, dec["ln"]["scale"], dec["ln"]["bias"])
     proj = params.get("proj_out", dec["token_emb"])
+    # operands stay in the compute dtype (bf16 in production — the vocab
+    # projection is the largest per-step matmul), accumulation in f32+
     ft = _acc(x)
     logits = jnp.einsum(
-        "btd,vd->btv", x.astype(ft), proj.astype(ft),
+        "btd,vd->btv", x, proj.astype(x.dtype),
         preferred_element_type=ft,
-    )
+    ).astype(ft)
     return logits, new_cache
 
 
