@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Batch transcription CLI — the serving entry point.
+
+Assembles the full TPU pipeline: native C++ batch audio decode (WAV) ->
+fused Pallas log-mel -> encoder -> while_loop greedy/beam decode with
+optional bias-word boosting and prompt conditioning -> text.
+
+    python scripts/transcribe.py --model base.en --audio a.wav b.wav \
+        [--bias_words aspirin promisec --bias_boost 2.0] \
+        [--context "clinical description"] [--num_beams 5] \
+        [--init_checkpoint model.safetensors] [--vocab ... --merges ...]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
+
+from whisper_context_biasing_tpu.utils import setup_jax
+setup_jax()
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Batch transcription")
+    p.add_argument("--audio", nargs="+", required=True, help="WAV files")
+    p.add_argument("--model", default="base.en")
+    p.add_argument("--init_checkpoint", default=None)
+    p.add_argument("--vocab", default=None)
+    p.add_argument("--merges", default=None)
+    p.add_argument("--context", default=None,
+                   help="conditioning text prepended after <|startofprev|>")
+    p.add_argument("--bias_words", nargs="*", default=None)
+    p.add_argument("--bias_boost", type=float, default=0.0)
+    p.add_argument("--num_beams", type=int, default=1)
+    p.add_argument("--max_tokens", type=int, default=224)
+    p.add_argument("--json", action="store_true", help="machine-readable output")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax.numpy as jnp
+
+    from whisper_context_biasing_tpu.audio import load_audio, pad_or_trim
+    from whisper_context_biasing_tpu.audio import native
+    from whisper_context_biasing_tpu.data.collator import SpeechSeq2SeqCollator
+    from whisper_context_biasing_tpu.decode import beam_decode_batch, decode_batch
+    from whisper_context_biasing_tpu.models import (
+        get_config, init_params, load_checkpoint_or_safetensors,
+    )
+    from whisper_context_biasing_tpu.ops.mel_kernel import log_mel_spectrogram_fused
+    from whisper_context_biasing_tpu.tokenizer import load_tokenizer
+
+    tokenizer = load_tokenizer(args.vocab, args.merges,
+                               multilingual=not args.model.endswith(".en"))
+    cfg = get_config(args.model, dtype="bfloat16")
+    if args.init_checkpoint:
+        params, cfg = load_checkpoint_or_safetensors(args.init_checkpoint, cfg)
+    else:
+        print("warning: random weights (no --init_checkpoint)", file=sys.stderr)
+        params = init_params(cfg, 0)
+
+    t0 = time.time()
+    if native.available() and all(p.lower().endswith(".wav") for p in args.audio):
+        audio = native.decode_batch(args.audio, fixed_len=480000)
+    else:
+        audio = np.stack([pad_or_trim(load_audio(p)) for p in args.audio])
+    mel = np.asarray(log_mel_spectrogram_fused(jnp.asarray(audio), n_mels=cfg.n_mels))
+
+    contexts = None
+    if args.context:
+        ctx_ids = tokenizer.encode(args.context.lower(), add_special_tokens=False)
+        contexts = [ctx_ids] * len(args.audio)
+
+    spans = None
+    if args.bias_words:
+        coll = SpeechSeq2SeqCollator(pad_token_id=tokenizer.pad_token_id,
+                                     decoder_start_token_id=tokenizer.sot)
+        raw = [tokenizer.encode(w.lower(), add_special_tokens=False)
+               for w in args.bias_words]
+        spans = coll.pad_bias_spans([raw] * len(args.audio))
+
+    kwargs = dict(contexts=contexts, max_new=args.max_tokens,
+                  bias_spans=spans, bias_boost=args.bias_boost)
+    if args.num_beams > 1:
+        hyps = beam_decode_batch(params, cfg, tokenizer, mel,
+                                 num_beams=args.num_beams, **kwargs)
+    else:
+        hyps = decode_batch(params, cfg, tokenizer, mel, **kwargs)
+    wall = time.time() - t0
+
+    texts = [tokenizer.decode(h, skip_special_tokens=True).strip() for h in hyps]
+    audio_seconds = sum(min(len(a), 480000) for a in audio) / 16000
+    for path, text in zip(args.audio, texts):
+        if args.json:
+            print(json.dumps({"file": path, "text": text}))
+        else:
+            print(f"{path}: {text}")
+    print(f"[{len(args.audio)} files, {audio_seconds:.1f}s audio in {wall:.2f}s "
+          f"= {audio_seconds / wall:.1f}x realtime]", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

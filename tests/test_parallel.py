@@ -108,3 +108,27 @@ class TestDistributedTrainStep:
             state = init_train_state(p_sh, opt)
             state, metrics = step(state, b_sh)
         assert np.isfinite(float(metrics["loss"]))
+
+
+class TestShardedDecode:
+    def test_dp_greedy_decode_matches_single_device(self, setup):
+        """Serving path: batch-sharded greedy decode under the mesh must
+        reproduce single-device tokens exactly."""
+        import jax.numpy as jnp
+        from whisper_context_biasing_tpu.decode import greedy_decode, pack_prefixes
+
+        cfg, params, batch = setup
+        mel = jnp.asarray(batch["input_features"])
+        ids, mask = pack_prefixes([[50257]] * 8, 50256)
+        ref = greedy_decode(params, cfg, mel, jnp.asarray(ids), jnp.asarray(mask),
+                            max_new=6)
+        ref_toks = np.asarray(ref.tokens)
+
+        mesh = make_mesh(model_parallelism=2, devices=cpu_devices())
+        p_sh = shard_params(params, mesh)
+        b_sh = shard_batch({"mel": batch["input_features"], "ids": ids, "mask": mask}, mesh)
+        with mesh:
+            out = greedy_decode(p_sh, cfg, b_sh["mel"], b_sh["ids"], b_sh["mask"],
+                                max_new=6)
+            toks = np.asarray(out.tokens)
+        np.testing.assert_array_equal(toks, ref_toks)

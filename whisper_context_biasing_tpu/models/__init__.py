@@ -11,6 +11,7 @@ from .whisper import (
     sinusoids,
 )
 from .load_hf import (
+    load_checkpoint_or_safetensors,
     load_pretrained,
     load_safetensors,
     load_torch_model,
@@ -29,6 +30,7 @@ __all__ = [
     "init_params",
     "sinusoids",
     "load_pretrained",
+    "load_checkpoint_or_safetensors",
     "load_safetensors",
     "load_torch_model",
     "params_from_state_dict",

@@ -168,6 +168,19 @@ def load_torch_model(model, cfg: WhisperConfig | None = None) -> tuple[Params, W
     return params_from_state_dict(sd, cfg)
 
 
+def load_checkpoint_or_safetensors(path: str, cfg: WhisperConfig | None = None):
+    """Load either a native checkpoint-N dir (params.npz) or an HF
+    safetensors checkpoint; returns (params, cfg)."""
+    if os.path.isdir(path) and os.path.isfile(os.path.join(path, "params.npz")):
+        from ..train.checkpoint import load_checkpoint
+
+        params, _, _ = load_checkpoint(path)
+        if cfg is None:
+            raise ValueError("cfg required when loading a native checkpoint")
+        return params, cfg
+    return load_safetensors(path, cfg)
+
+
 def load_pretrained(name_or_path: str, **overrides) -> tuple[Params, WhisperConfig]:
     """Entry point: a model name resolves to a config with random init unless
     a local checkpoint path is given (offline-first; no hub download)."""
