@@ -85,7 +85,9 @@ def main():
     for _ in range(ITERS):
         t0 = time.perf_counter()
         r = pipeline(params, audio_j, spans_j)
-        jax.block_until_ready(r.tokens)
+        # force a device->host read: block_until_ready alone does not
+        # guarantee completion on the tunneled platform
+        _ = int(jnp.sum(r.tokens))
         times.append(time.perf_counter() - t0)
 
     wall = min(times)

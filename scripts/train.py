@@ -75,6 +75,8 @@ def parse_args():
                    help="condition eval generation on the context prefix")
     p.add_argument("--bias_boost", type=float, default=0.0,
                    help="decode-time bias-span logit bonus")
+    p.add_argument("--flash_attention", action="store_true",
+                   help="Pallas flash attention in the encoder (fwd+bwd kernels)")
     p.add_argument("--seed", type=int, default=42)
     return p.parse_args()
 
@@ -85,7 +87,7 @@ def main():
 
     tokenizer = load_tokenizer(args.vocab, args.merges,
                                multilingual=not args.model.endswith(".en"))
-    model_cfg = get_config(args.model)
+    model_cfg = get_config(args.model, flash_attention=args.flash_attention)
     collator = SpeechSeq2SeqCollator(
         pad_token_id=tokenizer.pad_token_id,
         decoder_start_token_id=tokenizer.sot,

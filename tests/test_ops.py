@@ -62,3 +62,57 @@ class TestFusedMel:
                                                    interpret=True))
         ref = log_mel_spectrogram_np(sig[0], n_mels=128)
         np.testing.assert_allclose(out[0], ref, atol=1e-4)
+
+
+class TestFlashAttentionVJP:
+    def test_grads_match_xla(self):
+        import jax
+
+        rng = np.random.default_rng(3)
+        b, t, d, h = 2, 300, 64, 2
+        q, k, v = (jnp.asarray(rng.standard_normal((b, t, d)).astype(np.float32))
+                   for _ in range(3))
+
+        def loss_ref(q, k, v):
+            return jnp.sum(jnp.sin(attention(q, k, v, h)))
+
+        def loss_fa(q, k, v):
+            return jnp.sum(jnp.sin(flash_attention(q, k, v, h, block_q=128,
+                                                   interpret=True)))
+
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        gf = jax.grad(loss_fa, argnums=(0, 1, 2))(q, k, v)
+        for a, b_ in zip(gr, gf):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-6)
+
+    def test_train_step_with_flash(self):
+        """Full WeightCE train step differentiates through the flash kernel."""
+        import jax
+
+        from whisper_context_biasing_tpu.train import (
+            init_train_state, make_optimizer, make_train_step,
+        )
+
+        cfg = tiny_test_config(flash_attention=True, flash_interpret=True)
+        params = init_params(cfg, 0)
+        rng = np.random.default_rng(0)
+        batch = {
+            "input_features": jnp.asarray(
+                (rng.standard_normal((2, 80, 128)) * 0.3).astype(np.float32)),
+            "decoder_input_ids": jnp.asarray([[50257, 5, 6, 7]] * 2, jnp.int32),
+            "labels": jnp.asarray([[5, 6, 7, 50256]] * 2, jnp.int32),
+            "bias_spans": jnp.asarray(np.full((2, 1, 2), 50256, np.int32)),
+        }
+        opt = make_optimizer(peak_lr=1e-4, warmup_steps=0, total_steps=10)
+        step = make_train_step(cfg, opt, donate=False)
+        state, m = step(init_train_state(params, opt), batch)
+        assert np.isfinite(float(m["loss"]))
+
+        # gradients must match the XLA-attention config
+        cfg_x = tiny_test_config()
+        step_x = make_train_step(cfg_x, opt, donate=False)
+        state_x, m_x = step_x(init_train_state(params, opt), batch)
+        assert float(m["loss"]) == pytest.approx(float(m_x["loss"]), rel=1e-5)
+        d = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
+                         state.params, state_x.params)
+        assert max(jax.tree.leaves(d)) < 1e-5
