@@ -38,6 +38,9 @@ def parse_args():
     p.add_argument("--bias_boost", type=float, default=0.0)
     p.add_argument("--num_beams", type=int, default=1)
     p.add_argument("--max_tokens", type=int, default=224)
+    p.add_argument("--long", action="store_true",
+                   help="long-form mode: sequential 30 s windows with history "
+                        "conditioning (audio of any length)")
     p.add_argument("--json", action="store_true", help="machine-readable output")
     return p.parse_args()
 
@@ -66,6 +69,31 @@ def main():
         params = init_params(cfg, 0)
 
     t0 = time.time()
+    if args.long:
+        from whisper_context_biasing_tpu.decode import transcribe_long_batch
+
+        raw = [load_audio(p) for p in args.audio]
+        contexts = None
+        if args.context:
+            ctx_ids = tokenizer.encode(args.context.lower(), add_special_tokens=False)
+            contexts = [ctx_ids] * len(raw)
+        import jax.numpy as _jnp
+
+        def mel_fn(chunk):
+            return np.asarray(log_mel_spectrogram_fused(_jnp.asarray(chunk),
+                                                        n_mels=cfg.n_mels))
+
+        hyps = transcribe_long_batch(params, cfg, tokenizer, raw, mel_fn=mel_fn,
+                                     max_new=args.max_tokens, contexts=contexts)
+        wall = time.time() - t0
+        texts = [tokenizer.decode(h, skip_special_tokens=True).strip() for h in hyps]
+        audio_seconds = sum(len(a) for a in raw) / 16000
+        for path, text in zip(args.audio, texts):
+            print(json.dumps({"file": path, "text": text}) if args.json
+                  else f"{path}: {text}")
+        print(f"[{len(raw)} files, {audio_seconds:.1f}s audio in {wall:.2f}s "
+              f"= {audio_seconds / max(wall, 1e-9):.1f}x realtime]", file=sys.stderr)
+        return
     if native.available() and all(p.lower().endswith(".wav") for p in args.audio):
         audio = native.decode_batch(args.audio, fixed_len=480000)
     else:

@@ -181,3 +181,64 @@ class TestPrefetch:
         next(it)
         with pytest.raises(RuntimeError, match="boom"):
             list(it)
+
+
+class TestLongForm:
+    def test_split_windows(self):
+        from whisper_context_biasing_tpu.decode import split_windows
+        from whisper_context_biasing_tpu.audio.mel import N_SAMPLES
+
+        w = split_windows(np.ones(N_SAMPLES + 100, np.float32))
+        assert len(w) == 2 and all(len(x) == N_SAMPLES for x in w)
+        assert w[1][100] == 0.0  # zero-padded tail
+        assert len(split_windows(np.ones(10, np.float32))) == 1
+
+    def test_long_form_batch(self, setup):
+        """Multi-window files decode per-window with history conditioning;
+        shorter files are unaffected by extra rounds."""
+        from whisper_context_biasing_tpu.decode import transcribe_long_batch
+
+        cfg, params, _ = setup
+        rng = np.random.default_rng(0)
+        # tiny cfg consumes (80, 128) mels; fabricate a windowed mel_fn over
+        # fake "audio" of 1 vs 3 windows
+        def mel_fn(chunk):
+            r = np.random.default_rng(int(abs(chunk).sum() * 1e3) % 2**31)
+            return (r.standard_normal((chunk.shape[0], 80, 128)) * 0.5).astype(np.float32)
+
+        from whisper_context_biasing_tpu.audio.mel import N_SAMPLES
+        from whisper_context_biasing_tpu.tokenizer import load_tokenizer
+
+        tok = load_tokenizer()
+        audios = [np.ones(3 * N_SAMPLES, np.float32) * 0.1,
+                  np.ones(N_SAMPLES // 2, np.float32) * 0.2]
+        outs = transcribe_long_batch(params, cfg, tok, audios, mel_fn=mel_fn,
+                                     max_new=4)
+        assert len(outs) == 2
+        # file 0 saw 3 windows, file 1 only 1: outputs accumulated accordingly
+        assert len(outs[0]) >= len(outs[1])
+
+        # conditioning changes behavior vs no-conditioning (usually)
+        outs_nc = transcribe_long_batch(params, cfg, tok, audios, mel_fn=mel_fn,
+                                        max_new=4, condition_on_previous=False)
+        assert len(outs_nc) == 2
+
+    def test_single_window_equals_plain_greedy(self, setup):
+        from whisper_context_biasing_tpu.decode import transcribe_long_batch
+        from whisper_context_biasing_tpu.audio.mel import N_SAMPLES
+        from whisper_context_biasing_tpu.tokenizer import load_tokenizer
+
+        cfg, params, mel = setup
+        tok = load_tokenizer()
+
+        def mel_fn(chunk):
+            return mel[:1]
+
+        outs = transcribe_long_batch(params, cfg, tok,
+                                     [np.ones(N_SAMPLES, np.float32)],
+                                     mel_fn=mel_fn, max_new=6)
+        ids, mask = pack_prefixes([[tok.sot]], EOT)
+        ref = greedy_decode(params, cfg, jnp.asarray(mel[:1]), jnp.asarray(ids),
+                            jnp.asarray(mask), max_new=6)
+        want = np.asarray(ref.tokens)[0, : int(np.asarray(ref.lengths)[0])].tolist()
+        assert outs[0] == want

@@ -9,6 +9,7 @@ from .bias_processor import (
 )
 from .greedy import GreedyResult, decode_batch, greedy_decode, pack_prefixes
 from .beam import BeamResult, beam_decode, beam_decode_batch
+from .long_form import split_windows, transcribe_long, transcribe_long_batch
 
 __all__ = [
     "BiasTrieState",
@@ -22,4 +23,7 @@ __all__ = [
     "BeamResult",
     "beam_decode",
     "beam_decode_batch",
+    "split_windows",
+    "transcribe_long",
+    "transcribe_long_batch",
 ]
