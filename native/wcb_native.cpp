@@ -12,6 +12,7 @@
 
 #include <algorithm>
 #include <atomic>
+#include <mutex>
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
@@ -152,12 +153,20 @@ std::vector<float> resample_sinc(const std::vector<float>& in, int sr_in,
 }
 
 thread_local std::string g_error;
+// batch workers run on their own threads; the first failure's message is
+// copied here so the caller's thread can read it
+std::mutex g_batch_error_mu;
+std::string g_batch_error;
 
 }  // namespace
 
 extern "C" {
 
-const char* wcb_last_error() { return g_error.c_str(); }
+const char* wcb_last_error() {
+  if (!g_error.empty()) return g_error.c_str();
+  std::lock_guard<std::mutex> lock(g_batch_error_mu);
+  return g_batch_error.c_str();
+}
 
 // Decode one file to mono float32 at target_rate.
 // Returns number of samples written to `out` (capped at out_capacity), or -1.
@@ -189,6 +198,11 @@ long wcb_decode_audio(const char* path, int target_rate, float* out,
 // success, else the 1-based index of the first file that failed.
 long wcb_decode_batch(const char** paths, long n, int target_rate,
                       long fixed_len, float* out, int num_threads) {
+  {
+    std::lock_guard<std::mutex> lock(g_batch_error_mu);
+    g_batch_error.clear();
+  }
+  g_error.clear();
   if (num_threads <= 0)
     num_threads = int(std::thread::hardware_concurrency());
   num_threads = std::max(1, std::min<int>(num_threads, int(n)));
@@ -202,7 +216,10 @@ long wcb_decode_batch(const char** paths, long n, int target_rate,
       long got = wcb_decode_audio(paths[i], target_rate, dst, fixed_len, nullptr);
       if (got < 0) {
         long expect = 0;
-        failed.compare_exchange_strong(expect, i + 1);
+        if (failed.compare_exchange_strong(expect, i + 1)) {
+          std::lock_guard<std::mutex> lock(g_batch_error_mu);
+          g_batch_error = g_error;  // copy the worker's thread-local message
+        }
       }
     }
   };

@@ -77,6 +77,16 @@ def main():
         if args.context:
             ctx_ids = tokenizer.encode(args.context.lower(), add_special_tokens=False)
             contexts = [ctx_ids] * len(raw)
+        spans = None
+        if args.bias_words:
+            coll = SpeechSeq2SeqCollator(
+                pad_token_id=tokenizer.pad_token_id,
+                decoder_start_token_id=tokenizer.sot,
+                bias_span_pad_id=tokenizer.eot,
+            )
+            word_ids = [tokenizer.encode(w.lower(), add_special_tokens=False)
+                        for w in args.bias_words]
+            spans = coll.pad_bias_spans([word_ids] * len(raw))
         import jax.numpy as _jnp
 
         def mel_fn(chunk):
@@ -84,7 +94,8 @@ def main():
                                                         n_mels=cfg.n_mels))
 
         hyps = transcribe_long_batch(params, cfg, tokenizer, raw, mel_fn=mel_fn,
-                                     max_new=args.max_tokens, contexts=contexts)
+                                     max_new=args.max_tokens, contexts=contexts,
+                                     bias_spans=spans, bias_boost=args.bias_boost)
         wall = time.time() - t0
         texts = [tokenizer.decode(h, skip_special_tokens=True).strip() for h in hyps]
         audio_seconds = sum(len(a) for a in raw) / 16000
@@ -108,7 +119,8 @@ def main():
     spans = None
     if args.bias_words:
         coll = SpeechSeq2SeqCollator(pad_token_id=tokenizer.pad_token_id,
-                                     decoder_start_token_id=tokenizer.sot)
+                                     decoder_start_token_id=tokenizer.sot,
+                                     bias_span_pad_id=tokenizer.eot)
         raw = [tokenizer.encode(w.lower(), add_special_tokens=False)
                for w in args.bias_words]
         spans = coll.pad_bias_spans([raw] * len(args.audio))

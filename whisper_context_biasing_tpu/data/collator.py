@@ -44,6 +44,9 @@ class SpeechSeq2SeqCollator:
     pad_to_multiple: int | None = None
     max_target_length: int | None = None
     max_spans: tuple[int, int] | None = None  # (max_n_spans, max_span_len), static
+    # multilingual models: pass tokenizer.eot (50257); default is the .en
+    # layout's eot (the reference's hardcoded 50256 contract)
+    bias_span_pad_id: int = BIAS_SPAN_PAD_ID
 
     def __call__(self, features: Sequence[dict]) -> dict:
         batch: dict = {}
@@ -61,7 +64,13 @@ class SpeechSeq2SeqCollator:
             batch["audio"] = audio
 
         label_seqs = [np.asarray(f["labels"], dtype=np.int64) for f in features]
-        padded_len = max(len(s) for s in label_seqs)
+        longest = max(len(s) for s in label_seqs)
+        if self.max_target_length and longest > self.max_target_length:
+            raise ValueError(
+                f"label sequence of length {longest} exceeds static "
+                f"max_target_length {self.max_target_length}"
+            )
+        padded_len = longest
         if self.pad_to_multiple:
             padded_len = _ceil_to(padded_len, self.pad_to_multiple)
         if self.max_target_length:
@@ -108,7 +117,8 @@ class SpeechSeq2SeqCollator:
             # all-empty fallback: zeros, shape (B, 1, 1) (data_collator.py:114-117)
             return np.zeros((len(raw_spans), 1, 1), dtype=np.int32)
 
-        out = np.full((len(raw_spans), max_n_spans, max_span_len), BIAS_SPAN_PAD_ID, dtype=np.int32)
+        out = np.full((len(raw_spans), max_n_spans, max_span_len),
+                      self.bias_span_pad_id, dtype=np.int32)
         for i, sample in enumerate(raw_spans):
             for j, span in enumerate(sample):
                 out[i, j, : len(span)] = span

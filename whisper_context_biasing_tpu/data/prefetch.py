@@ -61,6 +61,7 @@ class BatchLoader:
         self.seed = seed
         self.drop_last = drop_last
         self.num_workers = max(1, num_workers)
+        self._epoch = 0  # advanced per __iter__ so shuffles differ per epoch
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -72,9 +73,11 @@ class BatchLoader:
         chunks = list(
             batched_indices(
                 len(self.dataset), self.batch_size,
-                shuffle=self.shuffle, seed=self.seed, drop_last=self.drop_last,
+                shuffle=self.shuffle, seed=self.seed + self._epoch,
+                drop_last=self.drop_last,
             )
         )
+        self._epoch += 1
         with ThreadPoolExecutor(self.num_workers) as pool:
             # submit item fetches for a sliding window of batches
             window = collections.deque()
@@ -102,12 +105,15 @@ def iter_and_extend(window, source, submit):
 
 
 def prefetch_to_device(
-    batches: Iterable[dict], size: int = 2, sharding=None
+    batches: Iterable[dict], size: int = 2, sharding=None, put_fn=None
 ) -> Iterator[dict]:
     """Move batches to device ``size`` steps ahead of the consumer (classic
-    double buffering). With a ``NamedSharding``, arrays land pre-sharded."""
+    double buffering). With a ``NamedSharding``, arrays land pre-sharded;
+    ``put_fn`` overrides the transfer entirely (e.g. a mesh shard function)."""
 
     def put(batch):
+        if put_fn is not None:
+            return put_fn(batch)
         if sharding is None:
             return jax.tree.map(jax.device_put, batch)
         return jax.tree.map(lambda a: jax.device_put(a, sharding), batch)

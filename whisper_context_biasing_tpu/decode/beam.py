@@ -28,7 +28,13 @@ from ..models.whisper import (
     init_kv_cache,
     precompute_cross_kv,
 )
-from .bias_processor import BiasTrieState, advance_bias_state, bias_bonus, init_bias_state
+from .bias_processor import (
+    BiasTrieState,
+    advance_bias_state,
+    bias_bonus,
+    init_bias_state,
+    sanitize_bias_spans,
+)
 
 NEG_INF = jnp.float32(-1e9)
 
@@ -54,7 +60,7 @@ def _gather_beams(tree, idx):
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "num_beams", "max_new", "eot_id", "bias_boost",
-                     "length_penalty"),
+                     "length_penalty", "span_pad_id"),
 )
 def beam_decode(
     params,
@@ -68,6 +74,7 @@ def beam_decode(
     bias_spans: jax.Array | None = None,  # (B, N, Kspan)
     bias_boost: float = 0.0,
     length_penalty: float = 1.0,
+    span_pad_id: int = 50256,
 ) -> BeamResult:
     b, p = prefix_ids.shape
     k = num_beams
@@ -77,9 +84,10 @@ def beam_decode(
         raise ValueError(f"prefix {p} + max_new {max_new} exceeds n_text_ctx")
 
     enc_out = encode_audio(params, cfg, input_features)
-    # tile every per-utterance tensor across beams (flattened into batch)
-    enc_tiled = jnp.repeat(enc_out, k, axis=0)  # (B*K, T, D)
-    cross_kv = precompute_cross_kv(params, cfg, enc_tiled)
+    # project cross-attention K/V once per utterance, then tile across beams
+    # (projecting after the repeat would redo the matmuls num_beams times)
+    ck, cv = precompute_cross_kv(params, cfg, enc_out)
+    cross_kv = (jnp.repeat(ck, k, axis=1), jnp.repeat(cv, k, axis=1))
     prefix_tiled = jnp.repeat(prefix_ids, k, axis=0)
     mask_tiled = jnp.repeat(prefix_mask, k, axis=0)
 
@@ -99,7 +107,7 @@ def beam_decode(
     if bias_spans is None:
         bias_spans = jnp.zeros((b, 1, 1), jnp.int32)
     spans_tiled = jnp.repeat(bias_spans, k, axis=0)  # (B*K, N, Ks)
-    bias_state = init_bias_state(spans_tiled)
+    bias_state = init_bias_state(spans_tiled, span_pad_id)
     if use_bias:
         bias_state = advance_bias_state(bias_state, spans_tiled, prefix_tiled[:, -1])
 
@@ -217,11 +225,13 @@ def beam_decode_batch(
     else:
         prefixes = [[tokenizer.sop] + list(c) + start for c in contexts]
     ids, mask = pack_prefixes(prefixes, tokenizer.eot)
+    bias_spans = sanitize_bias_spans(bias_spans)
     res = beam_decode(
         params, cfg, jnp.asarray(input_features), jnp.asarray(ids), jnp.asarray(mask),
         num_beams=num_beams, max_new=max_new, eot_id=tokenizer.eot,
         bias_spans=None if bias_spans is None else jnp.asarray(bias_spans),
         bias_boost=bias_boost, length_penalty=length_penalty,
+        span_pad_id=tokenizer.eot,
     )
     toks = np.asarray(res.best)
     outs = []

@@ -30,9 +30,23 @@ class BiasTrieState(NamedTuple):
     span_len: jax.Array  # (B, N) int32: true span lengths (0 = empty/pad row)
 
 
-def init_bias_state(bias_spans: jax.Array) -> BiasTrieState:
-    """bias_spans: (B, N, K) int32, padded with BIAS_SPAN_PAD_ID."""
-    span_len = jnp.sum(bias_spans != BIAS_SPAN_PAD_ID, axis=-1).astype(jnp.int32)
+def sanitize_bias_spans(spans) -> jax.Array | None:
+    """Treat the collator's all-empty fallback — zeros of shape (B, 1, 1)
+    (data/collator.py contract) — as "no spans" so decode-time biasing never
+    interprets it as a real length-1 span of token id 0."""
+    if spans is None:
+        return None
+    import numpy as _np
+
+    arr = _np.asarray(spans)
+    if arr.shape[1:] == (1, 1) and not arr.any():
+        return None
+    return spans
+
+
+def init_bias_state(bias_spans: jax.Array, pad_id: int = BIAS_SPAN_PAD_ID) -> BiasTrieState:
+    """bias_spans: (B, N, K) int32, padded with ``pad_id``."""
+    span_len = jnp.sum(bias_spans != pad_id, axis=-1).astype(jnp.int32)
     matched = jnp.zeros(bias_spans.shape[:2], jnp.int32)
     return BiasTrieState(matched, span_len)
 

@@ -29,7 +29,13 @@ from ..models.whisper import (
     init_kv_cache,
     precompute_cross_kv,
 )
-from .bias_processor import BiasTrieState, advance_bias_state, bias_bonus, init_bias_state
+from .bias_processor import (
+    BiasTrieState,
+    advance_bias_state,
+    bias_bonus,
+    init_bias_state,
+    sanitize_bias_spans,
+)
 
 
 class GreedyResult(NamedTuple):
@@ -53,7 +59,8 @@ def pack_prefixes(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "max_new", "eot_id", "bias_boost", "vocab_size"),
+    static_argnames=("cfg", "max_new", "eot_id", "bias_boost", "vocab_size",
+                     "span_pad_id"),
 )
 def greedy_decode(
     params,
@@ -66,6 +73,7 @@ def greedy_decode(
     bias_spans: jax.Array | None = None,  # (B, N, K) int32 or None
     bias_boost: float = 0.0,
     vocab_size: int | None = None,
+    span_pad_id: int = 50256,
 ) -> GreedyResult:
     """Batched greedy decode. The prefix must end with the token the model
     should continue from (e.g. ``[<|sot|>]`` for reference-parity generation,
@@ -95,7 +103,7 @@ def greedy_decode(
     use_bias = bias_spans is not None and bias_boost != 0.0
     if bias_spans is None:  # keep the loop state static
         bias_spans = jnp.zeros((b, 1, 1), jnp.int32)
-    bias_state = init_bias_state(bias_spans)
+    bias_state = init_bias_state(bias_spans, span_pad_id)
     if use_bias:
         # the prefix's last real token may already start a span
         bias_state = advance_bias_state(bias_state, bias_spans, prefix_ids[:, -1])
@@ -170,11 +178,12 @@ def decode_batch(
     else:
         prefixes = [[tokenizer.sop] + list(c) + start for c in contexts]
     ids, mask = pack_prefixes(prefixes, tokenizer.eot)
+    bias_spans = sanitize_bias_spans(bias_spans)
     res = greedy_decode(
         params, cfg, jnp.asarray(input_features), jnp.asarray(ids), jnp.asarray(mask),
         max_new=max_new, eot_id=tokenizer.eot,
         bias_spans=None if bias_spans is None else jnp.asarray(bias_spans),
-        bias_boost=bias_boost,
+        bias_boost=bias_boost, span_pad_id=tokenizer.eot,
     )
     toks = np.asarray(res.tokens)
     lens = np.asarray(res.lengths)

@@ -83,7 +83,7 @@ def transcribe_long_batch(
             params, cfg, jnp.asarray(mel), jnp.asarray(ids), jnp.asarray(mask),
             max_new=max_new, eot_id=tokenizer.eot,
             bias_spans=None if bias_spans is None else jnp.asarray(bias_spans),
-            bias_boost=bias_boost,
+            bias_boost=bias_boost, span_pad_id=tokenizer.eot,
         )
         toks = np.asarray(res.tokens)
         lens = np.asarray(res.lengths)

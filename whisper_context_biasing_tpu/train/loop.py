@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.collator import SpeechSeq2SeqCollator
+from ..data.prefetch import BatchLoader, prefetch_to_device
 from ..decode.beam import beam_decode
 from ..decode.greedy import greedy_decode, pack_prefixes
 from ..metrics.evaluate import score_predictions
@@ -64,6 +65,7 @@ class TrainingConfig:
     prompt_generation: bool = False
     bias_boost: float = 0.0
     load_best_model_at_end: bool = True
+    dataloader_num_workers: int = 4
     use_wandb: bool = False
     wandb_project: str | None = None
 
@@ -169,19 +171,27 @@ def train_and_evaluate(
 
     log_history: list[dict] = []
     start_step = 0
+    resumed_opt_state = None
     if resume:
         ckpt = latest_checkpoint(tcfg.output_dir)
         if ckpt:
-            params, _, meta = load_checkpoint(ckpt)
+            # restore optimizer moments + schedule count too: re-initializing
+            # them would silently re-warm the LR and zero the Adam moments
+            opt_template = optimizer.init(params)
+            params, resumed_opt_state, meta = load_checkpoint(
+                ckpt, opt_state_template=opt_template
+            )
             start_step = meta.get("step", 0)
             log_history = meta.get("log_history", [])
-            print(f"resumed from {ckpt} at step {start_step}")
+            print(f"resumed from {ckpt} at step {start_step} "
+                  f"(opt_state {'restored' if resumed_opt_state is not None else 'reset'})")
 
     state = init_train_state(params, optimizer)
+    if resumed_opt_state is not None:
+        state = TrainState(state.params, resumed_opt_state, state.step)
     if start_step:
         state = TrainState(state.params, state.opt_state, jnp.int32(start_step))
 
-    rng = np.random.default_rng(tcfg.seed)
     best_wer = min((e["eval_wer"] for e in log_history if "eval_wer" in e), default=float("inf"))
     bad_evals = 0
     step = start_step
@@ -189,23 +199,28 @@ def train_and_evaluate(
     loss_window: list[float] = []
     stop = False
 
+    def prep(items):
+        batch = collator(items)
+        if accum > 1:
+            batch = {
+                k: v.reshape((accum, tcfg.per_device_train_batch_size) + v.shape[1:])
+                for k, v in batch.items()
+            }
+        return batch
+
+    # threaded item prep (audio decode + mel + tokenize) + double-buffered
+    # device transfer: the TPU never waits on host-side batch building
+    loader = BatchLoader(
+        data_train, prep, chunk, shuffle=True, seed=tcfg.seed, drop_last=True,
+        num_workers=tcfg.dataloader_num_workers,
+    )
+
     for epoch in range(int(np.ceil(tcfg.num_train_epochs))):
         if stop or step >= total_steps:
             break
-        for chunk_idx in _batched_indices(len(data_train), chunk, rng):
-            if len(chunk_idx) < chunk:
-                continue  # drop ragged tail (static shapes)
+        for batch in prefetch_to_device(loader, size=2, put_fn=shard_fn):
             if stop or step >= total_steps:
                 break
-            items = [data_train[int(i)] for i in chunk_idx]
-            batch = collator(items)
-            if accum > 1:
-                batch = {
-                    k: v.reshape((accum, tcfg.per_device_train_batch_size) + v.shape[1:])
-                    for k, v in batch.items()
-                }
-            if shard_fn is not None:
-                batch = shard_fn(batch)
             state, metrics = step_fn(state, batch)
             step += 1
             loss_window.append(float(metrics["loss"]))
@@ -221,8 +236,12 @@ def train_and_evaluate(
                 log_history.append(entry)
                 logger.log(entry)
 
+            last_wer = next(
+                (e["eval_wer"] for e in reversed(log_history) if "eval_wer" in e),
+                None,
+            )
             if step % tcfg.eval_steps == 0:
-                wer = evaluate_wer(
+                last_wer = evaluate_wer(
                     state.params, model_cfg, tokenizer, data_eval, collator,
                     tcfg.per_device_eval_batch_size,
                     tcfg.generation_max_length - 1,
@@ -230,23 +249,29 @@ def train_and_evaluate(
                     prompt_generation=tcfg.prompt_generation,
                     bias_boost=tcfg.bias_boost,
                 )["wer"]
-                entry = {"step": step, "eval_wer": wer}
+                entry = {"step": step, "eval_wer": last_wer}
                 log_history.append(entry)
                 logger.log(entry)
-                if wer < best_wer:
-                    best_wer, bad_evals = wer, 0
+                if last_wer < best_wer:
+                    best_wer, bad_evals = last_wer, 0
                 else:
                     bad_evals += 1
-                if step % tcfg.save_steps == 0:
-                    save_checkpoint(
-                        tcfg.output_dir, step, state.params,
-                        metadata={"eval_wer": wer, "log_history": log_history},
-                        keep=tcfg.save_total_limit,
-                    )
                 if bad_evals >= tcfg.early_stopping_patience:
                     print(f"early stopping at step {step} (patience "
                           f"{tcfg.early_stopping_patience} on eval_wer)")
                     stop = True
+
+            # saving is independent of evaluation (save_steps need not be a
+            # multiple of eval_steps); the metadata carries the latest wer
+            if step % tcfg.save_steps == 0 or stop:
+                meta = {"log_history": log_history}
+                if last_wer is not None:
+                    meta["eval_wer"] = last_wer
+                save_checkpoint(
+                    tcfg.output_dir, step, state.params,
+                    opt_state=state.opt_state,
+                    metadata=meta, keep=tcfg.save_total_limit,
+                )
 
     final_params = state.params
     if tcfg.load_best_model_at_end:

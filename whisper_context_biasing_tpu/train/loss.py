@@ -37,15 +37,17 @@ SPECIAL_ID_THRESHOLD = 50256
 
 def bias_span_weights(
     labels: jax.Array,       # (B, S) int32, -100 for ignored
-    bias_spans: jax.Array,   # (B, N, K) int32, padded with 50256
+    bias_spans: jax.Array,   # (B, N, K) int32, padded with span_pad_id
     bias_weight: float | jax.Array,
     skip_special_tokens: bool = True,
+    span_pad_id: int = BIAS_SPAN_PAD_ID,
+    special_id_threshold: int = SPECIAL_ID_THRESHOLD,
 ) -> jax.Array:
     """Per-token loss weights (B, S) f32: ``bias_weight`` at positions covered
     by a full contiguous span match, 1 elsewhere."""
     b, s = labels.shape
     _, n, k = bias_spans.shape
-    span_len = jnp.sum(bias_spans != BIAS_SPAN_PAD_ID, axis=-1)  # (B, N)
+    span_len = jnp.sum(bias_spans != span_pad_id, axis=-1)  # (B, N)
 
     # shifted[k][b, j] = labels[b, j+k] (out of range -> sentinel that never
     # matches any real token id)
@@ -73,7 +75,7 @@ def bias_span_weights(
         cover = cover | shifted
 
     if skip_special_tokens:
-        cover = cover & (labels < SPECIAL_ID_THRESHOLD) & (labels >= 0)
+        cover = cover & (labels < special_id_threshold) & (labels >= 0)
 
     w = jnp.asarray(bias_weight, jnp.float32)
     return jnp.where(cover, w, jnp.float32(1.0))
@@ -85,6 +87,8 @@ def weighted_ce_loss(
     bias_spans: jax.Array | None = None,  # (B, N, K) or None
     bias_weight: float | jax.Array = 1.5,
     skip_special_tokens: bool = True,
+    span_pad_id: int = BIAS_SPAN_PAD_ID,
+    special_id_threshold: int = SPECIAL_ID_THRESHOLD,
 ) -> jax.Array:
     """Scalar loss. With spans: the reference's weighted CE
     (sum(w·nll·valid) / count(valid)); without: plain mean CE over valid
@@ -99,6 +103,7 @@ def weighted_ce_loss(
     if bias_spans is None:
         return jnp.sum(nll) / jnp.maximum(jnp.sum(valid), 1)
 
-    weights = bias_span_weights(labels, bias_spans, bias_weight, skip_special_tokens)
+    weights = bias_span_weights(labels, bias_spans, bias_weight, skip_special_tokens,
+                                span_pad_id, special_id_threshold)
     weights = weights * valid.astype(jnp.float32)
     return jnp.sum(nll * weights) / (jnp.sum(valid).astype(jnp.float32) + 1e-8)

@@ -29,10 +29,15 @@ def init_train_state(params, optimizer: optax.GradientTransformation) -> TrainSt
 
 
 def make_loss_fn(cfg: WhisperConfig, bias_weight: float, use_bias_spans: bool = True):
+    # span pad / special-id threshold follow the model's vocab layout:
+    # eot is 50256 for .en and 50257 for multilingual (specials sit above it)
+    pad_id = cfg.pad_token_id
+
     def loss_fn(params, batch):
         logits = forward(params, cfg, batch["input_features"], batch["decoder_input_ids"])
         spans = batch.get("bias_spans") if use_bias_spans else None
-        return weighted_ce_loss(logits, batch["labels"], spans, bias_weight)
+        return weighted_ce_loss(logits, batch["labels"], spans, bias_weight,
+                                span_pad_id=pad_id, special_id_threshold=pad_id)
 
     return loss_fn
 
