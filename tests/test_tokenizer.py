@@ -128,3 +128,52 @@ class TestBPEWithMerges:
         # "ab" merge ranks higher than "bc": "abc" -> [ab, c]
         bpe = ByteLevelBPE(encoder, [(b2u[ord("a")], b2u[ord("b")]), (b2u[ord("b")], b2u[ord("c")])])
         assert bpe.encode("abc") == [256, ord("c")]
+
+
+class TestVocabFiles:
+    def _tiny_vocab(self):
+        from whisper_context_biasing_tpu.tokenizer.bpe import bytes_to_unicode
+
+        b2u = bytes_to_unicode()
+        vocab = {b2u[b]: b for b in range(256)}
+        he = b2u[ord("h")] + b2u[ord("e")]
+        vocab[he] = 256
+        merges = [(b2u[ord("h")], b2u[ord("e")])]
+        return vocab, merges
+
+    def test_from_files(self, tmp_path):
+        import json
+
+        vocab, merges = self._tiny_vocab()
+        vp = tmp_path / "vocab.json"
+        mp = tmp_path / "merges.txt"
+        vp.write_text(json.dumps(vocab))
+        mp.write_text("#version: 0.2\n" + "\n".join(f"{a} {b}" for a, b in merges))
+        bpe = ByteLevelBPE.from_files(str(vp), str(mp))
+        assert bpe.encode("he") == [256]
+
+    def test_from_tokenizer_json(self, tmp_path):
+        import json
+
+        vocab, merges = self._tiny_vocab()
+        tj = tmp_path / "tokenizer.json"
+        tj.write_text(json.dumps({
+            "model": {"type": "BPE", "vocab": vocab,
+                      "merges": [f"{a} {b}" for a, b in merges]}
+        }))
+        bpe = ByteLevelBPE.from_tokenizer_json(str(tj))
+        assert bpe.encode("he") == [256]
+        assert bpe.decode([256]) == "he"
+
+    def test_load_tokenizer_with_tokenizer_json(self, tmp_path):
+        import json
+
+        vocab, merges = self._tiny_vocab()
+        tj = tmp_path / "tokenizer.json"
+        tj.write_text(json.dumps({
+            "model": {"type": "BPE", "vocab": vocab,
+                      "merges": [list(m) for m in merges]}
+        }))
+        t = load_tokenizer(str(tj))
+        assert t.convert_tokens_to_ids("<|startoftranscript|>") == 50257
+        assert t.encode("he", add_special_tokens=False) == [256]

@@ -83,6 +83,26 @@ class ByteLevelBPE:
         return cls(encoder, merges)
 
     @classmethod
+    def from_tokenizer_json(cls, path: str) -> "ByteLevelBPE":
+        """Load from an HF ``tokenizer.json`` (the single-file fast-tokenizer
+        format real Whisper checkpoints ship): reads model.vocab and
+        model.merges of the BPE section."""
+        with open(path, encoding="utf-8") as f:
+            data = json.load(f)
+        model = data.get("model", {})
+        if model.get("type") not in (None, "BPE"):
+            raise ValueError(f"unsupported tokenizer model type {model.get('type')}")
+        encoder = model["vocab"]
+        merges: list[tuple[str, str]] = []
+        for m in model.get("merges", []):
+            if isinstance(m, str):
+                a, b = m.split(" ")
+            else:
+                a, b = m
+            merges.append((a, b))
+        return cls(encoder, merges)
+
+    @classmethod
     def byte_fallback(cls, vocab_size: int = 50257) -> "ByteLevelBPE":
         """Offline vocabulary: token id b = byte b (via the GPT-2 byte table),
         no merges. ids 256..vocab_size-1 are reserved/unused filler tokens so the

@@ -191,9 +191,13 @@ def load_tokenizer(
     num_languages: int = 99,
     **kwargs,
 ) -> WhisperTokenizer:
-    """Build a tokenizer: real GPT-2/Whisper vocab when files are given,
-    otherwise the deterministic offline byte-fallback vocab."""
-    if vocab_path is not None and merges_path is not None:
+    """Build a tokenizer: real GPT-2/Whisper vocab when files are given
+    (``vocab.json``+``merges.txt``, or a single HF ``tokenizer.json`` as
+    ``vocab_path``), otherwise the deterministic offline byte-fallback
+    vocab."""
+    if vocab_path is not None and vocab_path.endswith("tokenizer.json"):
+        bpe = ByteLevelBPE.from_tokenizer_json(vocab_path)
+    elif vocab_path is not None and merges_path is not None:
         bpe = ByteLevelBPE.from_files(vocab_path, merges_path)
     else:
         bpe = ByteLevelBPE.byte_fallback()
