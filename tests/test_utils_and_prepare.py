@@ -154,3 +154,53 @@ class TestPrepare:
         assert len(ds) == 3
         seq = ds.build_label_sequence(0)
         assert seq[0] == ds.tokenizer.sop
+
+
+class TestMultihost:
+    def test_single_process_noop(self):
+        from whisper_context_biasing_tpu.parallel import (
+            host_local_batch_slice, initialize_multihost,
+        )
+
+        # single process: auto-detect path returns False (or already-init)
+        assert initialize_multihost() in (True, False)
+        start, stop = host_local_batch_slice(32)
+        assert (start, stop) == (0, 32)
+
+    def test_slice_covers_batch(self):
+        from whisper_context_biasing_tpu.parallel import host_local_batch_slice
+
+        start, stop = host_local_batch_slice(8)
+        assert stop - start == 8  # single process owns the whole batch
+
+
+class TestMelOnDeviceTraining:
+    def test_audio_batch_train_step(self):
+        import jax.numpy as jnp
+        import numpy as np
+        from whisper_context_biasing_tpu.models import init_params, tiny_test_config
+        from whisper_context_biasing_tpu.train import (
+            init_train_state, make_optimizer, make_train_step,
+        )
+
+        # tiny cfg has n_audio_ctx=64 -> the fused mel (3000 frames) doesn't
+        # fit; use a cfg with the real audio geometry but tiny dims
+        cfg = tiny_test_config(n_audio_ctx=1500)
+        params = init_params(cfg, 0)
+        rng = np.random.default_rng(0)
+        batch = {
+            "audio": jnp.asarray((rng.standard_normal((2, 480000)) * 0.1).astype(np.float32)),
+            "decoder_input_ids": jnp.asarray([[50257, 5, 6, 7]] * 2, jnp.int32),
+            "labels": jnp.asarray([[5, 6, 7, 50256]] * 2, jnp.int32),
+        }
+        opt = make_optimizer(peak_lr=1e-4, warmup_steps=0, total_steps=5)
+        step = make_train_step(cfg, opt, donate=False, mel_on_device=True)
+        # fused kernel needs interpret mode on CPU: monkeypatch via flash flags
+        import whisper_context_biasing_tpu.ops.mel_kernel as mk
+        orig = mk.log_mel_spectrogram_fused
+        mk.log_mel_spectrogram_fused = lambda a, n_mels=80: orig(a, n_mels, interpret=True)
+        try:
+            state, m = step(init_train_state(params, opt), batch)
+        finally:
+            mk.log_mel_spectrogram_fused = orig
+        assert np.isfinite(float(m["loss"]))

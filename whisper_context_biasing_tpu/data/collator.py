@@ -56,11 +56,13 @@ class SpeechSeq2SeqCollator:
                 [np.asarray(f["input_features"], dtype=np.float32) for f in features]
             )
         elif "audio" in features[0]:
-            # raw-audio path: mel runs batched on device (data/prefetch.py)
-            max_len = max(len(f["audio"]) for f in features)
-            audio = np.zeros((len(features), max_len), dtype=np.float32)
+            # raw-audio path: mel runs batched on device (the fused Pallas
+            # frontend); fixed 30 s window for static shapes
+            fixed = 480000
+            audio = np.zeros((len(features), fixed), dtype=np.float32)
             for i, f in enumerate(features):
-                audio[i, : len(f["audio"])] = f["audio"]
+                a = np.asarray(f["audio"], np.float32)[:fixed]
+                audio[i, : len(a)] = a
             batch["audio"] = audio
 
         label_seqs = [np.asarray(f["labels"], dtype=np.int64) for f in features]

@@ -2,6 +2,7 @@
 
 from .mesh import DATA_AXIS, MODEL_AXIS, data_sharding, make_mesh, replicated
 from .sharding import param_specs, shard_batch, shard_opt_state, shard_params
+from .multihost import host_local_batch_slice, initialize_multihost
 
 __all__ = [
     "DATA_AXIS",
@@ -13,4 +14,6 @@ __all__ = [
     "shard_params",
     "shard_batch",
     "shard_opt_state",
+    "initialize_multihost",
+    "host_local_batch_slice",
 ]

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 from dataclasses import dataclass, field
 
@@ -66,6 +67,7 @@ class TrainingConfig:
     bias_boost: float = 0.0
     load_best_model_at_end: bool = True
     dataloader_num_workers: int = 4
+    mel_on_device: bool = False  # dataset must be built with return_audio=True
     use_wandb: bool = False
     wandb_project: str | None = None
 
@@ -166,7 +168,7 @@ def train_and_evaluate(
     )
     step_fn = make_train_step(
         model_cfg, optimizer, bias_weight=tcfg.bias_weight, grad_accum=accum,
-        freeze_encoder=tcfg.freeze_encoder,
+        freeze_encoder=tcfg.freeze_encoder, mel_on_device=tcfg.mel_on_device,
     )
 
     log_history: list[dict] = []
@@ -198,6 +200,7 @@ def train_and_evaluate(
     t0 = time.time()
     loss_window: list[float] = []
     stop = False
+    save_thread: threading.Thread | None = None
 
     def prep(items):
         batch = collator(items)
@@ -262,17 +265,27 @@ def train_and_evaluate(
                     stop = True
 
             # saving is independent of evaluation (save_steps need not be a
-            # multiple of eval_steps); the metadata carries the latest wer
+            # multiple of eval_steps); the metadata carries the latest wer.
+            # The write runs on a background thread (params are fetched to
+            # host first) so the step loop never blocks on disk.
             if step % tcfg.save_steps == 0 or stop:
-                meta = {"log_history": log_history}
+                meta = {"log_history": list(log_history)}
                 if last_wer is not None:
                     meta["eval_wer"] = last_wer
-                save_checkpoint(
-                    tcfg.output_dir, step, state.params,
-                    opt_state=state.opt_state,
-                    metadata=meta, keep=tcfg.save_total_limit,
+                if save_thread is not None:
+                    save_thread.join()
+                host_params = jax.tree.map(np.asarray, state.params)
+                host_opt = jax.tree.map(np.asarray, state.opt_state)
+                save_thread = threading.Thread(
+                    target=save_checkpoint,
+                    args=(tcfg.output_dir, step, host_params),
+                    kwargs=dict(opt_state=host_opt, metadata=meta,
+                                keep=tcfg.save_total_limit),
                 )
+                save_thread.start()
 
+    if save_thread is not None:
+        save_thread.join()
     final_params = state.params
     if tcfg.load_best_model_at_end:
         from .checkpoint import find_best_checkpoint

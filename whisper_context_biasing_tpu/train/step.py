@@ -28,13 +28,28 @@ def init_train_state(params, optimizer: optax.GradientTransformation) -> TrainSt
     return TrainState(params, optimizer.init(params), jnp.zeros((), jnp.int32))
 
 
-def make_loss_fn(cfg: WhisperConfig, bias_weight: float, use_bias_spans: bool = True):
+def make_loss_fn(
+    cfg: WhisperConfig,
+    bias_weight: float,
+    use_bias_spans: bool = True,
+    mel_on_device: bool = False,
+):
+    """With ``mel_on_device`` the batch carries raw ``audio`` (B, 480000) and
+    the fused Pallas log-mel runs inside the training program — the host-side
+    numpy spectrogram (the reference pipeline's single-worker bottleneck)
+    disappears from the input path entirely."""
     # span pad / special-id threshold follow the model's vocab layout:
     # eot is 50256 for .en and 50257 for multilingual (specials sit above it)
     pad_id = cfg.pad_token_id
 
     def loss_fn(params, batch):
-        logits = forward(params, cfg, batch["input_features"], batch["decoder_input_ids"])
+        if mel_on_device:
+            from ..ops.mel_kernel import log_mel_spectrogram_fused
+
+            feats = log_mel_spectrogram_fused(batch["audio"], n_mels=cfg.n_mels)
+        else:
+            feats = batch["input_features"]
+        logits = forward(params, cfg, feats, batch["decoder_input_ids"])
         spans = batch.get("bias_spans") if use_bias_spans else None
         return weighted_ce_loss(logits, batch["labels"], spans, bias_weight,
                                 span_pad_id=pad_id, special_id_threshold=pad_id)
@@ -54,6 +69,7 @@ def make_train_step(
     freeze_encoder: bool = False,
     use_bias_spans: bool = True,
     donate: bool = True,
+    mel_on_device: bool = False,
 ):
     """Returns ``step(state, batch) -> (state, metrics)``.
 
@@ -61,7 +77,7 @@ def make_train_step(
     microbatch axis (A, ...); gradients are averaged across microbatches by a
     ``lax.scan`` so peak memory stays one microbatch.
     """
-    loss_fn = make_loss_fn(cfg, bias_weight, use_bias_spans)
+    loss_fn = make_loss_fn(cfg, bias_weight, use_bias_spans, mel_on_device)
     grad_fn = jax.value_and_grad(loss_fn)
 
     def single_grads(params, batch):
