@@ -181,3 +181,45 @@ class TestBiasTrie:
         ids, mask = pack_prefixes([[1, 2, 3], [9]], 0)
         assert ids.tolist() == [[1, 2, 3], [0, 0, 9]]
         assert mask.tolist() == [[True, True, True], [False, False, True]]
+
+
+class TestSamplingAndSuppression:
+    def test_temperature_zero_equals_greedy(self, setup):
+        import jax
+
+        cfg, params, mel = setup
+        ids, mask = pack_prefixes([[50257], [50257]], EOT)
+        a = greedy_decode(params, cfg, jnp.asarray(mel), jnp.asarray(ids),
+                          jnp.asarray(mask), max_new=6)
+        b = greedy_decode(params, cfg, jnp.asarray(mel), jnp.asarray(ids),
+                          jnp.asarray(mask), max_new=6, temperature=0.0,
+                          rng_key=jax.random.PRNGKey(7))
+        np.testing.assert_array_equal(np.asarray(a.tokens), np.asarray(b.tokens))
+
+    def test_sampling_is_seeded_and_varied(self, setup):
+        import jax
+
+        cfg, params, mel = setup
+        ids, mask = pack_prefixes([[50257], [50257]], EOT)
+        kw = dict(max_new=8, temperature=1.5)
+        a = greedy_decode(params, cfg, jnp.asarray(mel), jnp.asarray(ids),
+                          jnp.asarray(mask), rng_key=jax.random.PRNGKey(0), **kw)
+        b = greedy_decode(params, cfg, jnp.asarray(mel), jnp.asarray(ids),
+                          jnp.asarray(mask), rng_key=jax.random.PRNGKey(0), **kw)
+        c = greedy_decode(params, cfg, jnp.asarray(mel), jnp.asarray(ids),
+                          jnp.asarray(mask), rng_key=jax.random.PRNGKey(1), **kw)
+        np.testing.assert_array_equal(np.asarray(a.tokens), np.asarray(b.tokens))
+        assert not np.array_equal(np.asarray(a.tokens), np.asarray(c.tokens))
+
+    def test_suppress_tokens(self, setup):
+        cfg, params, mel = setup
+        ids, mask = pack_prefixes([[50257], [50257]], EOT)
+        base = greedy_decode(params, cfg, jnp.asarray(mel), jnp.asarray(ids),
+                             jnp.asarray(mask), max_new=6)
+        first = int(np.asarray(base.tokens)[0, 0])
+        sup = greedy_decode(params, cfg, jnp.asarray(mel), jnp.asarray(ids),
+                            jnp.asarray(mask), max_new=6,
+                            suppress_tokens=(first,))
+        toks = np.asarray(sup.tokens)
+        assert first not in toks[0].tolist()
+        assert first not in toks[1].tolist()

@@ -60,7 +60,7 @@ def pack_prefixes(
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "max_new", "eot_id", "bias_boost", "vocab_size",
-                     "span_pad_id"),
+                     "span_pad_id", "temperature", "suppress_tokens"),
 )
 def greedy_decode(
     params,
@@ -74,10 +74,18 @@ def greedy_decode(
     bias_boost: float = 0.0,
     vocab_size: int | None = None,
     span_pad_id: int = 50256,
+    temperature: float = 0.0,
+    suppress_tokens: tuple[int, ...] = (),
+    rng_key: jax.Array | None = None,
 ) -> GreedyResult:
     """Batched greedy decode. The prefix must end with the token the model
     should continue from (e.g. ``[<|sot|>]`` for reference-parity generation,
-    or ``[<|sop|>, ctx..., <|sot|>, <|notimestamps|>]`` for prompted decode)."""
+    or ``[<|sop|>, ctx..., <|sot|>, <|notimestamps|>]`` for prompted decode).
+
+    ``temperature > 0`` switches argmax to categorical sampling (pass
+    ``rng_key``); ``suppress_tokens`` are masked to -inf every step (the
+    reference clears its suppress list, scripts/train.py:211, so the default
+    is empty — this is the production-decoding extension)."""
     b, p = prefix_ids.shape
     v = vocab_size or cfg.n_vocab
     cache_len = p + max_new
@@ -108,13 +116,24 @@ def greedy_decode(
         # the prefix's last real token may already start a span
         bias_state = advance_bias_state(bias_state, bias_spans, prefix_ids[:, -1])
 
-    def pick(lg, state):
+    if temperature > 0.0 and rng_key is None:
+        rng_key = jax.random.PRNGKey(0)
+    suppress = (
+        jnp.asarray(suppress_tokens, jnp.int32) if suppress_tokens else None
+    )
+
+    def pick(lg, state, key):
         lg = lg.astype(jnp.float32)
+        if suppress is not None:
+            lg = lg.at[:, suppress].set(jnp.finfo(jnp.float32).min)
         if use_bias:
             lg = lg + bias_bonus(state, bias_spans, v, bias_boost)
+        if temperature > 0.0:
+            return jax.random.categorical(key, lg / temperature, axis=-1).astype(jnp.int32)
         return jnp.argmax(lg, axis=-1).astype(jnp.int32)
 
-    first_tok = pick(logits[:, -1], bias_state)
+    key0 = rng_key if rng_key is not None else jax.random.PRNGKey(0)
+    first_tok = pick(logits[:, -1], bias_state, key0)
 
     class Carry(NamedTuple):
         t: jax.Array
@@ -124,13 +143,15 @@ def greedy_decode(
         out: jax.Array        # (B, max_new)
         finished: jax.Array   # (B,) bool
         bias_state: BiasTrieState
+        key: jax.Array
 
     out0 = jnp.full((b, max_new), eot_id, jnp.int32)
     finished0 = first_tok == eot_id
     out0 = out0.at[:, 0].set(first_tok)
     bias_state = advance_bias_state(bias_state, bias_spans, first_tok) if use_bias else bias_state
 
-    init = Carry(jnp.int32(1), first_tok, next_pos, cache, out0, finished0, bias_state)
+    init = Carry(jnp.int32(1), first_tok, next_pos, cache, out0, finished0,
+                 bias_state, key0)
 
     def cond(c: Carry):
         return (c.t < max_new) & ~jnp.all(c.finished)
@@ -141,12 +162,13 @@ def greedy_decode(
             pos_offset=p - 1 + c.t, token_positions=c.pos[:, None],
             self_mask=key_mask,
         )
-        nxt = pick(lg[:, -1], c.bias_state)
+        key, sub = jax.random.split(c.key)
+        nxt = pick(lg[:, -1], c.bias_state, sub)
         nxt = jnp.where(c.finished, eot_id, nxt)
         out = jax.lax.dynamic_update_slice(c.out, nxt[:, None], (0, c.t))
         finished = c.finished | (nxt == eot_id)
         bs = advance_bias_state(c.bias_state, bias_spans, nxt) if use_bias else c.bias_state
-        return Carry(c.t + 1, nxt, c.pos + 1, cache, out, finished, bs)
+        return Carry(c.t + 1, nxt, c.pos + 1, cache, out, finished, bs, key)
 
     final = jax.lax.while_loop(cond, body, init)
     lengths = jnp.sum(
