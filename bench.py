@@ -46,7 +46,9 @@ def main():
     from whisper_context_biasing_tpu.decode.greedy import greedy_decode
     from whisper_context_biasing_tpu.models import get_config, init_params
 
-    cfg = get_config(MODEL, dtype="bfloat16", flash_attention=FLASH)
+    cfg = get_config(MODEL, dtype="bfloat16", flash_attention=FLASH,
+                     fused_decode_step=os.environ.get("BENCH_FUSED_STEP", "0") == "1",
+                     quantize_cross_kv=os.environ.get("BENCH_QUANT_KV", "1") == "1")
     params = init_params(cfg, 0)
     params = jax.tree.map(
         lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, params

@@ -87,7 +87,14 @@ def beam_decode(
     # project cross-attention K/V once per utterance, then tile across beams
     # (projecting after the repeat would redo the matmuls num_beams times)
     ck, cv = precompute_cross_kv(params, cfg, enc_out)
-    cross_kv = (jnp.repeat(ck, k, axis=1), jnp.repeat(cv, k, axis=1))
+    if cfg.quantize_cross_kv:
+        from ..models.whisper import quantize_cross_kv
+
+        cross_kv = jax.tree.map(
+            lambda a: jnp.repeat(a, k, axis=1), quantize_cross_kv((ck, cv))
+        )
+    else:
+        cross_kv = (jnp.repeat(ck, k, axis=1), jnp.repeat(cv, k, axis=1))
     prefix_tiled = jnp.repeat(prefix_ids, k, axis=0)
     mask_tiled = jnp.repeat(prefix_mask, k, axis=0)
 

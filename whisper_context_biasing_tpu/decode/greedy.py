@@ -94,6 +94,11 @@ def greedy_decode(
 
     enc_out = encode_audio(params, cfg, input_features)
     cross_kv = precompute_cross_kv(params, cfg, enc_out)
+    if cfg.quantize_cross_kv:
+        from ..models.whisper import quantize_cross_kv
+
+        cross_kv = jax.tree.map(lambda a: a, quantize_cross_kv(cross_kv))
+        # layer-major dict leaves: scan slices the leading L axis per layer
     cache = init_kv_cache(cfg, b, cache_len)
 
     # positions: pads don't advance the position counter (left-pad support)
@@ -157,13 +162,26 @@ def greedy_decode(
         return (c.t < max_new) & ~jnp.all(c.finished)
 
     def body(c: Carry):
-        lg, cache = decode_tokens(
-            params, cfg, c.cur[:, None], cross_kv=cross_kv, cache=c.cache,
-            pos_offset=p - 1 + c.t, token_positions=c.pos[:, None],
-            self_mask=key_mask,
-        )
+        if cfg.fused_decode_step:
+            if cfg.quantize_cross_kv:
+                raise NotImplementedError(
+                    "fused_decode_step does not support quantize_cross_kv"
+                )
+            from ..ops.decoder_step import fused_decode_step
+
+            step_lg, cache = fused_decode_step(
+                params, cfg, c.cur, c.pos, p - 1 + c.t, c.cache, cross_kv,
+                key_mask, interpret=cfg.flash_interpret,
+            )
+        else:
+            lg, cache = decode_tokens(
+                params, cfg, c.cur[:, None], cross_kv=cross_kv, cache=c.cache,
+                pos_offset=p - 1 + c.t, token_positions=c.pos[:, None],
+                self_mask=key_mask,
+            )
+            step_lg = lg[:, -1]
         key, sub = jax.random.split(c.key)
-        nxt = pick(lg[:, -1], c.bias_state, sub)
+        nxt = pick(step_lg, c.bias_state, sub)
         nxt = jnp.where(c.finished, eot_id, nxt)
         out = jax.lax.dynamic_update_slice(c.out, nxt[:, None], (0, c.t))
         finished = c.finished | (nxt == eot_id)

@@ -30,6 +30,13 @@ class WhisperConfig:
     # flash_interpret runs the kernel in interpreter mode (CPU tests)
     flash_attention: bool = False
     flash_interpret: bool = False
+    # fused per-layer Pallas decode-step kernels (ops/decoder_step.py):
+    # collapses ~25 XLA ops per layer-step into 3 kernels — decode is
+    # per-op-overhead-bound at single-token shapes
+    fused_decode_step: bool = False
+    # int8 cross-attention K/V for decode: halves the dominant HBM traffic of
+    # single-token steps (models/whisper.py:quantize_cross_kv)
+    quantize_cross_kv: bool = False
 
     @property
     def head_dim(self) -> int:
