@@ -217,6 +217,9 @@ def train_and_evaluate(
         data_train, prep, chunk, shuffle=True, seed=tcfg.seed, drop_last=True,
         num_workers=tcfg.dataloader_num_workers,
     )
+    # resumable data order: fast-forward the per-epoch shuffle seed so a
+    # resumed run continues with the epoch permutation it would have had
+    loader._epoch = start_step // steps_per_epoch
 
     for epoch in range(int(np.ceil(tcfg.num_train_epochs))):
         if stop or step >= total_steps:
