@@ -1,0 +1,252 @@
+#!/usr/bin/env python
+"""HTTP transcription server — the online-serving entry point.
+
+Stdlib-only HTTP front over the batched TPU pipeline: requests are queued,
+micro-batched up to ``--batch`` (padded with silence so the XLA program shape
+stays fixed — no recompiles), decoded in one program, and answered.
+
+    python scripts/serve.py --model base.en --port 8080 \
+        [--init_checkpoint model.safetensors] [--num_beams 5] \
+        [--bias_words aspirin promisec --bias_boost 2.0]
+
+    curl -s --data-binary @clip.wav http://localhost:8080/transcribe
+    curl -s "http://localhost:8080/health"
+
+POST /transcribe accepts a WAV body; optional headers:
+    X-Context:     conditioning text (placed after <|startofprev|>)
+    X-Bias-Words:  comma-separated bias words (per-request shallow fusion)
+"""
+
+import argparse
+import io
+import json
+import os
+import queue
+import sys
+import threading
+import time
+import wave
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
+
+from whisper_context_biasing_tpu.utils import setup_jax
+setup_jax()
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default="base.en")
+    p.add_argument("--init_checkpoint", default=None)
+    p.add_argument("--vocab", default=None)
+    p.add_argument("--merges", default=None)
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--batch", type=int, default=8,
+                   help="micro-batch size (static shape; padded with silence)")
+    p.add_argument("--max_wait_ms", type=int, default=30,
+                   help="max queueing delay before a partial batch is flushed")
+    p.add_argument("--max_tokens", type=int, default=128)
+    p.add_argument("--num_beams", type=int, default=1)
+    p.add_argument("--bias_words", nargs="*", default=None,
+                   help="server-wide default bias words")
+    p.add_argument("--bias_boost", type=float, default=0.0)
+    return p.parse_args()
+
+
+class Engine:
+    """Compiled pipeline + micro-batching worker."""
+
+    def __init__(self, args):
+        import jax.numpy as jnp
+
+        from whisper_context_biasing_tpu.audio import pad_or_trim
+        from whisper_context_biasing_tpu.data.collator import SpeechSeq2SeqCollator
+        from whisper_context_biasing_tpu.decode import beam_decode_batch, decode_batch
+        from whisper_context_biasing_tpu.models import (
+            get_config, init_params, load_checkpoint_or_safetensors,
+        )
+        from whisper_context_biasing_tpu.ops.mel_kernel import log_mel_spectrogram_fused
+        from whisper_context_biasing_tpu.tokenizer import load_tokenizer
+        from whisper_context_biasing_tpu.utils import RtfMeter
+
+        self.args = args
+        self.jnp = jnp
+        self.pad_or_trim = pad_or_trim
+        self.mel_fn = log_mel_spectrogram_fused
+        self.decode_batch = decode_batch
+        self.beam_decode_batch = beam_decode_batch
+        self.rtf = RtfMeter()
+
+        self.tokenizer = load_tokenizer(args.vocab, args.merges,
+                                        multilingual=not args.model.endswith(".en"))
+        self.cfg = get_config(args.model, dtype="bfloat16", flash_attention=True,
+                              quantize_cross_kv=True)
+        if args.init_checkpoint:
+            self.params, self.cfg = load_checkpoint_or_safetensors(
+                args.init_checkpoint, self.cfg)
+        else:
+            print("warning: random weights (no --init_checkpoint)", file=sys.stderr)
+            self.params = init_params(self.cfg, 0)
+        self.collator = SpeechSeq2SeqCollator(
+            pad_token_id=self.tokenizer.pad_token_id,
+            decoder_start_token_id=self.tokenizer.sot,
+            bias_span_pad_id=self.tokenizer.eot,
+        )
+
+        self.q: queue.Queue = queue.Queue()
+        threading.Thread(target=self._worker, daemon=True).start()
+
+        # warm the compile with a silent batch
+        print("compiling...", file=sys.stderr)
+        self._run([np.zeros(16000, np.float32)] * args.batch,
+                  [None] * args.batch, [None] * args.batch)
+        print("ready", file=sys.stderr)
+
+    def _spans_for(self, words_lists):
+        tok = self.tokenizer
+        if not any(words_lists):
+            return None
+        encoded = [
+            [tok.encode(w.strip().lower(), add_special_tokens=False)
+             for w in (words or []) if w.strip()]
+            for words in words_lists
+        ]
+        return self.collator.pad_bias_spans(encoded)
+
+    def _run(self, audios, contexts, bias_word_lists):
+        tok = self.tokenizer
+        audio = np.stack([self.pad_or_trim(a) for a in audios])
+        mel = np.asarray(self.mel_fn(self.jnp.asarray(audio), n_mels=self.cfg.n_mels))
+        ctx = None
+        if any(contexts):
+            ctx = [tok.encode((c or "").lower(), add_special_tokens=False)
+                   for c in contexts]
+        default_words = self.args.bias_words or []
+        spans = self._spans_for([
+            (w if w is not None else default_words) for w in bias_word_lists
+        ])
+        kwargs = dict(contexts=ctx, max_new=self.args.max_tokens,
+                      bias_spans=spans, bias_boost=self.args.bias_boost)
+        if self.args.num_beams > 1:
+            hyps = self.beam_decode_batch(self.params, self.cfg, tok, mel,
+                                          num_beams=self.args.num_beams, **kwargs)
+        else:
+            hyps = self.decode_batch(self.params, self.cfg, tok, mel, **kwargs)
+        return [tok.decode(h, skip_special_tokens=True).strip() for h in hyps]
+
+    def submit(self, audio, context, bias_words):
+        done = threading.Event()
+        box = {}
+        self.q.put((audio, context, bias_words, done, box))
+        done.wait(timeout=120)
+        if "text" not in box:
+            raise TimeoutError("decode timed out")
+        return box["text"]
+
+    def _worker(self):
+        bs = self.args.batch
+        while True:
+            first = self.q.get()
+            batch = [first]
+            deadline = time.time() + self.args.max_wait_ms / 1000.0
+            while len(batch) < bs:
+                try:
+                    batch.append(self.q.get(timeout=max(0.0, deadline - time.time())))
+                except queue.Empty:
+                    break
+            audios = [b[0] for b in batch]
+            ctxs = [b[1] for b in batch]
+            words = [b[2] for b in batch]
+            n = len(batch)
+            # pad to the static batch shape with silence
+            while len(audios) < bs:
+                audios.append(np.zeros(16000, np.float32))
+                ctxs.append(None)
+                words.append(None)
+            audio_s = sum(min(len(a), 480000) for a in audios[:n]) / 16000
+            t0 = time.time()
+            try:
+                texts = self._run(audios, ctxs, words)
+                self.rtf.add(audio_s, time.time() - t0)
+                for (_, _, _, done, box), text in zip(batch, texts[:n]):
+                    box["text"] = text
+                    done.set()
+            except Exception as e:  # surface errors to all waiters
+                for _, _, _, done, box in batch:
+                    box["error"] = str(e)
+                    box["text"] = ""
+                    done.set()
+                print(f"batch failed: {e}", file=sys.stderr)
+
+
+def decode_wav_bytes(data: bytes) -> np.ndarray:
+    with wave.open(io.BytesIO(data), "rb") as w:
+        sr = w.getframerate()
+        ch = w.getnchannels()
+        raw = w.readframes(w.getnframes())
+    sig = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    if ch > 1:
+        sig = sig.reshape(-1, ch).mean(axis=1)
+    if sr != 16000:
+        from whisper_context_biasing_tpu.audio import resample
+
+        sig = resample(sig, sr, 16000)
+    return sig
+
+
+def make_handler(engine: Engine):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quieter logs
+            pass
+
+        def _json(self, code, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/health":
+                self._json(200, {"status": "ok", "model": engine.args.model,
+                                 "rtf": round(engine.rtf.rtf, 1)
+                                 if engine.rtf.wall_s else None})
+            else:
+                self._json(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/transcribe":
+                self._json(404, {"error": "not found"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                audio = decode_wav_bytes(self.rfile.read(n))
+                ctx = self.headers.get("X-Context")
+                words = self.headers.get("X-Bias-Words")
+                words = [w for w in words.split(",")] if words else None
+                t0 = time.time()
+                text = engine.submit(audio, ctx, words)
+                self._json(200, {
+                    "text": text,
+                    "audio_seconds": round(len(audio) / 16000, 2),
+                    "latency_ms": round((time.time() - t0) * 1000, 1),
+                })
+            except Exception as e:
+                self._json(400, {"error": f"{type(e).__name__}: {e}"})
+
+    return Handler
+
+
+def main():
+    args = parse_args()
+    engine = Engine(args)
+    server = ThreadingHTTPServer(("0.0.0.0", args.port), make_handler(engine))
+    print(f"serving on :{args.port}", file=sys.stderr)
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

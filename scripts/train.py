@@ -77,6 +77,8 @@ def parse_args():
                    help="decode-time bias-span logit bonus")
     p.add_argument("--flash_attention", action="store_true",
                    help="Pallas flash attention in the encoder (fwd+bwd kernels)")
+    p.add_argument("--freeze_encoder", action="store_true",
+                   help="train the decoder only (reference freeze_encoder())")
     p.add_argument("--seed", type=int, default=42)
     return p.parse_args()
 
@@ -146,6 +148,7 @@ def main():
         eval_steps=args.eval_steps,
         save_steps=args.save_steps,
         bias_weight=args.bias_weight,
+        freeze_encoder=args.freeze_encoder,
         prompt_generation=args.prompt_generation,
         bias_boost=args.bias_boost,
         seed=args.seed,
@@ -171,8 +174,22 @@ def main():
     print("Calculating bias WER...")
     bias_result = compute_bias_wer(refs_pred_file, bias_spans, tokenizer)
     print("Bias WER result:", bias_result)
-    with open(os.path.join(args.output, "bias_wer_results.json"), "w") as f:
+    bias_file = os.path.join(args.output, "bias_wer_results.json")
+    with open(bias_file, "w") as f:
         json.dump(bias_result, f, indent=4)
+
+    # hub sync parity (reference scripts/train.py:285-307), gated offline
+    if args.hub_model_id and args.hf_token:
+        from whisper_context_biasing_tpu.utils import (
+            push_to_hub_if_exists, upload_results_to_hub,
+        )
+
+        upload_results_to_hub(os.path.join(args.output, "test_results.json"),
+                              args.hub_model_id, "results/test_results.json",
+                              args.hf_token)
+        upload_results_to_hub(bias_file, args.hub_model_id,
+                              "results/bias_wer_results.json", args.hf_token)
+        push_to_hub_if_exists(args.output, args.hub_model_id, args.hf_token)
 
 
 if __name__ == "__main__":
