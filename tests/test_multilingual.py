@@ -1,0 +1,89 @@
+"""Multilingual-model path tests: the vocab layout shifts by one
+(eot=50257, sot=50258) and every pipeline contract must follow the tokenizer
+rather than hardcoding the .en ids."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from whisper_context_biasing_tpu.data import SpeechSeq2SeqCollator
+from whisper_context_biasing_tpu.decode import decode_batch, greedy_decode, pack_prefixes
+from whisper_context_biasing_tpu.models import init_params, tiny_test_config
+from whisper_context_biasing_tpu.tokenizer import load_tokenizer
+from whisper_context_biasing_tpu.train import (
+    init_train_state,
+    make_optimizer,
+    make_train_step,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    tok = load_tokenizer(multilingual=True)
+    cfg = tiny_test_config(n_vocab=51865, multilingual=True)
+    params = init_params(cfg, 0)
+    return tok, cfg, params
+
+
+class TestMultilingual:
+    def test_config_ids(self, setup):
+        tok, cfg, _ = setup
+        assert cfg.decoder_start_token_id == tok.sot == 50258
+        assert cfg.pad_token_id == tok.eot == 50257
+
+    def test_collator_masks_with_multilingual_sot(self, setup):
+        tok, cfg, _ = setup
+        coll = SpeechSeq2SeqCollator(
+            pad_token_id=tok.pad_token_id, decoder_start_token_id=tok.sot,
+            decoder_prev_token_id=tok.sop, bias_span_pad_id=tok.eot,
+        )
+        seq = [tok.sop] + tok.encode("ctx", add_special_tokens=False) + tok.encode("hello")
+        batch = coll([{"labels": np.asarray(seq, np.int32),
+                       "bias_spans": [tok.encode("hello", add_special_tokens=False)]}])
+        labels = batch["labels"][0]
+        sot_at = seq.index(tok.sot)
+        assert (labels[: sot_at - 1] == -100).all()
+        assert batch["bias_spans"].dtype == np.int32
+        # span padding uses the multilingual eot
+        row = batch["bias_spans"][0, 0]
+        pad_vals = row[len(tok.encode("hello", add_special_tokens=False)):]
+        assert (pad_vals == tok.eot).all() or pad_vals.size == 0
+
+    def test_train_step(self, setup):
+        tok, cfg, params = setup
+        rng = np.random.default_rng(0)
+        seqs = [tok.encode("hello"), tok.encode("world")]
+        coll = SpeechSeq2SeqCollator(
+            pad_token_id=tok.pad_token_id, decoder_start_token_id=tok.sot,
+            decoder_prev_token_id=tok.sop, bias_span_pad_id=tok.eot,
+        )
+        batch = coll([
+            {"labels": np.asarray(s, np.int32),
+             "bias_spans": [tok.encode("hello", add_special_tokens=False)]}
+            for s in seqs
+        ])
+        batch["input_features"] = (rng.standard_normal((2, 80, 128)) * 0.3).astype(np.float32)
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        opt = make_optimizer(peak_lr=1e-4, warmup_steps=0, total_steps=5)
+        step = make_train_step(cfg, opt, donate=False)
+        _, m = step(init_train_state(params, opt), batch)
+        assert np.isfinite(float(m["loss"]))
+
+    def test_greedy_decode_stops_at_multilingual_eot(self, setup):
+        tok, cfg, params = setup
+        rng = np.random.default_rng(1)
+        mel = jnp.asarray((rng.standard_normal((1, 80, 128)) * 0.5).astype(np.float32))
+        hyps = decode_batch(params, cfg, tok, np.asarray(mel), max_new=6)
+        assert len(hyps) == 1
+        assert all(0 <= t < cfg.n_vocab for t in hyps[0])
+
+    def test_prefix_tokens_flow(self, setup):
+        tok, cfg, params = setup
+        # multilingual prefix includes lang+task tokens
+        assert tok.prefix_tokens == [50258, 50259, 50359, 50363]
+        rng = np.random.default_rng(2)
+        mel = jnp.asarray((rng.standard_normal((1, 80, 128)) * 0.5).astype(np.float32))
+        ids, mask = pack_prefixes([tok.prefix_tokens], tok.eot)
+        res = greedy_decode(params, cfg, mel, jnp.asarray(ids), jnp.asarray(mask),
+                            max_new=4, eot_id=tok.eot, span_pad_id=tok.eot)
+        assert np.asarray(res.tokens).shape == (1, 4)
