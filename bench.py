@@ -53,6 +53,10 @@ def main():
     params = jax.tree.map(
         lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, params
     )
+    if os.environ.get("BENCH_QUANT_W", "0") == "1":
+        from whisper_context_biasing_tpu.models.whisper import quantize_decoder_weights
+
+        params = quantize_decoder_weights(params)
 
     rng = np.random.default_rng(0)
     audio = (rng.standard_normal((BATCH, 480000)) * 0.1).astype(np.float32)

@@ -197,3 +197,34 @@ class TestFusedDecodeStep:
         a = greedy_decode(params, cfg0, mel, jnp.asarray(ids), jnp.asarray(mask), max_new=6)
         b = greedy_decode(params, cfgf, mel, jnp.asarray(ids), jnp.asarray(mask), max_new=6)
         np.testing.assert_array_equal(np.asarray(a.tokens), np.asarray(b.tokens))
+
+
+class TestQuantizedDecoderWeights:
+    def test_greedy_tokens_match_fp(self):
+        import jax.numpy as jnp
+        from whisper_context_biasing_tpu.decode import greedy_decode, pack_prefixes
+        from whisper_context_biasing_tpu.models.whisper import quantize_decoder_weights
+
+        cfg = tiny_test_config()
+        params = init_params(cfg, 0)
+        qparams = quantize_decoder_weights(params)
+        rng = np.random.default_rng(0)
+        mel = jnp.asarray((rng.standard_normal((2, 80, 128)) * 0.5).astype(np.float32))
+        ids, mask = pack_prefixes([[50257], [50257]], 50256)
+        a = greedy_decode(params, cfg, mel, jnp.asarray(ids), jnp.asarray(mask), max_new=8)
+        b = greedy_decode(qparams, cfg, mel, jnp.asarray(ids), jnp.asarray(mask), max_new=8)
+        np.testing.assert_array_equal(np.asarray(a.tokens), np.asarray(b.tokens))
+
+    def test_memory_halved(self):
+        import jax
+        from whisper_context_biasing_tpu.models.whisper import quantize_decoder_weights
+
+        cfg = tiny_test_config()
+        params = init_params(cfg, 0)
+        q = quantize_decoder_weights(params)
+        def nbytes(t):
+            return sum(np.asarray(x).nbytes for x in jax.tree.leaves(t))
+        # decoder weights (f32 originals) vs int8+scales
+        orig = nbytes(params["decoder"]["mlp"])
+        quant = nbytes(q["decoder"]["mlp"])
+        assert quant < 0.3 * orig  # int8 vs f32 plus small scales

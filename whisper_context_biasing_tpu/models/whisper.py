@@ -165,8 +165,14 @@ def attention(
 
 
 def _proj(x, w, b=None):
-    y = jnp.einsum("btd,de->bte", x, w.astype(x.dtype), preferred_element_type=_acc(x))
-    y = y.astype(x.dtype)
+    if isinstance(w, dict):  # int8 weight-only quantization {"q", "s"}
+        y = jnp.einsum("btd,de->bte", x, w["q"].astype(x.dtype),
+                       preferred_element_type=jnp.float32)
+        y = (y * w["s"].astype(jnp.float32)).astype(x.dtype)
+    else:
+        y = jnp.einsum("btd,de->bte", x, w.astype(x.dtype),
+                       preferred_element_type=_acc(x))
+        y = y.astype(x.dtype)
     if b is not None:
         y = y + b.astype(x.dtype)
     return y
@@ -288,6 +294,41 @@ def _attention_quant_cross(q, kv, n_heads):
     return _merge_heads(out.astype(q.dtype))
 
 
+def quantize_decoder_weights(params: Params) -> Params:
+    """Weight-only int8 for the decoder (decode-time only — not
+    differentiable): matmul weights get per-output-column scales, the token
+    embedding per-row scales. Decoder weights are ~240 MB bf16 for
+    whisper-small and are re-read from HBM every decode step."""
+
+    def q_cols(w):  # (..., D, E): scale per output column
+        wf = jnp.asarray(w, jnp.float32)
+        s = jnp.max(jnp.abs(wf), axis=-2, keepdims=True) / 127.0
+        s = jnp.maximum(s, 1e-8)
+        return {"q": jnp.round(wf / s).astype(jnp.int8), "s": s}
+
+    def q_rows(w):  # (V, D): scale per row
+        wf = jnp.asarray(w, jnp.float32)
+        s = jnp.max(jnp.abs(wf), axis=-1, keepdims=True) / 127.0
+        s = jnp.maximum(s, 1e-8)
+        return {"q": jnp.round(wf / s).astype(jnp.int8), "s": s}
+
+    dec = dict(params["decoder"])
+    for grp in ("self_attn", "cross_attn"):
+        g = dict(dec[grp])
+        for name in ("wq", "wk", "wv", "wo"):
+            g[name] = q_cols(g[name])
+        dec[grp] = g
+    mlp = dict(dec["mlp"])
+    mlp["w1"] = q_cols(mlp["w1"])
+    mlp["w2"] = q_cols(mlp["w2"])
+    dec["mlp"] = mlp
+    dec["token_emb"] = q_rows(dec["token_emb"])
+    out = dict(params, decoder=dec)
+    if "proj_out" in params:
+        out["proj_out"] = q_rows(params["proj_out"])
+    return out
+
+
 def init_kv_cache(cfg: WhisperConfig, batch: int, max_len: int):
     shape = (cfg.n_text_layers, batch, max_len, cfg.d_model)
     dt = cfg.compute_dtype
@@ -318,7 +359,12 @@ def decode_tokens(
 
     if token_positions is None:
         token_positions = pos_offset + jnp.arange(s, dtype=jnp.int32)[None, :]
-    x = dec["token_emb"][tokens].astype(dt) + dec["pos_emb"][token_positions].astype(dt)
+    emb = dec["token_emb"]
+    if isinstance(emb, dict):  # int8 rows, per-row scale
+        tok_e = emb["q"][tokens].astype(jnp.float32) * emb["s"][tokens]
+    else:
+        tok_e = emb[tokens]
+    x = tok_e.astype(dt) + dec["pos_emb"][token_positions].astype(dt)
 
     if cross_kv is None:
         if enc_out is None:
@@ -417,10 +463,17 @@ def decode_tokens(
     # operands stay in the compute dtype (bf16 in production — the vocab
     # projection is the largest per-step matmul), accumulation in f32+
     ft = _acc(x)
-    logits = jnp.einsum(
-        "btd,vd->btv", x, proj.astype(x.dtype),
-        preferred_element_type=ft,
-    ).astype(ft)
+    if isinstance(proj, dict):
+        logits = jnp.einsum(
+            "btd,vd->btv", x, proj["q"].astype(x.dtype),
+            preferred_element_type=jnp.float32,
+        ) * proj["s"][:, 0]
+        logits = logits.astype(ft)
+    else:
+        logits = jnp.einsum(
+            "btd,vd->btv", x, proj.astype(x.dtype),
+            preferred_element_type=ft,
+        ).astype(ft)
     return logits, new_cache
 
 
