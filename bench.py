@@ -32,6 +32,9 @@ MODEL = os.environ.get("BENCH_MODEL", "small")
 ITERS = int(os.environ.get("BENCH_ITERS", "5"))
 FLASH = os.environ.get("BENCH_FLASH", "1") == "1"  # Pallas encoder attention
 FUSED_MEL = os.environ.get("BENCH_FUSED_MEL", "1") == "1"
+# bucketed short-utterance serving: encode only SECONDS of audio instead of
+# the padded 30 s window (experimental; see docs/PERF.md encoder pruning)
+SECONDS = int(os.environ.get("BENCH_SECONDS", "30"))
 BIAS_N, BIAS_K = 16, 8  # bias-list size per utterance
 
 
@@ -59,7 +62,7 @@ def main():
         params = quantize_decoder_weights(params)
 
     rng = np.random.default_rng(0)
-    audio = (rng.standard_normal((BATCH, 480000)) * 0.1).astype(np.float32)
+    audio = (rng.standard_normal((BATCH, SECONDS * 16000)) * 0.1).astype(np.float32)
     prefix = jnp.asarray([[cfg.decoder_start_token_id]] * BATCH, jnp.int32)
     mask = jnp.ones((BATCH, 1), bool)
     spans = rng.integers(0, 50000, (BATCH, BIAS_N, BIAS_K)).astype(np.int32)
@@ -97,7 +100,7 @@ def main():
         times.append(time.perf_counter() - t0)
 
     wall = min(times)
-    audio_seconds = BATCH * 30.0
+    audio_seconds = BATCH * float(SECONDS)
     rtf = audio_seconds / wall
     print(json.dumps({
         "metric": "decode_rtf_per_chip",
@@ -106,6 +109,7 @@ def main():
         "vs_baseline": round(rtf / 50.0, 3),
         "detail": {
             "model": MODEL, "batch": BATCH, "decode_tokens": DECODE_TOKENS,
+            "window_seconds": SECONDS,
             "wall_s": round(wall, 4), "device": str(jax.devices()[0]),
             "iters": ITERS, "flash_attention": FLASH, "fused_mel": FUSED_MEL,
         },

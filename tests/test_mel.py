@@ -139,3 +139,34 @@ class TestPadTrimAndIO:
     def test_resample_identity(self):
         x = _test_signal(8, 16000)
         assert resample(x, 16000, 16000) is x
+
+
+class TestShortWindows:
+    """Bucketed short-utterance serving: any hop-aligned window length."""
+
+    def test_short_window_jax_matches_fused(self):
+        import jax.numpy as jnp
+        from whisper_context_biasing_tpu.ops.mel_kernel import log_mel_spectrogram_fused
+
+        sig = _test_signal(9, n=128000)  # 8 s -> 800 frames
+        a = np.asarray(log_mel_spectrogram(jnp.asarray(sig[None])))
+        b = np.asarray(log_mel_spectrogram_fused(jnp.asarray(sig[None]), interpret=True))
+        assert a.shape == b.shape == (1, 80, 800)
+        np.testing.assert_allclose(a, b, atol=1e-4)
+
+    def test_short_context_encoder_and_decode(self):
+        import jax.numpy as jnp
+        from whisper_context_biasing_tpu.decode import greedy_decode, pack_prefixes
+        from whisper_context_biasing_tpu.models import (
+            encode_audio, init_params, tiny_test_config,
+        )
+
+        cfg = tiny_test_config()  # n_audio_ctx 64
+        params = init_params(cfg, 0)
+        rng = np.random.default_rng(0)
+        mel_short = jnp.asarray((rng.standard_normal((1, 80, 64)) * 0.5).astype(np.float32))
+        enc = encode_audio(params, cfg, mel_short)
+        assert enc.shape == (1, 32, cfg.d_model)  # half the max context
+        ids, mask = pack_prefixes([[50257]], 50256)
+        r = greedy_decode(params, cfg, mel_short, jnp.asarray(ids), jnp.asarray(mask), max_new=4)
+        assert np.asarray(r.tokens).shape == (1, 4)

@@ -127,22 +127,25 @@ def log_mel_spectrogram_np(audio: np.ndarray, n_mels: int = 80) -> np.ndarray:
 
 @functools.partial(jax.jit, static_argnames=("n_mels",))
 def log_mel_spectrogram(audio: jax.Array, n_mels: int = 80) -> jax.Array:
-    """Batched log-mel: (B, 480000) float32 -> (B, n_mels, 3000) float32.
+    """Batched log-mel: (B, n_samples) float32 -> (B, n_mels, n_samples/160).
 
-    STFT-as-matmul: framed signal (B*3000, 400) @ DFT basis (400, 402) on the
-    MXU, power, then mel projection (.., 201) @ (201, n_mels)."""
+    STFT-as-matmul: framed signal (B*T, 400) @ DFT basis (400, 402) on the
+    MXU, power, then mel projection (.., 201) @ (201, n_mels). n_samples is
+    480000 for the standard 30 s window; shorter (hop-aligned) windows are
+    supported for bucketed short-utterance serving."""
     if audio.ndim == 1:
         audio = audio[None]
     b = audio.shape[0]
+    n_frames = audio.shape[1] // HOP_LENGTH
     window = jnp.asarray(hann_window_periodic())
     basis = jnp.asarray(dft_basis())
     fb = jnp.asarray(mel_filter_bank(n_mels=n_mels))
     n_bins = N_FFT // 2 + 1
 
     padded = jnp.pad(audio, ((0, 0), (N_FFT // 2, N_FFT // 2)), mode="reflect")
-    # frame gather: (B, 3000, 400); the trailing (3001st) frame is never built
-    idx = jnp.arange(N_FRAMES)[:, None] * HOP_LENGTH + jnp.arange(N_FFT)[None, :]
-    frames = padded[:, idx] * window  # (B, 3000, 400)
+    # frame gather: (B, T, 400); the trailing (T+1th) frame is never built
+    idx = jnp.arange(n_frames)[:, None] * HOP_LENGTH + jnp.arange(N_FFT)[None, :]
+    frames = padded[:, idx] * window  # (B, T, 400)
 
     # precision=HIGHEST: the default matmul precision truncates f32 operands
     # (bf16 passes on TPU), which costs ~3 decades of dynamic range in the
@@ -161,4 +164,4 @@ def log_mel_spectrogram(audio: jax.Array, n_mels: int = 80) -> jax.Array:
     peak = jnp.max(log_spec, axis=(1, 2), keepdims=True)
     log_spec = jnp.maximum(log_spec, peak - 8.0)
     out = (log_spec + 4.0) / 4.0
-    return jnp.transpose(out, (0, 2, 1)).reshape(b, n_mels, N_FRAMES)
+    return jnp.transpose(out, (0, 2, 1)).reshape(b, n_mels, n_frames)

@@ -79,6 +79,12 @@ def beam_decode(
     b, p = prefix_ids.shape
     k = num_beams
     v = cfg.n_vocab
+    # long prompts squeeze the generation budget (the reference's
+    # max_length=225 semantics: prompt + new tokens share the 448 window)
+    max_new = min(max_new, cfg.n_text_ctx - p)
+    if max_new < 1:
+        raise ValueError(f"prefix length {p} leaves no room to generate "
+                         f"(n_text_ctx {cfg.n_text_ctx})")
     cache_len = p + max_new
     if cache_len > cfg.n_text_ctx:
         raise ValueError(f"prefix {p} + max_new {max_new} exceeds n_text_ctx")

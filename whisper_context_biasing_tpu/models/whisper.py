@@ -210,7 +210,9 @@ def encode_audio(params: Params, cfg: WhisperConfig, mel: jax.Array) -> jax.Arra
     x = jnp.transpose(mel, (0, 2, 1)).astype(dt)  # (B, 3000, n_mels)
     x = jax.nn.gelu(_conv1d(x, enc["conv1"]["w"], enc["conv1"]["b"], 1), approximate=False)
     x = jax.nn.gelu(_conv1d(x, enc["conv2"]["w"], enc["conv2"]["b"], 2), approximate=False)
-    x = x + enc["pos_emb"].astype(dt)
+    # slice positions: shorter (bucketed) audio contexts are supported for
+    # short-utterance serving (docs/PERF.md encoder-state pruning)
+    x = x + enc["pos_emb"][: x.shape[1]].astype(dt)
 
     blocks = {
         "attn_ln": enc["attn_ln"], "attn": enc["attn"],

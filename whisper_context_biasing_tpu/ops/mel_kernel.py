@@ -80,14 +80,19 @@ def log_mel_spectrogram_fused(
     if audio.ndim == 1:
         audio = audio[None]
     b = audio.shape[0]
+    n_frames = audio.shape[1] // HOP_LENGTH
     padded = jnp.pad(audio, ((0, 0), (N_FFT // 2, N_FFT // 2)), mode="reflect")
-    idx = jnp.arange(N_FRAMES)[:, None] * HOP_LENGTH + jnp.arange(N_FFT)[None, :]
-    frames = padded[:, idx].reshape(b * N_FRAMES, N_FFT)  # (B*3000, 400)
+    idx = jnp.arange(n_frames)[:, None] * HOP_LENGTH + jnp.arange(N_FFT)[None, :]
+    frames = padded[:, idx].reshape(b * n_frames, N_FFT)  # (B*T, 400)
 
     basis = jnp.asarray(_windowed_basis())
     fb = jnp.asarray(_padded_fb(n_mels))
 
-    grid = (b * N_FRAMES // FRAME_BLOCK,)
+    total = b * n_frames
+    pad_rows = (-total) % FRAME_BLOCK
+    if pad_rows:
+        frames = jnp.pad(frames, ((0, pad_rows), (0, 0)))
+    grid = ((total + pad_rows) // FRAME_BLOCK,)
     mel = pl.pallas_call(
         _mel_kernel,
         grid=grid,
@@ -99,11 +104,11 @@ def log_mel_spectrogram_fused(
         ],
         out_specs=pl.BlockSpec((FRAME_BLOCK, n_mels), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b * N_FRAMES, n_mels), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((total + pad_rows, n_mels), jnp.float32),
         interpret=interpret,
     )(frames, basis, fb)
 
-    mel = mel.reshape(b, N_FRAMES, n_mels)
+    mel = mel[:total].reshape(b, n_frames, n_mels)
     log_spec = jnp.log10(jnp.maximum(mel, 1e-10))
     peak = jnp.max(log_spec, axis=(1, 2), keepdims=True)
     log_spec = jnp.maximum(log_spec, peak - 8.0)
