@@ -104,15 +104,19 @@ class Engine:
                   [None] * args.batch, [None] * args.batch)
         print("ready", file=sys.stderr)
 
+    MAX_SPANS = (16, 16)  # static bias-span shape: no per-request recompiles
+
     def _spans_for(self, words_lists):
         tok = self.tokenizer
         if not any(words_lists):
             return None
+        n_max, k_max = self.MAX_SPANS
         encoded = [
-            [tok.encode(w.strip().lower(), add_special_tokens=False)
-             for w in (words or []) if w.strip()]
+            [tok.encode(w.strip().lower(), add_special_tokens=False)[:k_max]
+             for w in (words or [])[:n_max] if w.strip()]
             for words in words_lists
         ]
+        self.collator.max_spans = self.MAX_SPANS
         return self.collator.pad_bias_spans(encoded)
 
     def _run(self, audios, contexts, bias_word_lists):
@@ -121,7 +125,9 @@ class Engine:
         mel = np.asarray(self.mel_fn(self.jnp.asarray(audio), n_mels=self.cfg.n_mels))
         ctx = None
         if any(contexts):
-            ctx = [tok.encode((c or "").lower(), add_special_tokens=False)
+            # rows without a context stay unprompted (decode_batch treats an
+            # empty per-row list as a bare [<|sot|>] prefix)
+            ctx = [tok.encode(c.lower(), add_special_tokens=False) if c else []
                    for c in contexts]
         default_words = self.args.bias_words or []
         spans = self._spans_for([
@@ -133,14 +139,19 @@ class Engine:
             hyps = self.beam_decode_batch(self.params, self.cfg, tok, mel,
                                           num_beams=self.args.num_beams, **kwargs)
         else:
-            hyps = self.decode_batch(self.params, self.cfg, tok, mel, **kwargs)
+            # prefix lengths bucketed to multiples of 32 so new context
+            # lengths reuse a handful of compiled programs
+            hyps = self.decode_batch(self.params, self.cfg, tok, mel,
+                                     pad_to_multiple=32, **kwargs)
         return [tok.decode(h, skip_special_tokens=True).strip() for h in hyps]
 
     def submit(self, audio, context, bias_words):
         done = threading.Event()
         box = {}
         self.q.put((audio, context, bias_words, done, box))
-        done.wait(timeout=120)
+        done.wait(timeout=300)
+        if "error" in box:
+            raise RuntimeError(box["error"])
         if "text" not in box:
             raise TimeoutError("decode timed out")
         return box["text"]
@@ -175,8 +186,7 @@ class Engine:
                     done.set()
             except Exception as e:  # surface errors to all waiters
                 for _, _, _, done, box in batch:
-                    box["error"] = str(e)
-                    box["text"] = ""
+                    box["error"] = f"{type(e).__name__}: {e}"
                     done.set()
                 print(f"batch failed: {e}", file=sys.stderr)
 
@@ -185,8 +195,16 @@ def decode_wav_bytes(data: bytes) -> np.ndarray:
     with wave.open(io.BytesIO(data), "rb") as w:
         sr = w.getframerate()
         ch = w.getnchannels()
+        width = w.getsampwidth()
         raw = w.readframes(w.getnframes())
-    sig = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    if width == 2:
+        sig = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif width == 4:
+        sig = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    elif width == 1:
+        sig = (np.frombuffer(raw, np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported WAV sample width: {width} bytes")
     if ch > 1:
         sig = sig.reshape(-1, ch).mean(axis=1)
     if sr != 16000:

@@ -69,8 +69,13 @@ def main():
         params = init_params(cfg, 0)
 
     t0 = time.time()
+    true_lengths = None
     if args.long:
         from whisper_context_biasing_tpu.decode import transcribe_long_batch
+
+        if args.num_beams > 1:
+            print("warning: --long mode decodes greedily; --num_beams ignored",
+                  file=sys.stderr)
 
         raw = [load_audio(p) for p in args.audio]
         contexts = None
@@ -107,8 +112,18 @@ def main():
         return
     if native.available() and all(p.lower().endswith(".wav") for p in args.audio):
         audio = native.decode_batch(args.audio, fixed_len=480000)
+        # true durations from WAV headers (cheap; no second decode)
+        import wave as _wave
+
+        true_lengths = []
+        for path in args.audio:
+            with _wave.open(path, "rb") as w:
+                n16k = int(w.getnframes() * 16000 / w.getframerate())
+            true_lengths.append(min(n16k, 480000))
     else:
-        audio = np.stack([pad_or_trim(load_audio(p)) for p in args.audio])
+        raw_clips = [load_audio(p) for p in args.audio]
+        true_lengths = [min(len(a), 480000) for a in raw_clips]
+        audio = np.stack([pad_or_trim(a) for a in raw_clips])
     mel = np.asarray(log_mel_spectrogram_fused(jnp.asarray(audio), n_mels=cfg.n_mels))
 
     contexts = None
@@ -135,7 +150,7 @@ def main():
     wall = time.time() - t0
 
     texts = [tokenizer.decode(h, skip_special_tokens=True).strip() for h in hyps]
-    audio_seconds = sum(min(len(a), 480000) for a in audio) / 16000
+    audio_seconds = sum(true_lengths) / 16000  # pre-padding durations
     for path, text in zip(args.audio, texts):
         if args.json:
             print(json.dumps({"file": path, "text": text}))

@@ -236,7 +236,8 @@ def beam_decode_batch(
     if contexts is None:
         prefixes = [start] * bsz
     else:
-        prefixes = [[tokenizer.sop] + list(c) + start for c in contexts]
+        prefixes = [([tokenizer.sop] + list(c) + start) if c else list(start)
+                    for c in contexts]
     ids, mask = pack_prefixes(prefixes, tokenizer.eot)
     bias_spans = sanitize_bias_spans(bias_spans)
     res = beam_decode(

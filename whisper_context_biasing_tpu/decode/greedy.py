@@ -44,11 +44,15 @@ class GreedyResult(NamedTuple):
 
 
 def pack_prefixes(
-    prefixes: list[list[int]], pad_id: int
+    prefixes: list[list[int]], pad_id: int, pad_to_multiple: int | None = None
 ) -> tuple[np.ndarray, np.ndarray]:
     """Left-pad variable-length decoder prefixes to a common length.
-    Returns (ids (B, P), mask (B, P)); mask False marks pads."""
+    Returns (ids (B, P), mask (B, P)); mask False marks pads.
+    ``pad_to_multiple`` buckets the length so serving paths don't recompile
+    for every new prefix length."""
     p = max(len(x) for x in prefixes)
+    if pad_to_multiple:
+        p = ((p + pad_to_multiple - 1) // pad_to_multiple) * pad_to_multiple
     ids = np.full((len(prefixes), p), pad_id, dtype=np.int32)
     mask = np.zeros((len(prefixes), p), dtype=bool)
     for i, x in enumerate(prefixes):
@@ -211,6 +215,7 @@ def decode_batch(
     bias_spans: np.ndarray | None = None,
     bias_boost: float = 0.0,
     include_notimestamps: bool = False,
+    pad_to_multiple: int | None = None,
 ) -> list[list[int]]:
     """Host-side convenience: build prefixes (reference-parity ``[<|sot|>]``
     start, optionally ``<|sop|> + context`` conditioning), run the jitted
@@ -222,8 +227,11 @@ def decode_batch(
     if contexts is None:
         prefixes = [start] * b
     else:
-        prefixes = [[tokenizer.sop] + list(c) + start for c in contexts]
-    ids, mask = pack_prefixes(prefixes, tokenizer.eot)
+        # an empty per-row context means "unprompted" for that row (no bare
+        # <|startofprev|> prefix)
+        prefixes = [([tokenizer.sop] + list(c) + start) if c else list(start)
+                    for c in contexts]
+    ids, mask = pack_prefixes(prefixes, tokenizer.eot, pad_to_multiple=pad_to_multiple)
     bias_spans = sanitize_bias_spans(bias_spans)
     res = greedy_decode(
         params, cfg, jnp.asarray(input_features), jnp.asarray(ids), jnp.asarray(mask),

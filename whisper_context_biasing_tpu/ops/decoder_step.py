@@ -279,6 +279,12 @@ def fused_decode_step(
     Returns (logits (B, V) f32, new_cache). Semantically identical to
     ``models.whisper.decode_tokens`` in cached single-token mode."""
     dec = params["decoder"]
+    if isinstance(dec["token_emb"], dict) or isinstance(
+        dec["self_attn"]["wq"], dict
+    ):
+        raise NotImplementedError(
+            "fused_decode_step does not support int8-quantized decoder weights"
+        )
     dt = cfg.compute_dtype
     x = (dec["token_emb"][token] + dec["pos_emb"][positions]).astype(dt)  # (B, D)
 

@@ -218,13 +218,18 @@ def train_and_evaluate(
         num_workers=tcfg.dataloader_num_workers,
     )
     # resumable data order: fast-forward the per-epoch shuffle seed so a
-    # resumed run continues with the epoch permutation it would have had
+    # resumed run continues with the epoch permutation it would have had,
+    # and skip the batches of the partial epoch that were already trained
     loader._epoch = start_step // steps_per_epoch
+    skip_batches = start_step % steps_per_epoch
 
     for epoch in range(int(np.ceil(tcfg.num_train_epochs))):
         if stop or step >= total_steps:
             break
         for batch in prefetch_to_device(loader, size=2, put_fn=shard_fn):
+            if skip_batches > 0:
+                skip_batches -= 1
+                continue
             if stop or step >= total_steps:
                 break
             state, metrics = step_fn(state, batch)
