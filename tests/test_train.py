@@ -244,3 +244,31 @@ class TestCheckpoint:
 
 
 
+
+
+class TestOptStateResume:
+    def test_opt_state_roundtrip(self, tmp_path):
+        """Adam moments and the schedule count survive save/load (resume must
+        not silently re-warm the LR)."""
+        import jax
+
+        cfg = tiny_test_config(n_audio_layers=1, n_text_layers=1, d_model=8,
+                               n_heads=1)
+        params = init_params(cfg, 0)
+        opt = make_optimizer(peak_lr=1e-3, warmup_steps=0, total_steps=100)
+        state = init_train_state(params, opt)
+        # fabricate a nontrivial opt state by applying a step on dummy grads
+        grads = jax.tree.map(lambda a: jnp.ones_like(a) * 0.01, params)
+        updates, opt_state = opt.update(grads, state.opt_state, params)
+        save_checkpoint(str(tmp_path), 7, params, opt_state=opt_state,
+                        metadata={"eval_wer": 1.0})
+        template = opt.init(params)
+        _, restored, _ = load_checkpoint(
+            str(tmp_path) + "/checkpoint-7", opt_state_template=template
+        )
+        assert restored is not None
+        orig_leaves = jax.tree.leaves(opt_state)
+        rest_leaves = jax.tree.leaves(restored)
+        assert len(orig_leaves) == len(rest_leaves)
+        for a, b in zip(orig_leaves, rest_leaves):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -46,17 +46,6 @@ class BeamResult(NamedTuple):
     best: jax.Array     # (B, max_new) best beam per batch row
 
 
-def _gather_beams(tree, idx):
-    """Gather along the beam axis. idx: (B, K) into axis 1 of (B, K, ...)."""
-
-    def g(a):
-        return jnp.take_along_axis(
-            a, idx.reshape(idx.shape + (1,) * (a.ndim - 2)), axis=1
-        )
-
-    return jax.tree.map(g, tree)
-
-
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "num_beams", "max_new", "eot_id", "bias_boost",
