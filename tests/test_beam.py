@@ -242,3 +242,67 @@ class TestLongForm:
                             jnp.asarray(mask), max_new=6)
         want = np.asarray(ref.tokens)[0, : int(np.asarray(ref.lengths)[0])].tolist()
         assert outs[0] == want
+
+
+class TestBiasScoreRollback:
+    """Score-exact shallow fusion: failed partial matches net zero bonus."""
+
+    def test_adjust_accounting(self):
+        from whisper_context_biasing_tpu.decode.bias_processor import (
+            advance_bias_state, bias_score_adjust, init_bias_state,
+        )
+
+        spans = jnp.asarray([[[7, 8, 9]]], jnp.int32)
+        boost = 2.0
+        st = init_bias_state(spans)
+        # fresh state: expected token 7 gets +boost, others 0
+        adj = np.asarray(bias_score_adjust(st, spans, 50, boost))
+        assert adj[0, 7] == pytest.approx(boost)
+        assert adj[0, 3] == pytest.approx(0.0)
+
+        st = advance_bias_state(st, spans, jnp.asarray([7]))  # matched=1
+        adj = np.asarray(bias_score_adjust(st, spans, 50, boost))
+        # extending (token 8): -pending(2.0) + (1+1)*2.0 = +2.0
+        assert adj[0, 8] == pytest.approx(boost)
+        # breaking (token 3): -pending = -2.0 (retracts the earlier credit)
+        assert adj[0, 3] == pytest.approx(-boost)
+
+        st = advance_bias_state(st, spans, jnp.asarray([8]))  # matched=2
+        adj = np.asarray(bias_score_adjust(st, spans, 50, boost))
+        assert adj[0, 9] == pytest.approx(boost)      # completes: net 3*boost total
+        assert adj[0, 3] == pytest.approx(-2 * boost)  # fails: net 0 total
+
+    def test_cumulative_bonus_telescopes(self):
+        """Sum of adjustments along a path = boost*len for completion, 0 for
+        a path that breaks mid-span."""
+        from whisper_context_biasing_tpu.decode.bias_processor import (
+            advance_bias_state, bias_score_adjust, init_bias_state,
+        )
+
+        spans = jnp.asarray([[[7, 8, 9]]], jnp.int32)
+        boost = 1.5
+
+        def walk(tokens):
+            st = init_bias_state(spans)
+            total = 0.0
+            for t in tokens:
+                adj = np.asarray(bias_score_adjust(st, spans, 50, boost))
+                total += float(adj[0, t])
+                st = advance_bias_state(st, spans, jnp.asarray([t]))
+            return total
+
+        assert walk([7, 8, 9]) == pytest.approx(3 * boost)   # full span
+        assert walk([7, 8, 3]) == pytest.approx(0.0)          # breaks at the end
+        assert walk([7, 3]) == pytest.approx(0.0)             # breaks early
+        assert walk([3, 4]) == pytest.approx(0.0)             # never starts
+
+    def test_beam_still_steered(self, setup):
+        cfg, params, mel = setup
+        span = [321, 654]
+        spans = np.full((2, 1, 2), EOT, np.int32)
+        spans[0, 0] = span
+        ids, mask = pack_prefixes([[50257], [50257]], EOT)
+        res = beam_decode(params, cfg, jnp.asarray(mel), jnp.asarray(ids),
+                          jnp.asarray(mask), num_beams=2, max_new=4,
+                          bias_spans=jnp.asarray(spans), bias_boost=1e6)
+        assert np.asarray(res.best)[0, :2].tolist() == span

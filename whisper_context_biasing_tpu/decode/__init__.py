@@ -5,7 +5,9 @@ from .bias_processor import (
     BiasTrieState,
     advance_bias_state,
     bias_bonus,
+    bias_score_adjust,
     init_bias_state,
+    sanitize_bias_spans,
 )
 from .greedy import GreedyResult, decode_batch, greedy_decode, pack_prefixes
 from .beam import BeamResult, beam_decode, beam_decode_batch
@@ -15,6 +17,8 @@ __all__ = [
     "BiasTrieState",
     "init_bias_state",
     "bias_bonus",
+    "bias_score_adjust",
+    "sanitize_bias_spans",
     "advance_bias_state",
     "GreedyResult",
     "greedy_decode",

@@ -31,7 +31,7 @@ from ..models.whisper import (
 from .bias_processor import (
     BiasTrieState,
     advance_bias_state,
-    bias_bonus,
+    bias_score_adjust,
     init_bias_state,
     sanitize_bias_spans,
 )
@@ -114,10 +114,12 @@ def beam_decode(
         bias_state = advance_bias_state(bias_state, spans_tiled, prefix_tiled[:, -1])
 
     def step_logprobs(step_logits, state, finished):
-        """(B*K, V) masked log-probs for candidate expansion."""
+        """(B*K, V) masked log-probs for candidate expansion. Biasing uses
+        score-exact shallow fusion: completed spans net +boost*len, failed
+        partial matches net exactly 0 (bias_score_adjust docstring)."""
         lp = jax.nn.log_softmax(step_logits.astype(jnp.float32), axis=-1)
         if use_bias:
-            lp = lp + bias_bonus(state, spans_tiled, v, bias_boost)
+            lp = lp + bias_score_adjust(state, spans_tiled, v, bias_boost)
         # finished beams may only emit eot, at zero incremental cost
         frozen = jnp.full_like(lp, NEG_INF).at[:, eot_id].set(0.0)
         return jnp.where(finished[:, None], frozen, lp)

@@ -73,6 +73,40 @@ def bias_bonus(
     return bonus
 
 
+def bias_score_adjust(
+    state: BiasTrieState,
+    bias_spans: jax.Array,  # (B, N, K)
+    vocab_size: int,
+    boost: float,
+) -> jax.Array:
+    """Score-exact shallow fusion for beam search: per-candidate-token score
+    adjustment (B, V) such that a beam's ACCUMULATED bias bonus is
+    ``boost * len(span)`` for every completed span and exactly 0 for partial
+    matches that later fail.
+
+    adjust[v] = -boost * pending + boost * (matched_n + 1) for every span n
+    whose next expected token is v, where pending = sum of matched prefix
+    lengths. Choosing a token that extends span n keeps its pending credit
+    and adds one step; any other token retracts the credit of every span it
+    breaks. (Greedy decoding keeps the simpler prospective ``bias_bonus`` —
+    emitted tokens can't be retracted.)"""
+    b, n, k = bias_spans.shape
+    next_idx = jnp.minimum(state.matched, k - 1)
+    next_tok = jnp.take_along_axis(bias_spans, next_idx[..., None], axis=-1)[..., 0]
+    active = (state.matched < state.span_len) & (state.span_len > 0)
+
+    pending = jnp.sum(state.matched, axis=-1).astype(jnp.float32) * boost  # (B,)
+    rows = jnp.broadcast_to(jnp.arange(b, dtype=jnp.int32)[:, None], (b, n))
+    relief_vals = jnp.where(
+        active, (state.matched + 1).astype(jnp.float32) * boost, 0.0
+    )
+    safe_tok = jnp.where(active, next_tok, 0)
+    relief = jnp.zeros((b, vocab_size), jnp.float32).at[
+        rows.reshape(-1), safe_tok.reshape(-1)
+    ].add(relief_vals.reshape(-1))
+    return relief - pending[:, None]
+
+
 def advance_bias_state(
     state: BiasTrieState,
     bias_spans: jax.Array,  # (B, N, K)
