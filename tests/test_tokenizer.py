@@ -177,3 +177,27 @@ class TestVocabFiles:
         t = load_tokenizer(str(tj))
         assert t.convert_tokens_to_ids("<|startoftranscript|>") == 50257
         assert t.encode("he", add_special_tokens=False) == [256]
+
+
+class TestTimestampSegments:
+    def test_segments(self, tok):
+        ts = tok.timestamp_begin
+        text1 = tok.encode("hello there", add_special_tokens=False)
+        text2 = tok.encode("next part", add_special_tokens=False)
+        ids = [50257, ts + 0] + text1 + [ts + 50, ts + 50] + text2 + [ts + 100, 50256]
+        segs = tok.split_timestamp_segments(ids)
+        assert len(segs) == 2
+        (s0, e0, t0), (s1, e1, t1) = segs
+        assert (s0, e0, t0) == (0.0, 1.0, "hello there")
+        assert (s1, e1, t1) == (1.0, 2.0, "next part")
+
+    def test_timestamp_value(self, tok):
+        assert tok.timestamp_value(tok.timestamp_begin) == 0.0
+        assert tok.timestamp_value(tok.timestamp_begin + 1500) == pytest.approx(30.0)
+        assert tok.timestamp_value(100) is None
+
+    def test_unterminated_segment(self, tok):
+        ts = tok.timestamp_begin
+        ids = [ts + 10] + tok.encode("tail", add_special_tokens=False)
+        segs = tok.split_timestamp_segments(ids)
+        assert segs == [(0.2, None, "tail")]

@@ -183,6 +183,38 @@ class WhisperTokenizer:
     ) -> list[str]:
         return [self.decode(ids, skip_special_tokens=skip_special_tokens) for ids in batch]
 
+    def timestamp_value(self, token_id: int) -> float | None:
+        """Seconds encoded by a timestamp token, or None."""
+        i = int(token_id)
+        if self.timestamp_begin <= i < self.timestamp_begin + N_TIMESTAMP_TOKENS:
+            return (i - self.timestamp_begin) * 0.02
+        return None
+
+    def split_timestamp_segments(
+        self, ids: Iterable[int]
+    ) -> list[tuple[float, float | None, str]]:
+        """Split a timestamped token stream into (start_s, end_s, text)
+        segments (for models decoded with predict_timestamps)."""
+        segments: list[tuple[float, float | None, str]] = []
+        start: float | None = None
+        buf: list[int] = []
+        for raw in ids:
+            t = self.timestamp_value(int(raw))
+            if t is None:
+                if not self.is_special(int(raw)) and int(raw) >= 0:
+                    buf.append(int(raw))
+                continue
+            if start is None:
+                start = t
+            elif buf:
+                segments.append((start, t, self.bpe.decode(buf)))
+                buf, start = [], None
+            else:
+                start = t
+        if buf:
+            segments.append((start or 0.0, None, self.bpe.decode(buf)))
+        return segments
+
 
 def load_tokenizer(
     vocab_path: str | None = None,
