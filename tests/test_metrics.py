@@ -193,3 +193,36 @@ class TestBaselineParity:
         r = compute_bias_wer_from_words(refs, preds, bias)
         assert r.bias_wer == pytest.approx(57.28744939271255, abs=1e-9)
         assert (r.total_distance, r.total_tokens) == (7358, 12844)
+
+
+class TestArtifactRoundtrip:
+    def test_score_predictions_artifact_parses_back(self, tmp_path):
+        """The refs_and_pred.txt written by the eval flow must roundtrip
+        through the B-WER parser (the reference couples C6 -> C7 this way)."""
+        from whisper_context_biasing_tpu.metrics import score_predictions
+        from whisper_context_biasing_tpu.tokenizer import load_tokenizer
+
+        tok = load_tokenizer()
+        labels = [tok.encode("take aspirin daily"), tok.encode("plain words")]
+        preds = [tok.encode("take aspirin", add_special_tokens=False),
+                 tok.encode("plain word", add_special_tokens=False)]
+        path = str(tmp_path / "rp.txt")
+        out = score_predictions(preds, labels, tok, refs_pred_file=path)
+        assert out["wer"] > 0
+        refs, hyps = parse_refs_and_pred_file(path)
+        # the parser strips (reference semantics); the file itself carries
+        # the normalizer's trailing spaces
+        assert refs == ["take aspirin daily", "plain words"]
+        assert hyps == ["take aspirin", "plain word"]
+
+    def test_ignore_segment_rows_dropped(self):
+        from whisper_context_biasing_tpu.metrics import score_predictions
+        from whisper_context_biasing_tpu.tokenizer import load_tokenizer
+
+        tok = load_tokenizer()
+        labels = [tok.encode("ignore_time_segment_in_scoring"),
+                  tok.encode("real words")]
+        preds = [tok.encode("whatever", add_special_tokens=False),
+                 tok.encode("real words", add_special_tokens=False)]
+        out = score_predictions(preds, labels, tok)
+        assert out["wer"] == 0.0  # the ignore row is excluded entirely
