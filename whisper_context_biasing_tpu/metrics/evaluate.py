@@ -61,6 +61,12 @@ def score_predictions(
         os.makedirs(os.path.dirname(refs_pred_file) or ".", exist_ok=True)
         with open(refs_pred_file, "w", encoding="utf-8") as f:
             for ref, pred in results:
+                # the reference writes "Pred:{pred}" and its parser slices
+                # column 6 — correct only because real-vocab decodes start
+                # with a space; pad when they don't so the artifact stays
+                # parser-safe (byte-identical for space-leading preds)
+                if not pred.startswith(" "):
+                    pred = " " + pred
                 f.write(f"Ref : {ref}\n")
                 f.write(f"Pred:{pred}\n\n")
 
