@@ -107,6 +107,8 @@ def main():
         decoder_start_token_id=tokenizer.sot,
         decoder_prev_token_id=tokenizer.sop,
         pad_to_multiple=32,
+        # match the decode/loss span_pad_id (eot); see scripts/train.py
+        bias_span_pad_id=tokenizer.eot,
     )
 
     test_jsonl = os.path.join(args.jsonl_data, "test.jsonl")

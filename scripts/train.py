@@ -95,6 +95,10 @@ def main():
         decoder_start_token_id=tokenizer.sot,
         decoder_prev_token_id=tokenizer.sop,
         pad_to_multiple=32,
+        # must match the loss's span_pad_id (cfg.pad_token_id == eot): for
+        # multilingual models eot is 50257, not the .en default 50256 —
+        # a mismatch silently disables WeightCE bias weighting
+        bias_span_pad_id=tokenizer.eot,
     )
 
     for phase in ("train", "dev", "test"):

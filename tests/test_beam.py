@@ -295,6 +295,28 @@ class TestBiasScoreRollback:
         assert walk([7, 8, 3]) == pytest.approx(0.0)          # breaks at the end
         assert walk([7, 3]) == pytest.approx(0.0)             # breaks early
         assert walk([3, 4]) == pytest.approx(0.0)             # never starts
+        # restart: a token that breaks the match but re-enters the span must
+        # carry the restart credit so completion still nets boost*len
+        assert walk([7, 7, 8, 9]) == pytest.approx(3 * boost)
+        assert walk([7, 8, 7, 8, 9]) == pytest.approx(3 * boost)
+        assert walk([7, 7, 3]) == pytest.approx(0.0)          # restart then fail
+
+    def test_restart_score_exact_len2(self):
+        """ADVICE r1: span [7,8] on '7 7 8' must accumulate exactly
+        boost*2 (was boost*1: restart at matched=1 granted no credit)."""
+        from whisper_context_biasing_tpu.decode.bias_processor import (
+            advance_bias_state, bias_score_adjust, init_bias_state,
+        )
+
+        spans = jnp.asarray([[[7, 8]]], jnp.int32)
+        boost = 1.0
+        st = init_bias_state(spans)
+        total = 0.0
+        for t in [7, 7, 8]:
+            adj = np.asarray(bias_score_adjust(st, spans, 50, boost))
+            total += float(adj[0, t])
+            st = advance_bias_state(st, spans, jnp.asarray([t]))
+        assert total == pytest.approx(2 * boost)
 
     def test_beam_still_steered(self, setup):
         cfg, params, mel = setup

@@ -84,15 +84,20 @@ def bias_score_adjust(
     ``boost * len(span)`` for every completed span and exactly 0 for partial
     matches that later fail.
 
-    adjust[v] = -boost * pending + boost * (matched_n + 1) for every span n
-    whose next expected token is v, where pending = sum of matched prefix
-    lengths. Choosing a token that extends span n keeps its pending credit
-    and adds one step; any other token retracts the credit of every span it
-    breaks. (Greedy decoding keeps the simpler prospective ``bias_bonus`` —
-    emitted tokens can't be retracted.)"""
+    adjust[v] = boost * Σ_n new_matched_n(v) − boost * Σ_n matched_n, where
+    new_matched_n(v) is exactly what ``advance_bias_state`` would produce on
+    emitting v: matched_n+1 if v extends span n, 1 if v (re)starts it, else 0.
+    Choosing a token that extends span n keeps its pending credit and adds
+    one step; a token that breaks a partial match but equals a span's first
+    token nets the restart credit of +boost against the retraction (so a span
+    completed after a restart still sums to exactly boost*len); any other
+    token retracts the credit of every span it breaks. (Greedy decoding keeps
+    the simpler prospective ``bias_bonus`` — emitted tokens can't be
+    retracted.)"""
     b, n, k = bias_spans.shape
     next_idx = jnp.minimum(state.matched, k - 1)
     next_tok = jnp.take_along_axis(bias_spans, next_idx[..., None], axis=-1)[..., 0]
+    first = bias_spans[..., 0]
     active = (state.matched < state.span_len) & (state.span_len > 0)
 
     pending = jnp.sum(state.matched, axis=-1).astype(jnp.float32) * boost  # (B,)
@@ -104,6 +109,14 @@ def bias_score_adjust(
     relief = jnp.zeros((b, vocab_size), jnp.float32).at[
         rows.reshape(-1), safe_tok.reshape(-1)
     ].add(relief_vals.reshape(-1))
+    # restart credit: when v == first[n] but v does not extend span n,
+    # advance_bias_state re-enters the span at matched=1 — credit boost*1.
+    # Gated off when first IS the extension token (already credited above).
+    restart = (state.span_len > 0) & ~(active & (next_tok == first))
+    safe_first = jnp.where(restart, first, 0)
+    relief = relief.at[rows.reshape(-1), safe_first.reshape(-1)].add(
+        jnp.where(restart, jnp.float32(boost), 0.0).reshape(-1)
+    )
     return relief - pending[:, None]
 
 

@@ -33,6 +33,7 @@ import numpy as np
 from ..data.collator import SpeechSeq2SeqCollator
 from ..data.prefetch import BatchLoader, prefetch_to_device
 from ..decode.beam import beam_decode
+from ..decode.bias_processor import sanitize_bias_spans
 from ..decode.greedy import greedy_decode, pack_prefixes
 from ..metrics.evaluate import score_predictions
 from ..models.config import WhisperConfig
@@ -112,13 +113,18 @@ def evaluate_wer(
         ids, mask = pack_prefixes(prefixes, tokenizer.eot)
         spans = None
         if bias_boost and "bias_spans" in batch:
-            spans = jnp.asarray(batch["bias_spans"])
+            # drop the collator's all-empty (B,1,1) zeros fallback — it is
+            # NOT a real length-1 span of token id 0
+            spans = sanitize_bias_spans(batch["bias_spans"])
+            if spans is not None:
+                spans = jnp.asarray(spans)
         if num_beams > 1:
             bres = beam_decode(
                 params, model_cfg, jnp.asarray(batch["input_features"]),
                 jnp.asarray(ids), jnp.asarray(mask),
                 num_beams=num_beams, max_new=max_new, eot_id=tokenizer.eot,
                 bias_spans=spans, bias_boost=bias_boost,
+                span_pad_id=collator.bias_span_pad_id,
             )
             toks = np.asarray(bres.best)
             lens = np.asarray(
@@ -130,6 +136,7 @@ def evaluate_wer(
                 jnp.asarray(ids), jnp.asarray(mask),
                 max_new=max_new, eot_id=tokenizer.eot,
                 bias_spans=spans, bias_boost=bias_boost,
+                span_pad_id=collator.bias_span_pad_id,
             )
             toks = np.asarray(res.tokens)
             lens = np.asarray(res.lengths)
