@@ -52,6 +52,10 @@ def parse_args():
     p.add_argument("--bias_words", nargs="*", default=None,
                    help="server-wide default bias words")
     p.add_argument("--bias_boost", type=float, default=0.0)
+    p.add_argument("--model_parallelism", type=int, default=1,
+                   help="tensor-parallel degree; with >1 device a "
+                        "(data, model) mesh shards the decode batch over "
+                        "'data' and the weights over 'model'")
     return p.parse_args()
 
 
@@ -95,6 +99,19 @@ class Engine:
             bias_span_pad_id=self.tokenizer.eot,
         )
 
+        # multi-chip serving: shard the weights once over a (data, model)
+        # mesh; decode batches are sharded per request in _run
+        import jax
+
+        self.mesh = None
+        n_dev = len(jax.devices())
+        if n_dev > 1 or args.model_parallelism > 1:
+            from whisper_context_biasing_tpu.parallel import make_mesh, shard_params
+
+            self.mesh = make_mesh(model_parallelism=args.model_parallelism)
+            self.params = shard_params(self.params, self.mesh)
+            print(f"mesh: {dict(self.mesh.shape)}", file=sys.stderr)
+
         self.q: queue.Queue = queue.Queue()
         threading.Thread(target=self._worker, daemon=True).start()
 
@@ -134,7 +151,8 @@ class Engine:
             (w if w is not None else default_words) for w in bias_word_lists
         ])
         kwargs = dict(contexts=ctx, max_new=self.args.max_tokens,
-                      bias_spans=spans, bias_boost=self.args.bias_boost)
+                      bias_spans=spans, bias_boost=self.args.bias_boost,
+                      mesh=self.mesh)
         if self.args.num_beams > 1:
             hyps = self.beam_decode_batch(self.params, self.cfg, tok, mel,
                                           num_beams=self.args.num_beams, **kwargs)

@@ -132,3 +132,38 @@ class TestShardedDecode:
                                 max_new=6)
             toks = np.asarray(out.tokens)
         np.testing.assert_array_equal(toks, ref_toks)
+
+    def test_decode_batch_mesh_uneven_with_bias(self, setup):
+        """decode_batch(mesh=...) pads an uneven batch to a dp multiple,
+        shards it, and returns exactly the single-device token lists."""
+        from whisper_context_biasing_tpu.decode import decode_batch
+        from whisper_context_biasing_tpu.tokenizer import load_tokenizer
+
+        cfg, params, batch = setup
+        tok = load_tokenizer(multilingual=True)
+        mel = batch["input_features"][:5]  # 5 rows, dp=4 -> pads to 8
+        spans = np.full((5, 2, 3), tok.eot, np.int32)
+        spans[0, 0, :2] = [7, 8]
+        ref = decode_batch(params, cfg, tok, mel, max_new=6,
+                           bias_spans=spans, bias_boost=0.5)
+
+        mesh = make_mesh(model_parallelism=2, devices=cpu_devices())
+        p_sh = shard_params(params, mesh)
+        out = decode_batch(p_sh, cfg, tok, mel, max_new=6,
+                           bias_spans=spans, bias_boost=0.5, mesh=mesh)
+        assert out == ref
+
+    def test_beam_decode_batch_mesh(self, setup):
+        from whisper_context_biasing_tpu.decode import beam_decode_batch
+        from whisper_context_biasing_tpu.tokenizer import load_tokenizer
+
+        cfg, params, batch = setup
+        tok = load_tokenizer(multilingual=True)
+        mel = batch["input_features"][:4]
+        ref = beam_decode_batch(params, cfg, tok, mel, num_beams=2, max_new=5)
+
+        mesh = make_mesh(model_parallelism=1, devices=cpu_devices())  # pure dp
+        p_sh = shard_params(params, mesh)
+        out = beam_decode_batch(p_sh, cfg, tok, mel, num_beams=2, max_new=5,
+                                mesh=mesh)
+        assert out == ref

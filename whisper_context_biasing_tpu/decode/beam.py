@@ -218,8 +218,10 @@ def beam_decode_batch(
     params, cfg, tokenizer, input_features: np.ndarray,
     contexts=None, num_beams: int = 5, max_new: int = 224,
     bias_spans=None, bias_boost: float = 0.0, length_penalty: float = 1.0,
+    mesh=None,
 ):
-    """Host-side convenience mirroring decode.greedy.decode_batch."""
+    """Host-side convenience mirroring decode.greedy.decode_batch.
+    ``mesh`` shards the batch axis over "data" (see decode_batch)."""
     from .greedy import pack_prefixes
 
     bsz = input_features.shape[0]
@@ -231,10 +233,20 @@ def beam_decode_batch(
                     for c in contexts]
     ids, mask = pack_prefixes(prefixes, tokenizer.eot)
     bias_spans = sanitize_bias_spans(bias_spans)
+    if mesh is not None:
+        from ..parallel import shard_decode_inputs
+
+        (feats, ids, mask, spans), bsz = shard_decode_inputs(
+            mesh, input_features, ids, mask, bias_spans
+        )
+    else:
+        feats = jnp.asarray(input_features)
+        ids, mask = jnp.asarray(ids), jnp.asarray(mask)
+        spans = None if bias_spans is None else jnp.asarray(bias_spans)
     res = beam_decode(
-        params, cfg, jnp.asarray(input_features), jnp.asarray(ids), jnp.asarray(mask),
+        params, cfg, feats, ids, mask,
         num_beams=num_beams, max_new=max_new, eot_id=tokenizer.eot,
-        bias_spans=None if bias_spans is None else jnp.asarray(bias_spans),
+        bias_spans=spans,
         bias_boost=bias_boost, length_penalty=length_penalty,
         span_pad_id=tokenizer.eot,
     )

@@ -216,10 +216,16 @@ def decode_batch(
     bias_boost: float = 0.0,
     include_notimestamps: bool = False,
     pad_to_multiple: int | None = None,
+    mesh=None,
 ) -> list[list[int]]:
     """Host-side convenience: build prefixes (reference-parity ``[<|sot|>]``
     start, optionally ``<|sop|> + context`` conditioning), run the jitted
-    greedy loop, and strip to finished token lists (without the prefix)."""
+    greedy loop, and strip to finished token lists (without the prefix).
+
+    ``mesh``: a ``jax.sharding.Mesh`` shards the decode batch axis over its
+    "data" axis (params should already be sharded with
+    ``parallel.shard_params``; batch is padded to a data-parallel multiple
+    and stripped on return)."""
     b = input_features.shape[0]
     start: list[int] = [tokenizer.sot]
     if include_notimestamps:
@@ -233,10 +239,20 @@ def decode_batch(
                     for c in contexts]
     ids, mask = pack_prefixes(prefixes, tokenizer.eot, pad_to_multiple=pad_to_multiple)
     bias_spans = sanitize_bias_spans(bias_spans)
+    if mesh is not None:
+        from ..parallel import shard_decode_inputs
+
+        (feats, ids, mask, spans), b = shard_decode_inputs(
+            mesh, input_features, ids, mask, bias_spans
+        )
+    else:
+        feats = jnp.asarray(input_features)
+        ids, mask = jnp.asarray(ids), jnp.asarray(mask)
+        spans = None if bias_spans is None else jnp.asarray(bias_spans)
     res = greedy_decode(
-        params, cfg, jnp.asarray(input_features), jnp.asarray(ids), jnp.asarray(mask),
+        params, cfg, feats, ids, mask,
         max_new=max_new, eot_id=tokenizer.eot,
-        bias_spans=None if bias_spans is None else jnp.asarray(bias_spans),
+        bias_spans=spans,
         bias_boost=bias_boost, span_pad_id=tokenizer.eot,
     )
     toks = np.asarray(res.tokens)

@@ -1,7 +1,13 @@
 """Parallelism layer: device mesh + GSPMD partition specs."""
 
 from .mesh import DATA_AXIS, MODEL_AXIS, data_sharding, make_mesh, replicated
-from .sharding import param_specs, shard_batch, shard_opt_state, shard_params
+from .sharding import (
+    param_specs,
+    shard_batch,
+    shard_decode_inputs,
+    shard_opt_state,
+    shard_params,
+)
 from .multihost import host_local_batch_slice, initialize_multihost
 
 __all__ = [
@@ -13,6 +19,7 @@ __all__ = [
     "param_specs",
     "shard_params",
     "shard_batch",
+    "shard_decode_inputs",
     "shard_opt_state",
     "initialize_multihost",
     "host_local_batch_slice",

@@ -74,6 +74,44 @@ def shard_batch(batch: dict, mesh: Mesh, extra_leading_axes: int = 0) -> dict:
     return jax.tree.map(put, batch)
 
 
+def shard_decode_inputs(
+    mesh: Mesh, *arrays, batch_axis: int = 0
+) -> tuple[list, int]:
+    """Shard decode-program inputs (mel features, prefix ids/mask, bias
+    spans) with the batch axis over "data", padding the batch up to a
+    data-parallel multiple by repeating the first row (GSPMD device_put
+    needs even shards; padded rows are stripped by the caller).
+
+    Returns ([sharded arrays], original_batch_size). ``None`` entries pass
+    through untouched. The reference's only batched-decode capability is HF
+    ``trainer.predict`` (scripts/evaluation.py:42) on one GPU; this is its
+    scale-out equivalent (SURVEY.md §2.3: batch-axis sharding over the mesh).
+    """
+    import numpy as np
+
+    dp = mesh.shape[DATA_AXIS]
+    sizes = {a.shape[batch_axis] for a in arrays if a is not None}
+    assert len(sizes) == 1, f"inconsistent batch sizes: {sizes}"
+    b = sizes.pop()
+    padded = ((b + dp - 1) // dp) * dp
+
+    out = []
+    for a in arrays:
+        if a is None:
+            out.append(None)
+            continue
+        a = np.asarray(a)
+        if padded != b:
+            reps = np.repeat(
+                np.take(a, [0], axis=batch_axis), padded - b, axis=batch_axis
+            )
+            a = np.concatenate([a, reps], axis=batch_axis)
+        spec = P(*([None] * batch_axis), DATA_AXIS,
+                 *([None] * (a.ndim - batch_axis - 1)))
+        out.append(jax.device_put(a, NamedSharding(mesh, spec)))
+    return out, b
+
+
 def shard_opt_state(opt_state: Any, params_sharded: Any, mesh: Mesh) -> Any:
     """Optimizer moments follow their parameter's sharding; scalar counts are
     replicated."""
