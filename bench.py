@@ -116,5 +116,30 @@ def main():
     }))
 
 
+def run_train_bench():
+    """Emit the training-throughput companion metric (bench_train.py) as an
+    extra JSON line. Runs in a subprocess so the train program's HBM is
+    released before the decode measurement; failures are non-fatal (the
+    headline decode RTF line must always print, and print LAST so last-line
+    parsers get it)."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_train.py")],
+            capture_output=True, text=True, timeout=1800,
+        )
+        for ln in r.stdout.splitlines():
+            if ln.startswith("{"):
+                print(ln)
+                return
+        print(f"bench_train produced no JSON line: {r.stderr[-400:]}", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        print(f"bench_train failed: {e}", file=sys.stderr)
+
+
 if __name__ == "__main__":
+    if os.environ.get("BENCH_TRAIN", "1") == "1":
+        run_train_bench()
     main()

@@ -44,6 +44,7 @@ def seq_logprob(params, cfg, mel_row, prefix, tokens):
     return total
 
 
+@pytest.mark.slow
 class TestBeam:
     def test_k1_equals_greedy(self, setup):
         cfg, params, mel = setup
@@ -183,6 +184,7 @@ class TestPrefetch:
             list(it)
 
 
+@pytest.mark.slow
 class TestLongForm:
     def test_split_windows(self):
         from whisper_context_biasing_tpu.decode import split_windows

@@ -52,6 +52,7 @@ def naive_greedy(params, cfg, mel, prefixes, max_new):
     return outs
 
 
+@pytest.mark.slow
 class TestGreedyEquivalence:
     def test_matches_naive_recompute(self, setup):
         cfg, params, mel = setup

@@ -141,6 +141,7 @@ class TestPadTrimAndIO:
         assert resample(x, 16000, 16000) is x
 
 
+@pytest.mark.slow
 class TestShortWindows:
     """Bucketed short-utterance serving: any hop-aligned window length."""
 

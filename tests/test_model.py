@@ -17,6 +17,7 @@ def enable_x64():
     finally:
         jax.config.update("jax_enable_x64", False)
 
+from whisper_context_biasing_tpu.decode.greedy import greedy_decode, pack_prefixes
 from whisper_context_biasing_tpu.models import (
     WhisperConfig,
     decode_tokens,
@@ -74,6 +75,7 @@ class TestEncoder:
         assert s.shape == (8, 4)
 
 
+@pytest.mark.slow
 class TestDecoderModes:
     def test_full_forward_shape(self, tiny):
         cfg, params = tiny
@@ -164,6 +166,7 @@ class TestDecoderModes:
         )
 
 
+@pytest.mark.slow
 class TestHFParity:
     """Diff our forward pass against HF's torch kernels with identical
     (randomly initialized) weights, both sides in float64 — any residual
@@ -227,3 +230,62 @@ class TestHFParity:
             emb = np.asarray(p64["decoder"]["token_emb"])
             theirs_logits = theirs @ emb.T
             np.testing.assert_allclose(np.asarray(logits), theirs_logits, atol=1e-9)
+
+
+@pytest.mark.slow
+class TestGenerateParity:
+    """Transcript-level bit-match vs the torch reference path: HF
+    ``model.generate`` (greedy, the reference's GenerationConfig setup with
+    cleared suppress lists, /root/reference/scripts/train.py:204-210) must
+    produce token-identical output to our while_loop greedy_decode on the
+    same weights and mel. Both sides f64 so argmax ties cannot flip on
+    rounding — any mismatch is a semantic divergence of the decode loop
+    (SURVEY.md §7 hard-parts: greedy path divergence is the north-star
+    bit-match risk)."""
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_greedy_transcripts_bit_match(self, seed):
+        import torch
+        from transformers import (
+            GenerationConfig,
+            WhisperConfig as HFConfig,
+            WhisperForConditionalGeneration,
+        )
+
+        hf_cfg = HFConfig(
+            vocab_size=51864, num_mel_bins=80, d_model=64,
+            encoder_layers=2, decoder_layers=2,
+            encoder_attention_heads=2, decoder_attention_heads=2,
+            encoder_ffn_dim=256, decoder_ffn_dim=256,
+            max_source_positions=64, max_target_positions=448,
+            decoder_start_token_id=50257, eos_token_id=50256,
+            pad_token_id=50256,
+        )
+        torch.manual_seed(seed)
+        hf = WhisperForConditionalGeneration(hf_cfg).double().eval()
+        gen = GenerationConfig(
+            max_length=24, use_cache=True, decoder_start_token_id=50257,
+            eos_token_id=50256, pad_token_id=50256,
+        )
+        gen.suppress_tokens = None
+        gen.begin_suppress_tokens = None
+        gen.forced_decoder_ids = None
+        hf.generation_config = gen
+
+        mel = _mel(2, seed=seed + 100, frames=128).astype(np.float64) * 0.5
+        with torch.no_grad():
+            theirs = hf.generate(
+                torch.tensor(mel), max_length=24, do_sample=False, num_beams=1
+            ).numpy()  # (B, 23): HF strips the decoder_start token
+
+        params, cfg = load_torch_model(hf)
+        cfg = WhisperConfig(**{**cfg.__dict__, "dtype": "float64", "n_audio_ctx": 64})
+        with enable_x64():
+            p64 = jax.tree.map(lambda a: jnp.asarray(np.asarray(a, np.float64)), params)
+            ids, mask = pack_prefixes([[50257]] * 2, 50256)
+            res = greedy_decode(
+                p64, cfg, jnp.asarray(mel), jnp.asarray(ids), jnp.asarray(mask),
+                max_new=23, eot_id=50256,
+            )
+            ours = np.asarray(res.tokens)
+        np.testing.assert_array_equal(ours, theirs)

@@ -25,6 +25,7 @@ def setup():
     return tok, cfg, params
 
 
+@pytest.mark.slow
 class TestMultilingual:
     def test_config_ids(self, setup):
         tok, cfg, _ = setup

@@ -64,6 +64,7 @@ class TestFusedMel:
         np.testing.assert_allclose(out[0], ref, atol=1e-4)
 
 
+@pytest.mark.slow
 class TestFlashAttentionVJP:
     def test_grads_match_xla(self):
         import jax
@@ -118,6 +119,7 @@ class TestFlashAttentionVJP:
         assert max(jax.tree.leaves(d)) < 1e-5
 
 
+@pytest.mark.slow
 class TestQuantizedCrossKV:
     def test_greedy_tokens_match_fp(self):
         import jax.numpy as jnp
@@ -156,6 +158,7 @@ class TestQuantizedCrossKV:
             assert err < 0.02 * mag + 0.01, (err, mag)
 
 
+@pytest.mark.slow
 class TestFusedDecodeStep:
     def test_matches_decode_tokens(self):
         import jax.numpy as jnp
@@ -199,6 +202,7 @@ class TestFusedDecodeStep:
         np.testing.assert_array_equal(np.asarray(a.tokens), np.asarray(b.tokens))
 
 
+@pytest.mark.slow
 class TestQuantizedDecoderWeights:
     def test_greedy_tokens_match_fp(self):
         import jax.numpy as jnp

@@ -53,6 +53,7 @@ class TestSpecs:
         assert specs["encoder"]["conv1"]["w"] == P()
 
 
+@pytest.mark.slow
 class TestTensorParallelParity:
     @pytest.mark.parametrize("model_par", [2, 4])
     def test_forward_matches_single_device(self, setup, model_par):
@@ -77,6 +78,7 @@ class TestTensorParallelParity:
         np.testing.assert_allclose(out, ref, atol=2e-3)
 
 
+@pytest.mark.slow
 class TestDistributedTrainStep:
     def test_dp_tp_step(self, setup):
         cfg, params, batch = setup
@@ -110,6 +112,7 @@ class TestDistributedTrainStep:
         assert np.isfinite(float(metrics["loss"]))
 
 
+@pytest.mark.slow
 class TestShardedDecode:
     def test_dp_greedy_decode_matches_single_device(self, setup):
         """Serving path: batch-sharded greedy decode under the mesh must

@@ -157,6 +157,7 @@ class TestSchedule:
         assert float(sched(500)) < 1e-5
 
 
+@pytest.mark.slow
 class TestTrainStep:
     @pytest.fixture(scope="class")
     def tiny_batch(self):
@@ -212,6 +213,7 @@ class TestTrainStep:
         assert max(jax.tree.leaves(d)) < 1e-5
 
 
+@pytest.mark.slow
 class TestCheckpoint:
     def test_roundtrip(self, tmp_path):
         cfg = tiny_test_config()
@@ -246,6 +248,7 @@ class TestCheckpoint:
 
 
 
+@pytest.mark.slow
 class TestOptStateResume:
     def test_opt_state_roundtrip(self, tmp_path):
         """Adam moments and the schedule count survive save/load (resume must

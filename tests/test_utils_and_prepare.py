@@ -174,6 +174,7 @@ class TestMultihost:
         assert stop - start == 8  # single process owns the whole batch
 
 
+@pytest.mark.slow
 class TestMelOnDeviceTraining:
     def test_audio_batch_train_step(self):
         import jax.numpy as jnp

@@ -44,6 +44,9 @@ class SpeechSeq2SeqCollator:
     pad_to_multiple: int | None = None
     max_target_length: int | None = None
     max_spans: tuple[int, int] | None = None  # (max_n_spans, max_span_len), static
+    # bucket dynamic span dims to a multiple so decode/serving paths reuse a
+    # handful of compiled programs instead of one per distinct (N, K)
+    span_pad_multiple: int | None = None
     # multilingual models: pass tokenizer.eot (50257); default is the .en
     # layout's eot (the reference's hardcoded 50256 contract)
     bias_span_pad_id: int = BIAS_SPAN_PAD_ID
@@ -106,6 +109,10 @@ class SpeechSeq2SeqCollator:
     def pad_bias_spans(self, raw_spans: Sequence[Sequence[Sequence[int]]]) -> np.ndarray:
         max_span_len = max((len(s) for sample in raw_spans for s in sample), default=0)
         max_n_spans = max((len(sample) for sample in raw_spans), default=0)
+        if self.span_pad_multiple and max_span_len > 0:
+            m = self.span_pad_multiple
+            max_span_len = ((max_span_len + m - 1) // m) * m
+            max_n_spans = ((max_n_spans + m - 1) // m) * m
         if self.max_spans is not None:
             static_n, static_k = self.max_spans
             if max_n_spans > static_n or max_span_len > static_k:

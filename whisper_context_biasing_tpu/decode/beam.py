@@ -194,7 +194,9 @@ def beam_decode(
         cache, state, pos = reorder(cache, c.bias_state, c.pos, beam_idx)
         fin = jnp.take_along_axis(c.finished.reshape(b, k), beam_idx, axis=1)
         out = jnp.take_along_axis(c.out, beam_idx[:, :, None], axis=1)
-        out = jax.lax.dynamic_update_slice(out, token[:, :, None], (0, 0, c.t))
+        out = jax.lax.dynamic_update_slice(
+            out, token[:, :, None], (jnp.int32(0), jnp.int32(0), c.t)
+        )
         token_flat = token.reshape(b * k)
         finished = fin.reshape(b * k) | (token_flat == eot_id)
         if use_bias:

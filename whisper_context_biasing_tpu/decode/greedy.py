@@ -193,7 +193,7 @@ def greedy_decode(
         key, sub = jax.random.split(c.key)
         nxt = pick(step_lg, c.bias_state, sub)
         nxt = jnp.where(c.finished, eot_id, nxt)
-        out = jax.lax.dynamic_update_slice(c.out, nxt[:, None], (0, c.t))
+        out = jax.lax.dynamic_update_slice(c.out, nxt[:, None], (jnp.int32(0), c.t))
         finished = c.finished | (nxt == eot_id)
         bs = advance_bias_state(c.bias_state, bias_spans, nxt) if use_bias else c.bias_state
         return Carry(c.t + 1, nxt, c.pos + 1, cache, out, finished, bs, key)

@@ -30,6 +30,10 @@ class WhisperConfig:
     # flash_interpret runs the kernel in interpreter mode (CPU tests)
     flash_attention: bool = False
     flash_interpret: bool = False
+    # q-block rows per Pallas grid cell. 256 is a safe default for the
+    # training backward kernels; decode-only configs can use 1536 (one block
+    # per head: whole 30 s window's scores stay in VMEM, ~9% faster fwd)
+    flash_block_q: int = 256
     # fused per-layer Pallas decode-step kernels (ops/decoder_step.py):
     # collapses ~25 XLA ops per layer-step into 3 kernels — decode is
     # per-op-overhead-bound at single-token shapes

@@ -227,7 +227,9 @@ def encode_audio(params: Params, cfg: WhisperConfig, mel: jax.Array) -> jax.Arra
         if cfg.flash_attention:
             from ..ops.flash_attention import flash_attention
 
-            att = flash_attention(q, k, v, cfg.n_heads, interpret=cfg.flash_interpret)
+            att = flash_attention(q, k, v, cfg.n_heads,
+                                  block_q=cfg.flash_block_q,
+                                  interpret=cfg.flash_interpret)
         else:
             att = attention(q, k, v, cfg.n_heads)
         h = h + _proj(att, blk["attn"]["wo"], blk["attn"]["bo"])
@@ -427,11 +429,15 @@ def decode_tokens(
             q = _proj(a, blk["sa"]["wq"], blk["sa"]["bq"])
             k_new = _proj(a, blk["sa"]["wk"])
             v_new = _proj(a, blk["sa"]["wv"], blk["sa"]["bv"])
+            # index dtypes must agree even under jax_enable_x64 (traced
+            # pos_offset is int32; bare 0 literals would become int64)
+            zero = jnp.int32(0)
+            off = jnp.asarray(pos_offset, jnp.int32)
             ck_upd = jax.lax.dynamic_update_slice(
-                blk["cache_k"], k_new.astype(blk["cache_k"].dtype), (0, pos_offset, 0)
+                blk["cache_k"], k_new.astype(blk["cache_k"].dtype), (zero, off, zero)
             )
             cv_upd = jax.lax.dynamic_update_slice(
-                blk["cache_v"], v_new.astype(blk["cache_v"].dtype), (0, pos_offset, 0)
+                blk["cache_v"], v_new.astype(blk["cache_v"].dtype), (zero, off, zero)
             )
             h = h + _proj(
                 attention(q, ck_upd.astype(dt), cv_upd.astype(dt), cfg.n_heads, attn_mask),
