@@ -26,7 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
-BATCH = int(os.environ.get("BENCH_BATCH", "16"))
+BATCH = int(os.environ.get("BENCH_BATCH", "64"))
 DECODE_TOKENS = int(os.environ.get("BENCH_TOKENS", "32"))
 MODEL = os.environ.get("BENCH_MODEL", "small")
 ITERS = int(os.environ.get("BENCH_ITERS", "5"))
@@ -49,9 +49,14 @@ def main():
     from whisper_context_biasing_tpu.decode.greedy import greedy_decode
     from whisper_context_biasing_tpu.models import get_config, init_params
 
+    quant_kv = os.environ.get("BENCH_QUANT_KV", "1") == "1"
     cfg = get_config(MODEL, dtype="bfloat16", flash_attention=FLASH,
-                     fused_decode_step=os.environ.get("BENCH_FUSED_STEP", "0") == "1",
-                     quantize_cross_kv=os.environ.get("BENCH_QUANT_KV", "1") == "1")
+                     flash_block_q=1536 if FLASH else 256,
+                     quantize_cross_kv=quant_kv,
+                     # Pallas per-batch-row int8 cross attention: fixes the
+                     # batch>=32 VMEM spill (docs/PERF.md round 2)
+                     fused_quant_cross=quant_kv and
+                     os.environ.get("BENCH_FUSED_QCROSS", "1") == "1")
     params = init_params(cfg, 0)
     params = jax.tree.map(
         lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, params

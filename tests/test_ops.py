@@ -136,6 +136,47 @@ class TestQuantizedCrossKV:
         # int8 K/V perturbs logits ~0.4%; greedy paths agree on random models
         np.testing.assert_array_equal(np.asarray(a.tokens), np.asarray(b.tokens))
 
+    def test_fused_kernel_matches_xla_quant_path(self):
+        """ops/quant_cross_attention (interpret mode) == the XLA
+        _attention_quant_cross path, single-token query."""
+        import jax.numpy as jnp
+        from whisper_context_biasing_tpu.models.whisper import (
+            _attention_quant_cross, quantize_cross_kv,
+        )
+        from whisper_context_biasing_tpu.ops.quant_cross_attention import (
+            quant_cross_attention_step,
+        )
+
+        rng = np.random.default_rng(2)
+        L, B, T, D, H = 1, 3, 200, 128, 4  # T pads 200 -> 256
+        k = jnp.asarray(rng.standard_normal((L, B, T, D)).astype(np.float32))
+        v = jnp.asarray(rng.standard_normal((L, B, T, D)).astype(np.float32))
+        q = jnp.asarray(rng.standard_normal((B, 1, D)).astype(np.float32))
+        kv = {kk: vv[0] for kk, vv in quantize_cross_kv((k, v)).items()}
+        ref = _attention_quant_cross(q, kv, H)
+        got = quant_cross_attention_step(
+            q, kv["k_q"], kv["k_s"], kv["v_q"], kv["v_s"], H, interpret=True
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_fused_kernel_greedy_tokens_match(self):
+        """End-to-end: greedy decode with fused_quant_cross (interpret) ==
+        plain quantized decode."""
+        import jax.numpy as jnp
+        from whisper_context_biasing_tpu.decode import greedy_decode, pack_prefixes
+
+        cfgq = tiny_test_config(quantize_cross_kv=True)
+        cfgf = tiny_test_config(quantize_cross_kv=True, fused_quant_cross=True,
+                                flash_interpret=True)
+        params = init_params(cfgq, 0)
+        rng = np.random.default_rng(3)
+        mel = jnp.asarray((rng.standard_normal((2, 80, 128)) * 0.5).astype(np.float32))
+        ids, mask = pack_prefixes([[50257], [50257]], 50256)
+        a = greedy_decode(params, cfgq, mel, jnp.asarray(ids), jnp.asarray(mask), max_new=8)
+        b = greedy_decode(params, cfgf, mel, jnp.asarray(ids), jnp.asarray(mask), max_new=8)
+        np.testing.assert_array_equal(np.asarray(a.tokens), np.asarray(b.tokens))
+
     def test_quantization_error_bounded(self):
         import jax.numpy as jnp
         from whisper_context_biasing_tpu.models.whisper import (
@@ -156,50 +197,6 @@ class TestQuantizedCrossKV:
             err = float(jnp.max(jnp.abs(got - ref)))
             mag = float(jnp.max(jnp.abs(ref)))
             assert err < 0.02 * mag + 0.01, (err, mag)
-
-
-@pytest.mark.slow
-class TestFusedDecodeStep:
-    def test_matches_decode_tokens(self):
-        import jax.numpy as jnp
-        from whisper_context_biasing_tpu.models.whisper import (
-            decode_tokens, encode_audio, init_kv_cache, precompute_cross_kv,
-        )
-        from whisper_context_biasing_tpu.ops.decoder_step import fused_decode_step
-
-        cfg = tiny_test_config()
-        params = init_params(cfg, 0)
-        rng = np.random.default_rng(0)
-        mel = jnp.asarray((rng.standard_normal((2, 80, 128)) * 0.5).astype(np.float32))
-        enc = encode_audio(params, cfg, mel)
-        ckv = precompute_cross_kv(params, cfg, enc)
-        toks = jnp.asarray([[50257, 50362, 100, 200], [50257, 50362, 7, 8]], jnp.int32)
-        full, _ = decode_tokens(params, cfg, toks, cross_kv=ckv)
-
-        cache = init_kv_cache(cfg, 2, 8)
-        key_mask = jnp.ones((2, 8), bool)
-        for t in range(4):
-            lg, cache = fused_decode_step(
-                params, cfg, toks[:, t], jnp.full((2,), t, jnp.int32),
-                jnp.int32(t), cache, ckv, key_mask, interpret=True,
-            )
-            np.testing.assert_allclose(
-                np.asarray(lg), np.asarray(full[:, t]), atol=2e-4
-            )
-
-    def test_greedy_with_fused_step(self):
-        import jax.numpy as jnp
-        from whisper_context_biasing_tpu.decode import greedy_decode, pack_prefixes
-
-        cfg0 = tiny_test_config()
-        cfgf = tiny_test_config(fused_decode_step=True, flash_interpret=True)
-        params = init_params(cfg0, 0)
-        rng = np.random.default_rng(2)
-        mel = jnp.asarray((rng.standard_normal((2, 80, 128)) * 0.5).astype(np.float32))
-        ids, mask = pack_prefixes([[50360, 5, 50257], [50257]], 50256)
-        a = greedy_decode(params, cfg0, mel, jnp.asarray(ids), jnp.asarray(mask), max_new=6)
-        b = greedy_decode(params, cfgf, mel, jnp.asarray(ids), jnp.asarray(mask), max_new=6)
-        np.testing.assert_array_equal(np.asarray(a.tokens), np.asarray(b.tokens))
 
 
 @pytest.mark.slow

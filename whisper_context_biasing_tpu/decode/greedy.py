@@ -172,24 +172,12 @@ def greedy_decode(
         return (c.t < max_new) & ~jnp.all(c.finished)
 
     def body(c: Carry):
-        if cfg.fused_decode_step:
-            if cfg.quantize_cross_kv:
-                raise NotImplementedError(
-                    "fused_decode_step does not support quantize_cross_kv"
-                )
-            from ..ops.decoder_step import fused_decode_step
-
-            step_lg, cache = fused_decode_step(
-                params, cfg, c.cur, c.pos, p - 1 + c.t, c.cache, cross_kv,
-                key_mask, interpret=cfg.flash_interpret,
-            )
-        else:
-            lg, cache = decode_tokens(
-                params, cfg, c.cur[:, None], cross_kv=cross_kv, cache=c.cache,
-                pos_offset=p - 1 + c.t, token_positions=c.pos[:, None],
-                self_mask=key_mask,
-            )
-            step_lg = lg[:, -1]
+        lg, cache = decode_tokens(
+            params, cfg, c.cur[:, None], cross_kv=cross_kv, cache=c.cache,
+            pos_offset=p - 1 + c.t, token_positions=c.pos[:, None],
+            self_mask=key_mask,
+        )
+        step_lg = lg[:, -1]
         key, sub = jax.random.split(c.key)
         nxt = pick(step_lg, c.bias_state, sub)
         nxt = jnp.where(c.finished, eot_id, nxt)

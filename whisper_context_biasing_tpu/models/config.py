@@ -34,10 +34,11 @@ class WhisperConfig:
     # training backward kernels; decode-only configs can use 1536 (one block
     # per head: whole 30 s window's scores stay in VMEM, ~9% faster fwd)
     flash_block_q: int = 256
-    # fused per-layer Pallas decode-step kernels (ops/decoder_step.py):
-    # collapses ~25 XLA ops per layer-step into 3 kernels — decode is
-    # per-op-overhead-bound at single-token shapes
-    fused_decode_step: bool = False
+    # Pallas single-query int8 cross attention for the decode step
+    # (ops/quant_cross_attention.py): per-batch-row VMEM dequant, fixes the
+    # batch>=32 bf16-KV spill. Needs quantize_cross_kv; TPU or
+    # flash_interpret=True. Off by default so CPU paths stay Pallas-free.
+    fused_quant_cross: bool = False
     # int8 cross-attention K/V for decode: halves the dominant HBM traffic of
     # single-token steps (models/whisper.py:quantize_cross_kv)
     quantize_cross_kv: bool = False

@@ -258,22 +258,33 @@ def precompute_cross_kv(params: Params, cfg: WhisperConfig, enc_out: jax.Array):
     return jax.lax.map(per_layer, dec["cross_attn"])
 
 
-def quantize_cross_kv(cross_kv) -> dict:
+def quantize_cross_kv(cross_kv, pad_to: int = 128) -> dict:
     """Per-position int8 quantization of the cross-attention K/V.
 
     Single-token decode is HBM-bound on streaming the (L, B, Ta, D) cross K/V
     every step (~28 GB per whisper-small batch-16 decode call); int8 halves
-    that dominant traffic. Scales are per (layer, batch, position) rows and
-    fold EXACTLY into the attention einsums (scores scale by k_s[t]; p is
-    pre-scaled by v_s[t] before the value matmul), so no dequantized tensor is
-    ever materialized."""
+    that dominant traffic. Scales are per (layer, batch, position) rows,
+    stored lane-major as (L, B, 1, T), and fold EXACTLY into the attention
+    einsums (scores scale by k_s[t]; p is pre-scaled by v_s[t] before the
+    value matmul), so no dequantized tensor is ever materialized.
+
+    T is padded to a multiple of ``pad_to`` (Pallas lane tiling for
+    ops.quant_cross_attention) with ZERO scales — a zero k-scale marks a
+    padded position, and both attention paths mask on it."""
     k, v = cross_kv
+    t = k.shape[2]
+    t_pad = ((t + pad_to - 1) // pad_to) * pad_to if pad_to else t
 
     def q(x):
         xf = x.astype(jnp.float32)
         scale = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
         scale = jnp.maximum(scale, 1e-8)
-        return jnp.round(xf / scale).astype(jnp.int8), scale
+        xq = jnp.round(xf / scale).astype(jnp.int8)
+        scale = jnp.swapaxes(scale, -1, -2)  # (L, B, 1, T)
+        if t_pad != t:
+            xq = jnp.pad(xq, ((0, 0), (0, 0), (0, t_pad - t), (0, 0)))
+            scale = jnp.pad(scale, ((0, 0), (0, 0), (0, 0), (0, t_pad - t)))
+        return xq, scale
 
     k_q, k_s = q(k)
     v_q, v_s = q(v)
@@ -281,18 +292,24 @@ def quantize_cross_kv(cross_kv) -> dict:
 
 
 def _attention_quant_cross(q, kv, n_heads):
-    """Cross attention against int8 K/V (no mask needed: full audio ctx).
-    q: (B, S, D); kv leaves: (B, T, D)/(B, T, 1)."""
+    """Cross attention against int8 K/V.
+    q: (B, S, D); kv leaves: k_q/v_q (B, T_pad, D) int8, k_s/v_s (B, 1, T_pad)
+    f32 with ZERO scale marking padded audio positions (masked to -inf)."""
     dh = q.shape[-1] // n_heads
     qh = _split_heads(q, n_heads)
     kh = _split_heads(kv["k_q"].astype(q.dtype), n_heads)
     scores = jnp.einsum(
         "bqhd,bkhd->bhqk", qh, kh, preferred_element_type=jnp.float32
     )
-    scores = scores * (kv["k_s"][:, None, None, :, 0] / math.sqrt(dh))
+    k_s = kv["k_s"][:, None, :, :]  # (B, 1, 1, T_pad)
+    scores = jnp.where(
+        k_s > 0.0,
+        scores * (k_s / math.sqrt(dh)),
+        jnp.finfo(jnp.float32).min,
+    )
     w = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
     # fold the value scale into the probabilities
-    w = (w * kv["v_s"][:, None, None, :, 0]).astype(q.dtype)
+    w = (w * kv["v_s"][:, None, :, :]).astype(q.dtype)
     vh = _split_heads(kv["v_q"].astype(q.dtype), n_heads)
     out = jnp.einsum("bhqk,bkhd->bqhd", w, vh, preferred_element_type=jnp.float32)
     return _merge_heads(out.astype(q.dtype))
@@ -445,7 +462,18 @@ def decode_tokens(
             )
             c = layer_norm(h, blk["ca_ln"]["scale"], blk["ca_ln"]["bias"])
             cq = _proj(c, blk["ca"]["wq"], blk["ca"]["bq"])
-            if quantized_cross:
+            if quantized_cross and s == 1 and cfg.fused_quant_cross:
+                # Pallas kernel: per-batch-row dequant inside VMEM — avoids
+                # the whole-batch bf16 KV spill that made batch>=32 decode
+                # super-linear (docs/PERF.md round 2)
+                from ..ops.quant_cross_attention import quant_cross_attention_step
+
+                ckv = blk["ckv"]
+                catt = quant_cross_attention_step(
+                    cq, ckv["k_q"], ckv["k_s"], ckv["v_q"], ckv["v_s"],
+                    cfg.n_heads, interpret=cfg.flash_interpret,
+                )
+            elif quantized_cross:
                 catt = _attention_quant_cross(cq, blk["ckv"], cfg.n_heads)
             else:
                 catt = attention(cq, blk["ck"], blk["cv"], cfg.n_heads)
