@@ -4,9 +4,9 @@ The reference loads audio with ``librosa.load(path, sr=16000)``
 (data_utils/data_loader.py:170), i.e. decode -> mono downmix (channel mean) ->
 resample to 16 kHz -> float32 in [-1, 1]. This module provides the same
 contract without librosa: WAV via stdlib parsing, resampling via polyphase
-filtering (scipy), and a pluggable decoder hook for compressed formats (the
-corpus's .mp3 audio is stripped from the mirror; a decoder can be registered
-when one is available).
+filtering (scipy), and a pluggable decoder hook for compressed formats.
+``audio/mp3.py`` registers the corpus's ``.mp3`` format (libmpg123 binding)
+at package import; other formats can be added via ``EXTRA_DECODERS``.
 """
 
 from __future__ import annotations
