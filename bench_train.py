@@ -39,7 +39,11 @@ def main():
         init_train_state, make_optimizer, make_train_step,
     )
 
-    cfg = get_config(MODEL, dtype="bfloat16", flash_attention=os.environ.get("BENCH_FLASH", "1") == "1")
+    cfg = get_config(
+        MODEL, dtype="bfloat16",
+        flash_attention=os.environ.get("BENCH_FLASH", "1") == "1",
+        flash_decoder=os.environ.get("BENCH_FLASH_DEC", "1") == "1",
+    )
     params = init_params(cfg, 0)
     rng = np.random.default_rng(0)
 

@@ -45,6 +45,48 @@ class TestFlashAttention:
         out = np.asarray(encode_audio(params, cfg_f, mel))
         np.testing.assert_allclose(out, ref, atol=1e-4)
 
+    @pytest.mark.parametrize("t,block_q", [(256, 128), (300, 128), (200, 256)])
+    def test_causal_matches_reference(self, t, block_q):
+        rng = np.random.default_rng(4)
+        b, d, h = 2, 64, 2
+        q, k, v = (jnp.asarray(rng.standard_normal((b, t, d)).astype(np.float32))
+                   for _ in range(3))
+        mask = jnp.tril(jnp.ones((t, t), bool))[None, None]
+        ref = attention(q, k, v, h, mask)
+        out = flash_attention(q, k, v, h, causal=True, block_q=block_q,
+                              interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    @pytest.mark.parametrize("tq,tk", [(100, 384), (256, 300)])
+    def test_cross_shape_matches_reference(self, tq, tk):
+        """Tq != Tk (decoder cross-attention shape)."""
+        rng = np.random.default_rng(5)
+        b, d, h = 2, 64, 2
+        q = jnp.asarray(rng.standard_normal((b, tq, d)).astype(np.float32))
+        k = jnp.asarray(rng.standard_normal((b, tk, d)).astype(np.float32))
+        v = jnp.asarray(rng.standard_normal((b, tk, d)).astype(np.float32))
+        ref = attention(q, k, v, h)
+        out = flash_attention(q, k, v, h, block_q=128, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_decoder_full_seq_with_flash_matches_xla(self):
+        """Training-mode decoder forward (causal self-attn + cross-attn both
+        flash) matches the XLA path."""
+        from whisper_context_biasing_tpu.models import decode_tokens
+
+        cfg_x = tiny_test_config()
+        cfg_f = tiny_test_config(flash_attention=True, flash_interpret=True,
+                                 flash_decoder_min_seq=0)
+        params = init_params(cfg_x, 0)
+        rng = np.random.default_rng(6)
+        mel = jnp.asarray((rng.standard_normal((2, 80, 128)) * 0.4).astype(np.float32))
+        enc = encode_audio(params, cfg_x, mel)
+        toks = jnp.asarray(rng.integers(0, 1000, size=(2, 7)), jnp.int32)
+        ref, _ = decode_tokens(params, cfg_x, toks, enc_out=enc)
+        out, _ = decode_tokens(params, cfg_f, toks, enc_out=enc)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-4, rtol=1e-4)
+
 
 class TestFusedMel:
     def test_matches_numpy_reference(self):
@@ -86,6 +128,48 @@ class TestFlashAttentionVJP:
         for a, b_ in zip(gr, gf):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-6)
 
+    def test_causal_grads_match_xla(self):
+        import jax
+
+        rng = np.random.default_rng(7)
+        b, t, d, h = 2, 200, 64, 2
+        q, k, v = (jnp.asarray(rng.standard_normal((b, t, d)).astype(np.float32))
+                   for _ in range(3))
+        mask = jnp.tril(jnp.ones((t, t), bool))[None, None]
+
+        def loss_ref(q, k, v):
+            return jnp.sum(jnp.sin(attention(q, k, v, h, mask)))
+
+        def loss_fa(q, k, v):
+            return jnp.sum(jnp.sin(flash_attention(q, k, v, h, causal=True,
+                                                   block_q=128, interpret=True)))
+
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        gf = jax.grad(loss_fa, argnums=(0, 1, 2))(q, k, v)
+        for a, b_ in zip(gr, gf):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-6)
+
+    def test_cross_shape_grads_match_xla(self):
+        import jax
+
+        rng = np.random.default_rng(8)
+        b, tq, tk, d, h = 2, 100, 300, 64, 2
+        q = jnp.asarray(rng.standard_normal((b, tq, d)).astype(np.float32))
+        k = jnp.asarray(rng.standard_normal((b, tk, d)).astype(np.float32))
+        v = jnp.asarray(rng.standard_normal((b, tk, d)).astype(np.float32))
+
+        def loss_ref(q, k, v):
+            return jnp.sum(jnp.sin(attention(q, k, v, h)))
+
+        def loss_fa(q, k, v):
+            return jnp.sum(jnp.sin(flash_attention(q, k, v, h, block_q=128,
+                                                   interpret=True)))
+
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        gf = jax.grad(loss_fa, argnums=(0, 1, 2))(q, k, v)
+        for a, b_ in zip(gr, gf):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-6)
+
     def test_train_step_with_flash(self):
         """Full WeightCE train step differentiates through the flash kernel."""
         import jax
@@ -94,7 +178,8 @@ class TestFlashAttentionVJP:
             init_train_state, make_optimizer, make_train_step,
         )
 
-        cfg = tiny_test_config(flash_attention=True, flash_interpret=True)
+        cfg = tiny_test_config(flash_attention=True, flash_interpret=True,
+                               flash_decoder_min_seq=0)
         params = init_params(cfg, 0)
         rng = np.random.default_rng(0)
         batch = {

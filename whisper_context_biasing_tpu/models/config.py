@@ -34,6 +34,16 @@ class WhisperConfig:
     # training backward kernels; decode-only configs can use 1536 (one block
     # per head: whole 30 s window's scores stay in VMEM, ~9% faster fwd)
     flash_block_q: int = 256
+    # flash attention in the decoder's full-sequence (training) mode too:
+    # causal self-attn + cross-attn. Wins at long label sequences (prompted
+    # training, S -> 448) where the (B, H, S, 1500) cross scores are large;
+    # at short S the XLA path is faster (docs/PERF.md)
+    flash_decoder: bool = True
+    # static label-length threshold below which the decoder keeps the XLA
+    # attention path even with flash_decoder=True (measured crossover on
+    # v5e, docs/PERF.md: XLA wins at S=128, flash wins at S=448); tests
+    # override to 0 to exercise the kernels at tiny shapes
+    flash_decoder_min_seq: int = 256
     # Pallas single-query int8 cross attention for the decode step
     # (ops/quant_cross_attention.py): per-batch-row VMEM dequant, fixes the
     # batch>=32 bf16-KV spill. Needs quantize_cross_kv; TPU or

@@ -407,6 +407,24 @@ def decode_tokens(
         if quantized_cross:
             raise ValueError("quantized cross-KV is decode-only (cached mode)")
         causal = jnp.tril(jnp.ones((s, s), bool))[None, None]
+        if cfg.flash_attention and cfg.flash_decoder and s >= cfg.flash_decoder_min_seq:
+            from ..ops.flash_attention import flash_attention
+
+            def _self_attn(q, k, v):
+                return flash_attention(q, k, v, cfg.n_heads, causal=True,
+                                       block_q=min(cfg.flash_block_q, 256),
+                                       interpret=cfg.flash_interpret)
+
+            def _cross_attn(q, k, v):
+                return flash_attention(q, k, v, cfg.n_heads,
+                                       block_q=min(cfg.flash_block_q, 256),
+                                       interpret=cfg.flash_interpret)
+        else:
+            def _self_attn(q, k, v):
+                return attention(q, k, v, cfg.n_heads, causal)
+
+            def _cross_attn(q, k, v):
+                return attention(q, k, v, cfg.n_heads)
 
         def block(h, xs):
             blk = xs
@@ -414,10 +432,10 @@ def decode_tokens(
             q = _proj(a, blk["sa"]["wq"], blk["sa"]["bq"])
             k = _proj(a, blk["sa"]["wk"])
             v = _proj(a, blk["sa"]["wv"], blk["sa"]["bv"])
-            h = h + _proj(attention(q, k, v, cfg.n_heads, causal), blk["sa"]["wo"], blk["sa"]["bo"])
+            h = h + _proj(_self_attn(q, k, v), blk["sa"]["wo"], blk["sa"]["bo"])
             c = layer_norm(h, blk["ca_ln"]["scale"], blk["ca_ln"]["bias"])
             cq = _proj(c, blk["ca"]["wq"], blk["ca"]["bq"])
-            h = h + _proj(attention(cq, blk["ck"], blk["cv"], cfg.n_heads), blk["ca"]["wo"], blk["ca"]["bo"])
+            h = h + _proj(_cross_attn(cq, blk["ck"], blk["cv"]), blk["ca"]["wo"], blk["ca"]["bo"])
             m = layer_norm(h, blk["mlp_ln"]["scale"], blk["mlp_ln"]["bias"])
             h = h + _mlp(m, blk["mlp"]["w1"], blk["mlp"]["b1"], blk["mlp"]["w2"], blk["mlp"]["b2"])
             return h, None
