@@ -41,6 +41,18 @@ def parse_args():
     p.add_argument("--long", action="store_true",
                    help="long-form mode: sequential 30 s windows with history "
                         "conditioning (audio of any length)")
+    p.add_argument("--timestamps", action="store_true",
+                   help="long-form: timestamp-conditioned seeking (window "
+                        "advances to the last closed segment; straddling "
+                        "segments re-decoded whole) and <|t|> segment output")
+    p.add_argument("--temperatures", type=float, nargs="*",
+                   default=[0.0, 0.2, 0.4, 0.6, 0.8, 1.0],
+                   help="long-form fallback ladder; a window failing the "
+                        "quality checks retries at the next temperature")
+    p.add_argument("--compression_ratio_threshold", type=float, default=2.4)
+    p.add_argument("--logprob_threshold", type=float, default=-1.0,
+                   help="avg token logprob below this triggers fallback; "
+                        "pass nan to disable")
     p.add_argument("--json", action="store_true", help="machine-readable output")
     return p.parse_args()
 
@@ -98,11 +110,27 @@ def main():
             return np.asarray(log_mel_spectrogram_fused(_jnp.asarray(chunk),
                                                         n_mels=cfg.n_mels))
 
+        lp_thresh = args.logprob_threshold
+        if lp_thresh is not None and lp_thresh != lp_thresh:  # nan disables
+            lp_thresh = None
         hyps = transcribe_long_batch(params, cfg, tokenizer, raw, mel_fn=mel_fn,
                                      max_new=args.max_tokens, contexts=contexts,
-                                     bias_spans=spans, bias_boost=args.bias_boost)
+                                     bias_spans=spans, bias_boost=args.bias_boost,
+                                     use_timestamps=args.timestamps,
+                                     temperatures=tuple(args.temperatures),
+                                     compression_ratio_threshold=args.compression_ratio_threshold,
+                                     logprob_threshold=lp_thresh)
         wall = time.time() - t0
-        texts = [tokenizer.decode(h, skip_special_tokens=True).strip() for h in hyps]
+        if args.timestamps:
+            texts = []
+            for h in hyps:
+                segs = tokenizer.split_timestamp_segments(h)
+                texts.append(" ".join(
+                    f"[{a:.2f}-{('%.2f' % b_) if b_ is not None else '?'}]{t}"
+                    for a, b_, t in segs) or
+                    tokenizer.decode(h, skip_special_tokens=True).strip())
+        else:
+            texts = [tokenizer.decode(h, skip_special_tokens=True).strip() for h in hyps]
         audio_seconds = sum(len(a) for a in raw) / 16000
         for path, text in zip(args.audio, texts):
             print(json.dumps({"file": path, "text": text}) if args.json

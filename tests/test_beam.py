@@ -215,14 +215,17 @@ class TestLongForm:
         audios = [np.ones(3 * N_SAMPLES, np.float32) * 0.1,
                   np.ones(N_SAMPLES // 2, np.float32) * 0.2]
         outs = transcribe_long_batch(params, cfg, tok, audios, mel_fn=mel_fn,
-                                     max_new=4)
+                                     max_new=4, temperatures=(0.0,),
+                                     logprob_threshold=None)
         assert len(outs) == 2
         # file 0 saw 3 windows, file 1 only 1: outputs accumulated accordingly
         assert len(outs[0]) >= len(outs[1])
 
         # conditioning changes behavior vs no-conditioning (usually)
         outs_nc = transcribe_long_batch(params, cfg, tok, audios, mel_fn=mel_fn,
-                                        max_new=4, condition_on_previous=False)
+                                        max_new=4, condition_on_previous=False,
+                                        temperatures=(0.0,),
+                                        logprob_threshold=None)
         assert len(outs_nc) == 2
 
     def test_single_window_equals_plain_greedy(self, setup):
@@ -236,9 +239,13 @@ class TestLongForm:
         def mel_fn(chunk):
             return mel[:1]
 
+        # pin the fallback ladder off: random-model logprobs (~log 1/V)
+        # always trip logprob_threshold, which would switch to sampling
         outs = transcribe_long_batch(params, cfg, tok,
                                      [np.ones(N_SAMPLES, np.float32)],
-                                     mel_fn=mel_fn, max_new=6)
+                                     mel_fn=mel_fn, max_new=6,
+                                     temperatures=(0.0,),
+                                     logprob_threshold=None)
         ids, mask = pack_prefixes([[tok.sot]], EOT)
         ref = greedy_decode(params, cfg, jnp.asarray(mel[:1]), jnp.asarray(ids),
                             jnp.asarray(mask), max_new=6)

@@ -1,0 +1,259 @@
+"""Long-form robustness: timestamp-conditioned seeking, temperature
+fallback, repetition detection (decode/long_form.py).
+
+The seek/fallback control flow is driven through an injected ``decode_fn``
+(scripted outputs) so the tests are deterministic and model-free; the
+end-to-end path over the real greedy loop is covered in
+tests/test_beam.py::TestLongForm."""
+
+import numpy as np
+import jax
+import pytest
+
+from whisper_context_biasing_tpu.audio.mel import N_SAMPLES, SAMPLE_RATE
+from whisper_context_biasing_tpu.decode.greedy import GreedyResult
+from whisper_context_biasing_tpu.decode.long_form import (
+    compression_ratio,
+    timestamp_seek,
+    transcribe_long_batch,
+    window_quality_ok,
+)
+from whisper_context_biasing_tpu.models import init_params, tiny_test_config
+from whisper_context_biasing_tpu.tokenizer import load_tokenizer
+
+
+@pytest.fixture(scope="module")
+def tok():
+    return load_tokenizer()
+
+
+@pytest.fixture(scope="module")
+def model():
+    cfg = tiny_test_config()
+    return cfg, init_params(cfg, 0)
+
+
+def _result(rows, eot=50256, sum_logprob=None, width=16):
+    toks = np.full((len(rows), width), eot, np.int32)
+    lens = np.zeros(len(rows), np.int32)
+    for i, r in enumerate(rows):
+        toks[i, : len(r)] = r
+        lens[i] = len(r)
+    slp = (np.zeros(len(rows), np.float32) if sum_logprob is None
+           else np.asarray(sum_logprob, np.float32))
+    return GreedyResult(toks, lens, slp)
+
+
+def _enc(tok, text):
+    return tok.encode(text, add_special_tokens=False)
+
+
+def _ts(tok, seconds):
+    return tok.timestamp_begin + int(round(seconds / 0.02))
+
+
+class TestHeuristics:
+    def test_compression_ratio_flags_repetition(self):
+        loop = "the same words " * 40
+        normal = ("the patient was administered aspirin after presenting "
+                  "with acute chest pain and shortness of breath")
+        assert compression_ratio(loop) > 2.4
+        assert compression_ratio(normal) <= 2.4
+
+    def test_window_quality(self):
+        assert window_quality_ok("a normal sentence about medication", -0.3)
+        assert not window_quality_ok("word " * 200, -0.3)          # repetition
+        assert not window_quality_ok("a normal sentence", -2.5)    # low confidence
+        # thresholds disabled -> always accepted
+        assert window_quality_ok("word " * 200, -2.5,
+                                 compression_ratio_threshold=0.0,
+                                 logprob_threshold=None)
+
+    def test_timestamp_seek(self, tok):
+        words = _enc(tok, " hello there")
+        # closed segment then a trailing partial: keep through last timestamp,
+        # advance to its value
+        toks = [_ts(tok, 0.0)] + words + [_ts(tok, 12.5)] + _enc(tok, " partial")
+        kept, adv = timestamp_seek(toks, tok)
+        assert adv == pytest.approx(12.5)
+        assert kept == [_ts(tok, 0.0)] + words + [_ts(tok, 12.5)]
+        # no timestamps -> full-window advance, tokens untouched
+        kept, adv = timestamp_seek(words, tok)
+        assert adv is None and kept == words
+        # only a 0.0 timestamp -> cannot advance by 0: full window
+        kept, adv = timestamp_seek([_ts(tok, 0.0)] + words, tok)
+        assert adv is None
+
+
+class TestSeekLoop:
+    def test_timestamp_seek_recovers_straddling_segment(self, tok, model):
+        """Fixed 30 s windows split a sentence straddling the boundary; the
+        timestamp-conditioned path drops the partial tail, re-seeks to the
+        last closed segment, and decodes the sentence whole."""
+        cfg, params = model
+        full = _enc(tok, " the dose is fifty milligrams")
+        half_a, half_b = full[: len(full) // 2], full[len(full) // 2:]
+        first = _enc(tok, " take daily")
+
+        calls = []
+
+        def decode_fn(mel, ids, mask, temperature, key):
+            calls.append(ids.shape)
+            n = len(calls)
+            if n == 1:
+                # window at 0 s: closed segment [0, 20] + straddler's first half
+                row = ([_ts(tok, 0.0)] + first + [_ts(tok, 20.0)] + half_a)
+            elif n == 2:
+                # window re-seeked to 20 s: the straddling sentence, whole
+                row = [_ts(tok, 0.0)] + full + [_ts(tok, 9.0)]
+            else:
+                row = []
+            return _result([row], width=32)
+
+        audio = np.zeros(int(29.0 * SAMPLE_RATE), np.float32)
+        out = transcribe_long_batch(
+            params, cfg, tok, [audio], use_timestamps=True,
+            temperatures=(0.0,), decode_fn=decode_fn,
+            mel_fn=lambda c: np.zeros((c.shape[0], 80, 128), np.float32),
+        )[0]
+        text = tok.decode(out, skip_special_tokens=True)
+        # the partial " the dose is" tail from window 1 was dropped; the
+        # sentence appears exactly once, whole
+        assert text.count("the dose is fifty milligrams") == 1
+        assert tok.decode(half_a, skip_special_tokens=True) in text  # via window 2
+        assert len(calls) == 2  # 29 s audio: naive stride would stop after 1
+
+    def test_naive_windowing_splits_the_segment(self, tok, model):
+        """Control for the test above: same scripted decodes without
+        timestamp seeking emit the split halves."""
+        cfg, params = model
+        full = _enc(tok, " the dose is fifty milligrams")
+        half_a = full[: len(full) // 2]
+
+        def decode_fn(mel, ids, mask, temperature, key):
+            return _result([[_ts(tok, 0.0)] + _enc(tok, " take daily")
+                            + [_ts(tok, 20.0)] + half_a], width=32)
+
+        audio = np.zeros(int(29.0 * SAMPLE_RATE), np.float32)
+        out = transcribe_long_batch(
+            params, cfg, tok, [audio], use_timestamps=False,
+            temperatures=(0.0,), decode_fn=decode_fn,
+            mel_fn=lambda c: np.zeros((c.shape[0], 80, 128), np.float32),
+        )[0]
+        text = tok.decode(out, skip_special_tokens=True)
+        assert "the dose is fifty milligrams" not in text
+        assert tok.decode(half_a, skip_special_tokens=True) in text
+
+    def test_temperature_fallback_replaces_degenerate_window(self, tok, model):
+        """A repetition-loop decode at t=0 is rejected and the t=0.2 retry
+        (clean) is kept."""
+        cfg, params = model
+        loop_row = _enc(tok, " again") * 30
+        clean_row = _enc(tok, " the scan was clear")
+        temps_used = []
+
+        def decode_fn(mel, ids, mask, temperature, key):
+            temps_used.append(temperature)
+            return _result([loop_row if temperature == 0.0 else clean_row],
+                           width=256)
+
+        audio = np.zeros(N_SAMPLES // 2, np.float32)
+        out = transcribe_long_batch(
+            params, cfg, tok, [audio],
+            temperatures=(0.0, 0.2, 0.4), decode_fn=decode_fn,
+            mel_fn=lambda c: np.zeros((c.shape[0], 80, 128), np.float32),
+        )[0]
+        assert temps_used == [0.0, 0.2]  # ladder stopped at first acceptable
+        assert tok.decode(out, skip_special_tokens=True).strip() == "the scan was clear"
+
+    def test_low_logprob_triggers_fallback(self, tok, model):
+        cfg, params = model
+        row = _enc(tok, " maybe words")
+        temps_used = []
+
+        def decode_fn(mel, ids, mask, temperature, key):
+            temps_used.append(temperature)
+            # avg logprob -3 at t=0, -0.2 at t>0
+            slp = [-3.0 * (len(row) + 1)] if temperature == 0.0 else [-0.2 * (len(row) + 1)]
+            return _result([row], sum_logprob=slp, width=32)
+
+        audio = np.zeros(N_SAMPLES // 4, np.float32)
+        transcribe_long_batch(
+            params, cfg, tok, [audio],
+            temperatures=(0.0, 0.5), decode_fn=decode_fn,
+            mel_fn=lambda c: np.zeros((c.shape[0], 80, 128), np.float32),
+        )
+        assert temps_used == [0.0, 0.5]
+
+    def test_all_rungs_fail_keeps_last(self, tok, model):
+        cfg, params = model
+        loop_row = _enc(tok, " loop") * 40
+
+        def decode_fn(mel, ids, mask, temperature, key):
+            return _result([loop_row], width=256)
+
+        audio = np.zeros(N_SAMPLES // 4, np.float32)
+        out = transcribe_long_batch(
+            params, cfg, tok, [audio],
+            temperatures=(0.0, 1.0), decode_fn=decode_fn,
+            mel_fn=lambda c: np.zeros((c.shape[0], 80, 128), np.float32),
+        )[0]
+        assert out == loop_row  # degraded output still returned
+
+    def test_mixed_batch_files_finish_independently(self, tok, model):
+        """Timestamp seeking advances each file at its own rate."""
+        cfg, params = model
+        seg = _enc(tok, " ok")
+
+        def decode_fn(mel, ids, mask, temperature, key):
+            b = mel.shape[0]
+            return _result(
+                [[_ts(tok, 0.0)] + seg + [_ts(tok, 15.0)] for _ in range(b)],
+                width=32,
+            )
+
+        audios = [np.zeros(int(45 * SAMPLE_RATE), np.float32),  # 3 windows @15s
+                  np.zeros(int(10 * SAMPLE_RATE), np.float32)]  # 1 window
+        outs = transcribe_long_batch(
+            params, cfg, tok, audios, use_timestamps=True,
+            temperatures=(0.0,), decode_fn=decode_fn,
+            mel_fn=lambda c: np.zeros((c.shape[0], 80, 128), np.float32),
+        )
+        assert len(outs[0]) == 3 * len(outs[1])
+
+
+class TestGreedySumLogprob:
+    def test_greedy_returns_finite_logprobs(self, model):
+        import jax.numpy as jnp
+        from whisper_context_biasing_tpu.decode import greedy_decode, pack_prefixes
+
+        cfg, params = model
+        rng = np.random.default_rng(0)
+        mel = jnp.asarray((rng.standard_normal((2, 80, 128)) * 0.5).astype(np.float32))
+        ids, mask = pack_prefixes([[50257], [50257]], 50256)
+        res = greedy_decode(params, cfg, mel, jnp.asarray(ids), jnp.asarray(mask),
+                            max_new=8)
+        slp = np.asarray(res.sum_logprob)
+        assert slp.shape == (2,)
+        assert np.all(np.isfinite(slp)) and np.all(slp <= 0.0)
+        # avg logprob of an argmax path on a random model is high (peaked
+        # softmax is unlikely): just sanity-bound it
+        lens = np.asarray(res.lengths)
+        avg = slp / (lens + 1)
+        assert np.all(avg > -30.0)
+
+    def test_sampled_path_logprob_matches_choice(self, model):
+        """temperature>0: sum_logprob reflects the actually-sampled tokens."""
+        import jax.numpy as jnp
+        from whisper_context_biasing_tpu.decode import greedy_decode, pack_prefixes
+
+        cfg, params = model
+        rng = np.random.default_rng(1)
+        mel = jnp.asarray((rng.standard_normal((1, 80, 128)) * 0.5).astype(np.float32))
+        ids, mask = pack_prefixes([[50257]], 50256)
+        r1 = greedy_decode(params, cfg, mel, jnp.asarray(ids), jnp.asarray(mask),
+                           max_new=6, temperature=1.0, rng_key=jax.random.PRNGKey(7))
+        r2 = greedy_decode(params, cfg, mel, jnp.asarray(ids), jnp.asarray(mask),
+                           max_new=6, temperature=1.0, rng_key=jax.random.PRNGKey(7))
+        np.testing.assert_array_equal(np.asarray(r1.tokens), np.asarray(r2.tokens))
+        assert float(r1.sum_logprob[0]) == pytest.approx(float(r2.sum_logprob[0]))

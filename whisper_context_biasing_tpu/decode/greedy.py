@@ -41,6 +41,11 @@ from .bias_processor import (
 class GreedyResult(NamedTuple):
     tokens: jax.Array   # (B, max_new) int32, eot-padded after finish
     lengths: jax.Array  # (B,) int32 — number of tokens before (excl.) eot
+    sum_logprob: jax.Array | None = None  # (B,) f32 — summed logprob of the emitted tokens
+                            # (incl. the finishing eot); avg = sum/(length+1).
+                            # Used by long-form quality fallbacks
+                            # (decode/long_form.py), mirroring the avg_logprob
+                            # heuristic of OpenAI's long-form loop
 
 
 def pack_prefixes(
@@ -144,11 +149,16 @@ def greedy_decode(
         if use_bias:
             lg = lg + bias_bonus(state, bias_spans, v, bias_boost)
         if temperature > 0.0:
-            return jax.random.categorical(key, lg / temperature, axis=-1).astype(jnp.int32)
-        return jnp.argmax(lg, axis=-1).astype(jnp.int32)
+            nxt = jax.random.categorical(key, lg / temperature, axis=-1).astype(jnp.int32)
+        else:
+            nxt = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+        logp = jnp.take_along_axis(
+            jax.nn.log_softmax(lg, axis=-1), nxt[:, None], axis=1
+        )[:, 0]
+        return nxt, logp
 
     key0 = rng_key if rng_key is not None else jax.random.PRNGKey(0)
-    first_tok = pick(logits[:, -1], bias_state, key0)
+    first_tok, first_lp = pick(logits[:, -1], bias_state, key0)
 
     class Carry(NamedTuple):
         t: jax.Array
@@ -159,6 +169,7 @@ def greedy_decode(
         finished: jax.Array   # (B,) bool
         bias_state: BiasTrieState
         key: jax.Array
+        sum_lp: jax.Array     # (B,) f32
 
     out0 = jnp.full((b, max_new), eot_id, jnp.int32)
     finished0 = first_tok == eot_id
@@ -166,7 +177,7 @@ def greedy_decode(
     bias_state = advance_bias_state(bias_state, bias_spans, first_tok) if use_bias else bias_state
 
     init = Carry(jnp.int32(1), first_tok, next_pos, cache, out0, finished0,
-                 bias_state, key0)
+                 bias_state, key0, first_lp)
 
     def cond(c: Carry):
         return (c.t < max_new) & ~jnp.all(c.finished)
@@ -179,18 +190,19 @@ def greedy_decode(
         )
         step_lg = lg[:, -1]
         key, sub = jax.random.split(c.key)
-        nxt = pick(step_lg, c.bias_state, sub)
+        nxt, lp = pick(step_lg, c.bias_state, sub)
         nxt = jnp.where(c.finished, eot_id, nxt)
+        sum_lp = c.sum_lp + jnp.where(c.finished, 0.0, lp)
         out = jax.lax.dynamic_update_slice(c.out, nxt[:, None], (jnp.int32(0), c.t))
         finished = c.finished | (nxt == eot_id)
         bs = advance_bias_state(c.bias_state, bias_spans, nxt) if use_bias else c.bias_state
-        return Carry(c.t + 1, nxt, c.pos + 1, cache, out, finished, bs, key)
+        return Carry(c.t + 1, nxt, c.pos + 1, cache, out, finished, bs, key, sum_lp)
 
     final = jax.lax.while_loop(cond, body, init)
     lengths = jnp.sum(
         jnp.cumprod((final.out != eot_id).astype(jnp.int32), axis=1), axis=1
     )
-    return GreedyResult(final.out, lengths)
+    return GreedyResult(final.out, lengths, final.sum_lp)
 
 
 def decode_batch(

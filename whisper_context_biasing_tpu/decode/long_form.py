@@ -1,26 +1,46 @@
-"""Long-form (>30 s) transcription by sequential 30 s windows.
+"""Long-form (>30 s) transcription: sequential windows with robust seeking.
 
 The reference pads/trims every utterance to one 30 s window (its corpus is
 short clips); real deployments need arbitrary-length audio. This module
-implements Whisper-style sequential decoding: windows are transcribed in
-order and each window's decode is conditioned on the previous window's
-tokens through the same ``<|startofprev|>`` prompt mechanism the biasing
-stack already uses — so bias lists and long-form context compose.
+implements Whisper-style sequential decoding with the robustness machinery of
+OpenAI's long-form loop:
 
-Batched across files: the i-th windows of many files decode together in one
-XLA program; per-file histories ride the left-padded ragged-prefix support.
+  * **history conditioning** — each window's decode is conditioned on the
+    previous window's text through the same ``<|startofprev|>`` prompt
+    mechanism the biasing stack already uses, so bias lists and long-form
+    context compose;
+  * **timestamp-conditioned seeking** (``use_timestamps=True``) — the model
+    decodes with timestamp tokens enabled; the window advances to the last
+    *closed* segment boundary instead of a fixed 30 s, and the trailing
+    partial segment is dropped and re-decoded whole in the next window
+    (fixed-stride windowing splits any sentence that straddles a boundary);
+  * **temperature fallback** — a window whose transcript is degenerate
+    (zlib compression ratio above ``compression_ratio_threshold``) or
+    low-confidence (average token logprob below ``logprob_threshold``) is
+    re-decoded at increasing temperatures until it passes, mirroring the
+    (0.0, 0.2, ..., 1.0) ladder of the public Whisper decoder.
+
+Batched across files: the current windows of many files decode together in
+one XLA program; per-file histories ride the left-padded ragged-prefix
+support. Each distinct temperature compiles once (static jit arg) and is
+reused for every subsequent window/batch.
 """
 
 from __future__ import annotations
 
+import zlib
+from typing import Callable
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 
-from ..audio.mel import N_SAMPLES, log_mel_spectrogram_np
+from ..audio.mel import N_SAMPLES, SAMPLE_RATE, log_mel_spectrogram_np
 from ..models.config import WhisperConfig
-from .greedy import greedy_decode, pack_prefixes
+from .greedy import GreedyResult, greedy_decode, pack_prefixes
 
 MAX_PROMPT_TOKENS = 190  # the reference's desc-prompt truncation bound
+DEFAULT_TEMPERATURES = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0)
 
 
 def split_windows(audio: np.ndarray, window: int = N_SAMPLES) -> list[np.ndarray]:
@@ -36,6 +56,58 @@ def split_windows(audio: np.ndarray, window: int = N_SAMPLES) -> list[np.ndarray
     return out
 
 
+def compression_ratio(text: str) -> float:
+    """bytes(text) / bytes(zlib(text)): degenerate repetition compresses far
+    better than natural language (the public Whisper repetition heuristic)."""
+    data = text.encode("utf-8")
+    if not data:
+        return 0.0
+    return len(data) / len(zlib.compress(data))
+
+
+def window_quality_ok(
+    text: str,
+    avg_logprob: float | None,
+    *,
+    compression_ratio_threshold: float = 2.4,
+    logprob_threshold: float | None = -1.0,
+) -> bool:
+    """Accept a decoded window unless it looks like a repetition loop or is
+    uniformly low-confidence."""
+    if compression_ratio_threshold and compression_ratio(text) > compression_ratio_threshold:
+        return False
+    if (logprob_threshold is not None and avg_logprob is not None
+            and avg_logprob < logprob_threshold):
+        return False
+    return True
+
+
+def timestamp_seek(
+    tokens: list[int], tokenizer
+) -> tuple[list[int], float | None]:
+    """Timestamp-conditioned window advance.
+
+    Returns ``(kept_tokens, advance_seconds)``: tokens up to (and including)
+    the last timestamp token — the trailing partial segment is dropped so the
+    next window re-decodes it whole — and the seconds to advance the seek
+    point by (None = no usable timestamp, advance a full window)."""
+    last_idx = -1
+    last_val = 0.0
+    for i, t in enumerate(tokens):
+        v = tokenizer.timestamp_value(int(t))
+        if v is not None:
+            last_idx, last_val = i, v
+    if last_idx < 0 or last_val <= 0.0:
+        return tokens, None
+    return tokens[: last_idx + 1], last_val
+
+
+def _content_tokens(tokens: list[int], tokenizer) -> list[int]:
+    """Strip specials and timestamp tokens (prompt/history hygiene)."""
+    return [t for t in tokens
+            if not tokenizer.is_special(t) and t < tokenizer.timestamp_begin]
+
+
 def transcribe_long_batch(
     params,
     cfg: WhisperConfig,
@@ -48,23 +120,56 @@ def transcribe_long_batch(
     contexts: list[list[int]] | None = None,   # static per-file context (e.g. bias desc)
     bias_spans: np.ndarray | None = None,       # (B, N, K) per file
     bias_boost: float = 0.0,
+    use_timestamps: bool = False,
+    temperatures: tuple[float, ...] = DEFAULT_TEMPERATURES,
+    compression_ratio_threshold: float | None = 2.4,
+    logprob_threshold: float | None = -1.0,
+    decode_fn: Callable[..., GreedyResult] | None = None,
+    rng_key=None,
 ) -> list[list[int]]:
-    """Returns per-file token lists (concatenated over windows, specials
-    stripped by the caller via decode)."""
+    """Returns per-file token lists (concatenated over windows; timestamp
+    tokens are kept when ``use_timestamps`` so callers can segment with
+    ``tokenizer.split_timestamp_segments``).
+
+    ``decode_fn(mel, ids, mask, temperature, rng_key) -> GreedyResult`` can
+    be injected (tests, beam variants); the default wraps ``greedy_decode``
+    with this call's bias arguments."""
     if mel_fn is None:
         mel_fn = lambda a: np.stack([log_mel_spectrogram_np(x, cfg.n_mels) for x in a])  # noqa: E731
+    if decode_fn is None:
+        spans = None if bias_spans is None else jnp.asarray(bias_spans)
+
+        def decode_fn(mel, ids, mask, temperature, key):
+            return greedy_decode(
+                params, cfg, jnp.asarray(mel), jnp.asarray(ids), jnp.asarray(mask),
+                max_new=max_new, eot_id=tokenizer.eot,
+                bias_spans=spans, bias_boost=bias_boost,
+                span_pad_id=tokenizer.eot,
+                temperature=temperature, rng_key=key,
+            )
+    if rng_key is None:
+        rng_key = jax.random.PRNGKey(0)
+    if not temperatures:
+        temperatures = (0.0,)
 
     b = len(audios)
-    windows = [split_windows(a) for a in audios]
-    n_rounds = max(len(w) for w in windows)
+    audios = [np.asarray(a, np.float32) for a in audios]
+    seek = [0] * b                      # sample offset of each file's window
+    started = [False] * b               # zero-length audio still gets 1 window
     histories: list[list[int]] = [[] for _ in range(b)]
     outputs: list[list[int]] = [[] for _ in range(b)]
 
-    for r in range(n_rounds):
-        chunk = np.stack([
-        w[r] if r < len(w) else np.zeros(N_SAMPLES, np.float32) for w in windows
-        ])
+    def active(i):
+        return not started[i] or seek[i] < len(audios[i])
+
+    while any(active(i) for i in range(b)):
+        chunk = np.zeros((b, N_SAMPLES), np.float32)
+        for i in range(b):
+            if active(i):
+                part = audios[i][seek[i] : seek[i] + N_SAMPLES]
+                chunk[i, : len(part)] = part
         mel = mel_fn(chunk)
+
         prefixes = []
         for i in range(b):
             ctx: list[int] = []
@@ -74,27 +179,60 @@ def transcribe_long_batch(
                 room = MAX_PROMPT_TOKENS - len(ctx)
                 if room > 0:
                     ctx.extend(histories[i][-room:])
+            # a bare <|sot|> start leaves timestamp tokens unsuppressed
+            # (reference-parity generation config, scripts/train.py:211)
+            start = [tokenizer.sot]
             if ctx:
-                prefixes.append([tokenizer.sop] + ctx + [tokenizer.sot])
+                prefixes.append([tokenizer.sop] + ctx + start)
             else:
-                prefixes.append([tokenizer.sot])
+                prefixes.append(start)
         ids, mask = pack_prefixes(prefixes, tokenizer.eot)
-        res = greedy_decode(
-            params, cfg, jnp.asarray(mel), jnp.asarray(ids), jnp.asarray(mask),
-            max_new=max_new, eot_id=tokenizer.eot,
-            bias_spans=None if bias_spans is None else jnp.asarray(bias_spans),
-            bias_boost=bias_boost, span_pad_id=tokenizer.eot,
-        )
-        toks = np.asarray(res.tokens)
-        lens = np.asarray(res.lengths)
+
+        # temperature fallback ladder: first acceptable decode per row wins;
+        # rows that fail every rung keep the last (highest-temperature) one
+        accepted: list[list[int] | None] = [None] * b
+        last: list[list[int]] = [[] for _ in range(b)]
+        for temperature in temperatures:
+            rng_key, sub = jax.random.split(rng_key)
+            res = decode_fn(mel, ids, mask, temperature, sub)
+            toks = np.asarray(res.tokens)
+            lens = np.asarray(res.lengths)
+            slp = np.asarray(res.sum_logprob) if res.sum_logprob is not None else None
+            pending = False
+            for i in range(b):
+                if not active(i) or accepted[i] is not None:
+                    continue
+                row = toks[i, : lens[i]].tolist()
+                last[i] = row
+                avg_lp = None if slp is None else float(slp[i]) / (int(lens[i]) + 1)
+                text = tokenizer.decode(row, skip_special_tokens=True)
+                if window_quality_ok(
+                    text, avg_lp,
+                    compression_ratio_threshold=compression_ratio_threshold or 0.0,
+                    logprob_threshold=logprob_threshold,
+                ):
+                    accepted[i] = row
+                else:
+                    pending = True
+            if not pending:
+                break
+
         for i in range(b):
-            if r >= len(windows[i]):
-                continue  # file already exhausted; decoded garbage discarded
-            new = toks[i, : lens[i]].tolist()
-            # drop special tokens from the rolling history (prompt hygiene)
-            content = [t for t in new if not tokenizer.is_special(t)]
+            if not active(i):
+                continue
+            row = accepted[i] if accepted[i] is not None else last[i]
+            advance = N_SAMPLES
+            if use_timestamps:
+                kept, adv_s = timestamp_seek(row, tokenizer)
+                if adv_s is not None:
+                    # never stall: a sub-frame advance re-decodes forever
+                    advance = max(int(adv_s * SAMPLE_RATE), N_SAMPLES // 100)
+                    row = kept
+            started[i] = True
+            seek[i] += advance
+            content = _content_tokens(row, tokenizer)
             histories[i] = (histories[i] + content)[-MAX_PROMPT_TOKENS:]
-            outputs[i].extend(new)
+            outputs[i].extend(row)
     return outputs
 
 

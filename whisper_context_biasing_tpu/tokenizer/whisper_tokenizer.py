@@ -173,6 +173,11 @@ class WhisperTokenizer:
                 if not skip_special_tokens:
                     flush()
                     out.append(self._id_to_special[i])
+            elif i >= self.timestamp_begin:
+                # timestamp tokens are not BPE ids; render like specials
+                if not skip_special_tokens:
+                    flush()
+                    out.append(f"<|{(i - self.timestamp_begin) * 0.02:.2f}|>")
             else:
                 plain.append(i)
         flush()
