@@ -43,6 +43,7 @@ def main():
         MODEL, dtype="bfloat16",
         flash_attention=os.environ.get("BENCH_FLASH", "1") == "1",
         flash_decoder=os.environ.get("BENCH_FLASH_DEC", "1") == "1",
+        remat=os.environ.get("BENCH_REMAT", "none"),
     )
     params = init_params(cfg, 0)
     rng = np.random.default_rng(0)

@@ -77,6 +77,11 @@ def parse_args():
                    help="decode-time bias-span logit bonus")
     p.add_argument("--flash_attention", action="store_true",
                    help="Pallas flash attention in the encoder (fwd+bwd kernels)")
+    p.add_argument("--remat", default="auto",
+                   choices=["auto", "full", "dots", "none"],
+                   help="rematerialization policy for transformer blocks: "
+                        "auto = none for tiny/base/small (fits HBM, +8%% "
+                        "throughput, docs/PERF.md), full for medium/large")
     p.add_argument("--freeze_encoder", action="store_true",
                    help="train the decoder only (reference freeze_encoder())")
     p.add_argument("--seed", type=int, default=42)
@@ -89,7 +94,12 @@ def main():
 
     tokenizer = load_tokenizer(args.vocab, args.merges,
                                multilingual=not args.model.endswith(".en"))
-    model_cfg = get_config(args.model, flash_attention=args.flash_attention)
+    remat = args.remat
+    if remat == "auto":
+        small = any(args.model.startswith(m) for m in ("tiny", "base", "small"))
+        remat = "none" if small else "full"
+    model_cfg = get_config(args.model, flash_attention=args.flash_attention,
+                           remat=remat)
     collator = SpeechSeq2SeqCollator(
         pad_token_id=tokenizer.pad_token_id,
         decoder_start_token_id=tokenizer.sot,

@@ -204,6 +204,50 @@ class TestFlashAttentionVJP:
         assert max(jax.tree.leaves(d)) < 1e-5
 
 
+class TestRematPolicies:
+    @pytest.mark.parametrize("remat", ["dots", "none"])
+    def test_loss_and_grads_match_full(self, remat):
+        """All remat policies compute identical losses and (to fp tolerance)
+        gradients — they only trade HBM for recompute FLOPs."""
+        import jax
+
+        from whisper_context_biasing_tpu.train import (
+            init_train_state, make_optimizer, make_train_step,
+        )
+
+        rng = np.random.default_rng(0)
+        batch = {
+            "input_features": jnp.asarray(
+                (rng.standard_normal((2, 80, 128)) * 0.3).astype(np.float32)),
+            "decoder_input_ids": jnp.asarray([[50257, 5, 6, 7]] * 2, jnp.int32),
+            "labels": jnp.asarray([[5, 6, 7, 50256]] * 2, jnp.int32),
+            "bias_spans": jnp.asarray(np.full((2, 1, 2), 50256, np.int32)),
+        }
+        opt = make_optimizer(peak_lr=1e-4, warmup_steps=0, total_steps=10)
+
+        def run(policy):
+            cfg = tiny_test_config(remat=policy)
+            params = init_params(cfg, 0)
+            step = make_train_step(cfg, opt, donate=False)
+            return step(init_train_state(params, opt), batch)
+
+        s_full, m_full = run("full")
+        s_alt, m_alt = run(remat)
+        assert float(m_alt["loss"]) == pytest.approx(float(m_full["loss"]), rel=1e-6)
+        d = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
+                         s_alt.params, s_full.params)
+        assert max(jax.tree.leaves(d)) < 1e-5
+
+    def test_unknown_policy_raises(self):
+        from whisper_context_biasing_tpu.models import encode_audio
+
+        cfg = tiny_test_config(remat="bogus")
+        params = init_params(cfg, 0)
+        mel = jnp.zeros((1, 80, 128), jnp.float32)
+        with pytest.raises(ValueError, match="remat"):
+            encode_audio(params, cfg, mel)
+
+
 @pytest.mark.slow
 class TestQuantizedCrossKV:
     def test_greedy_tokens_match_fp(self):

@@ -44,6 +44,11 @@ class WhisperConfig:
     # v5e, docs/PERF.md: XLA wins at S=128, flash wins at S=448); tests
     # override to 0 to exercise the kernels at tiny shapes
     flash_decoder_min_seq: int = 256
+    # rematerialization policy for transformer blocks in training:
+    #   "full"  — jax.checkpoint, recompute everything in backward (min HBM)
+    #   "dots"  — save MXU matmul outputs, recompute the rest (docs/PERF.md)
+    #   "none"  — no remat (max HBM, min FLOPs)
+    remat: str = "full"
     # Pallas single-query int8 cross attention for the decode step
     # (ops/quant_cross_attention.py): per-batch-row VMEM dequant, fixes the
     # batch>=32 bf16-KV spill. Needs quantize_cross_kv; TPU or

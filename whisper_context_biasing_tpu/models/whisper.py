@@ -188,6 +188,20 @@ def _layer_slice(tree, i):
     return jax.tree.map(lambda a: a[i], tree)
 
 
+
+def _remat(block, cfg: WhisperConfig):
+    """Apply the configured rematerialization policy to a scan block."""
+    if cfg.remat == "full":
+        return jax.checkpoint(block)
+    if cfg.remat == "dots":
+        return jax.checkpoint(
+            block, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+        )
+    if cfg.remat == "none":
+        return block
+    raise ValueError(f"unknown remat policy {cfg.remat!r}")
+
+
 # ---------------------------------------------------------------------------
 # encoder
 # ---------------------------------------------------------------------------
@@ -237,7 +251,7 @@ def encode_audio(params: Params, cfg: WhisperConfig, mel: jax.Array) -> jax.Arra
         h = h + _mlp(m, blk["mlp"]["w1"], blk["mlp"]["b1"], blk["mlp"]["w2"], blk["mlp"]["b2"])
         return h, None
 
-    block = jax.checkpoint(block)  # remat: trade FLOPs for HBM in training
+    block = _remat(block, cfg)  # remat: trade FLOPs for HBM in training
     x, _ = jax.lax.scan(block, x, blocks)
     return layer_norm(x, enc["ln_post"]["scale"], enc["ln_post"]["bias"])
 
@@ -441,7 +455,7 @@ def decode_tokens(
             return h, None
 
         xs = dict(blocks, ck=cross_k.astype(dt), cv=cross_v.astype(dt))
-        block = jax.checkpoint(block)
+        block = _remat(block, cfg)
         x, _ = jax.lax.scan(block, x, xs)
         new_cache = None
     else:
