@@ -56,6 +56,19 @@ def parse_args():
                    help="tensor-parallel degree; with >1 device a "
                         "(data, model) mesh shards the decode batch over "
                         "'data' and the weights over 'model'")
+    p.add_argument("--no_long_form", action="store_true",
+                   help="truncate >30 s requests to one window instead of "
+                        "routing them through the long-form seek loop")
+    p.add_argument("--timestamps", action="store_true",
+                   help="long-form requests use timestamp-conditioned "
+                        "seeking (segments straddling a window boundary "
+                        "are re-decoded whole)")
+    p.add_argument("--temperatures", type=float, nargs="*",
+                   default=[0.0, 0.2, 0.4, 0.6, 0.8, 1.0],
+                   help="long-form quality-fallback ladder")
+    p.add_argument("--logprob_threshold", type=float, default=-1.0,
+                   help="long-form: avg token logprob below this triggers "
+                        "fallback; pass nan to disable")
     return p.parse_args()
 
 
@@ -67,7 +80,9 @@ class Engine:
 
         from whisper_context_biasing_tpu.audio import pad_or_trim
         from whisper_context_biasing_tpu.data.collator import SpeechSeq2SeqCollator
-        from whisper_context_biasing_tpu.decode import beam_decode_batch, decode_batch
+        from whisper_context_biasing_tpu.decode import (
+            beam_decode_batch, decode_batch, transcribe_long_batch,
+        )
         from whisper_context_biasing_tpu.models import (
             get_config, init_params, load_checkpoint_or_safetensors,
         )
@@ -81,6 +96,7 @@ class Engine:
         self.mel_fn = log_mel_spectrogram_fused
         self.decode_batch = decode_batch
         self.beam_decode_batch = beam_decode_batch
+        self.transcribe_long_batch = transcribe_long_batch
         self.rtf = RtfMeter()
 
         self.tokenizer = load_tokenizer(args.vocab, args.merges,
@@ -164,6 +180,42 @@ class Engine:
                                      pad_to_multiple=32, **kwargs)
         return [tok.decode(h, skip_special_tokens=True).strip() for h in hyps]
 
+    def _run_long(self, audios, contexts, bias_word_lists):
+        """>30 s requests: sequential-window seek loop (decode/long_form.py).
+        The window batch is padded to the static micro-batch size and prompt
+        lengths are bucketed, so the greedy program shapes stay stable."""
+        tok = self.tokenizer
+        bs = self.args.batch
+        n = len(audios)
+        audios = list(audios) + [np.zeros(160, np.float32)] * (bs - n)
+        contexts = list(contexts) + [None] * (bs - n)
+        ctx = [tok.encode(c.lower(), add_special_tokens=False) if c else []
+               for c in contexts]
+        default_words = self.args.bias_words or []
+        spans = self._spans_for([
+            (w if w is not None else default_words)
+            for w in (list(bias_word_lists) + [None] * (bs - n))
+        ])
+
+        def mel_fn(chunk):
+            return np.asarray(self.mel_fn(self.jnp.asarray(chunk),
+                                          n_mels=self.cfg.n_mels))
+
+        hyps = self.transcribe_long_batch(
+            self.params, self.cfg, tok, audios, mel_fn=mel_fn,
+            max_new=self.args.max_tokens,
+            contexts=ctx if any(ctx) else None,
+            bias_spans=spans, bias_boost=self.args.bias_boost,
+            use_timestamps=self.args.timestamps,
+            temperatures=tuple(self.args.temperatures),
+            logprob_threshold=(None if self.args.logprob_threshold
+                               != self.args.logprob_threshold  # nan disables
+                               else self.args.logprob_threshold),
+            prefix_pad_to_multiple=32,
+        )
+        return [tok.decode(h, skip_special_tokens=True).strip()
+                for h in hyps[:n]]
+
     def submit(self, audio, context, bias_words):
         done = threading.Event()
         box = {}
@@ -195,10 +247,17 @@ class Engine:
                 audios.append(np.zeros(16000, np.float32))
                 ctxs.append(None)
                 words.append(None)
-            audio_s = sum(min(len(a), 480000) for a in audios[:n]) / 16000
+            long_form = not self.args.no_long_form and any(
+                len(a) > 480000 for a in audios[:n]
+            )
+            audio_s = (sum(len(a) for a in audios[:n]) / 16000 if long_form
+                       else sum(min(len(a), 480000) for a in audios[:n]) / 16000)
             t0 = time.time()
             try:
-                texts = self._run(audios, ctxs, words)
+                if long_form:
+                    texts = self._run_long(audios[:n], ctxs[:n], words[:n])
+                else:
+                    texts = self._run(audios, ctxs, words)
                 self.rtf.add(audio_s, time.time() - t0)
                 for (_, _, _, done, box), text in zip(batch, texts[:n]):
                     box["text"] = text

@@ -126,6 +126,7 @@ def transcribe_long_batch(
     logprob_threshold: float | None = -1.0,
     decode_fn: Callable[..., GreedyResult] | None = None,
     rng_key=None,
+    prefix_pad_to_multiple: int | None = None,
 ) -> list[list[int]]:
     """Returns per-file token lists (concatenated over windows; timestamp
     tokens are kept when ``use_timestamps`` so callers can segment with
@@ -133,7 +134,9 @@ def transcribe_long_batch(
 
     ``decode_fn(mel, ids, mask, temperature, rng_key) -> GreedyResult`` can
     be injected (tests, beam variants); the default wraps ``greedy_decode``
-    with this call's bias arguments."""
+    with this call's bias arguments. ``prefix_pad_to_multiple`` buckets the
+    history-prompt length so serving paths reuse a handful of compiled
+    decode programs instead of recompiling per window."""
     if mel_fn is None:
         mel_fn = lambda a: np.stack([log_mel_spectrogram_np(x, cfg.n_mels) for x in a])  # noqa: E731
     if decode_fn is None:
@@ -186,7 +189,8 @@ def transcribe_long_batch(
                 prefixes.append([tokenizer.sop] + ctx + start)
             else:
                 prefixes.append(start)
-        ids, mask = pack_prefixes(prefixes, tokenizer.eot)
+        ids, mask = pack_prefixes(prefixes, tokenizer.eot,
+                                  pad_to_multiple=prefix_pad_to_multiple)
 
         # temperature fallback ladder: first acceptable decode per row wins;
         # rows that fail every rung keep the last (highest-temperature) one
