@@ -53,6 +53,10 @@ def parse_args():
     p.add_argument("--logprob_threshold", type=float, default=-1.0,
                    help="avg token logprob below this triggers fallback; "
                         "pass nan to disable")
+    p.add_argument("--language", default=None,
+                   help="multilingual models: force a language code "
+                        "(e.g. fr), or 'auto' to detect per file from the "
+                        "first decoder step (decode/language.py)")
     p.add_argument("--json", action="store_true", help="machine-readable output")
     return p.parse_args()
 
@@ -168,8 +172,32 @@ def main():
                for w in args.bias_words]
         spans = coll.pad_bias_spans([raw] * len(args.audio))
 
+    starts = None
+    detected = None
+    if args.language:
+        if not tokenizer.multilingual:
+            print("warning: --language ignored for English-only models",
+                  file=sys.stderr)
+        elif args.language == "auto":
+            from whisper_context_biasing_tpu.decode import detect_language
+
+            detected = detect_language(params, cfg, tokenizer, mel)
+            starts = []
+            for lang, prob in detected:
+                lid = tokenizer.convert_tokens_to_ids(f"<|{lang}|>")
+                starts.append([tokenizer.sot, lid, tokenizer.transcribe])
+            print("detected: " + ", ".join(f"{l} ({p:.2f})" for l, p in detected),
+                  file=sys.stderr)
+        else:
+            lid = tokenizer.convert_tokens_to_ids(f"<|{args.language}|>")
+            if lid is None:
+                raise SystemExit(f"unknown language code: {args.language}")
+            starts = [[tokenizer.sot, lid, tokenizer.transcribe]] * len(args.audio)
+
     kwargs = dict(contexts=contexts, max_new=args.max_tokens,
                   bias_spans=spans, bias_boost=args.bias_boost)
+    if starts is not None:
+        kwargs["starts"] = starts
     if args.num_beams > 1:
         hyps = beam_decode_batch(params, cfg, tokenizer, mel,
                                  num_beams=args.num_beams, **kwargs)

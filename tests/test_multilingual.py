@@ -88,3 +88,67 @@ class TestMultilingual:
         res = greedy_decode(params, cfg, mel, jnp.asarray(ids), jnp.asarray(mask),
                             max_new=4, eot_id=tok.eot, span_pad_id=tok.eot)
         assert np.asarray(res.tokens).shape == (1, 4)
+
+
+@pytest.mark.slow
+class TestLanguageDetection:
+    def test_detect_language_shape_and_normalization(self, setup):
+        from whisper_context_biasing_tpu.decode import detect_language
+        from whisper_context_biasing_tpu.decode.language import _language_probs
+        from whisper_context_biasing_tpu.tokenizer.whisper_tokenizer import LANGUAGES
+
+        tok, cfg, params = setup
+        rng = np.random.default_rng(0)
+        mel = (rng.standard_normal((3, 80, 128)) * 0.5).astype(np.float32)
+        out = detect_language(params, cfg, tok, mel)
+        assert len(out) == 3
+        for lang, prob in out:
+            assert lang in LANGUAGES
+            assert 0.0 < prob <= 1.0
+
+        lang_ids = tuple(tok.convert_tokens_to_ids(f"<|{l}|>")
+                         for l in LANGUAGES[: tok.num_languages])
+        import jax.numpy as jnp
+        probs = np.asarray(_language_probs(params, cfg, jnp.asarray(mel),
+                                           tok.sot, lang_ids))
+        np.testing.assert_allclose(probs.sum(axis=-1), 1.0, atol=1e-5)
+        # detect_language returns the argmax of the full distribution
+        best = probs.argmax(axis=-1)
+        assert [LANGUAGES[i] for i in best] == [l for l, _ in out]
+
+    def test_english_only_tokenizer_rejected(self, setup):
+        from whisper_context_biasing_tpu.decode import detect_language
+
+        _, cfg, params = setup
+        en_tok = load_tokenizer(multilingual=False)
+        mel = np.zeros((1, 80, 128), np.float32)
+        with pytest.raises(ValueError, match="multilingual"):
+            detect_language(params, cfg, en_tok, mel)
+
+    def test_forced_language_start_changes_decode(self, setup):
+        """Per-row starts flow through decode_batch (language forcing):
+        the start sequence must reach the decoder prefill — checked at the
+        logits level (random-model argmax paths can coincide)."""
+        import jax.numpy as jnp
+
+        from whisper_context_biasing_tpu.decode import decode_batch
+        from whisper_context_biasing_tpu.models import decode_tokens, encode_audio
+
+        tok, cfg, params = setup
+        rng = np.random.default_rng(1)
+        mel = (rng.standard_normal((2, 80, 128)) * 0.5).astype(np.float32)
+        fr = tok.convert_tokens_to_ids("<|fr|>")
+        de = tok.convert_tokens_to_ids("<|de|>")
+        hyps = decode_batch(params, cfg, tok, mel, max_new=6,
+                            starts=[[tok.sot, fr, tok.transcribe],
+                                    [tok.sot, de, tok.transcribe]])
+        assert len(hyps) == 2 and all(len(h) > 0 for h in hyps)
+        # language id conditions the prefill logits
+        enc = encode_audio(params, cfg, jnp.asarray(mel[:1]))
+        lg_fr, _ = decode_tokens(params, cfg,
+                                 jnp.asarray([[tok.sot, fr, tok.transcribe]]),
+                                 enc_out=enc)
+        lg_de, _ = decode_tokens(params, cfg,
+                                 jnp.asarray([[tok.sot, de, tok.transcribe]]),
+                                 enc_out=enc)
+        assert float(jnp.max(jnp.abs(lg_fr[:, -1] - lg_de[:, -1]))) > 1e-4

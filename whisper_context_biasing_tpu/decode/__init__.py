@@ -11,6 +11,7 @@ from .bias_processor import (
 )
 from .greedy import GreedyResult, decode_batch, greedy_decode, pack_prefixes
 from .beam import BeamResult, beam_decode, beam_decode_batch
+from .language import detect_language
 from .long_form import split_windows, transcribe_long, transcribe_long_batch
 
 __all__ = [
@@ -27,6 +28,7 @@ __all__ = [
     "BeamResult",
     "beam_decode",
     "beam_decode_batch",
+    "detect_language",
     "split_windows",
     "transcribe_long",
     "transcribe_long_batch",

@@ -220,19 +220,21 @@ def beam_decode_batch(
     params, cfg, tokenizer, input_features: np.ndarray,
     contexts=None, num_beams: int = 5, max_new: int = 224,
     bias_spans=None, bias_boost: float = 0.0, length_penalty: float = 1.0,
-    mesh=None,
+    mesh=None, starts=None,
 ):
     """Host-side convenience mirroring decode.greedy.decode_batch.
+    ``starts``: optional per-row start sequences (see decode_batch).
     ``mesh`` shards the batch axis over "data" (see decode_batch)."""
     from .greedy import pack_prefixes
 
     bsz = input_features.shape[0]
-    start = [tokenizer.sot]
+    if starts is None:
+        starts = [[tokenizer.sot]] * bsz
     if contexts is None:
-        prefixes = [start] * bsz
+        prefixes = [list(st) for st in starts]
     else:
-        prefixes = [([tokenizer.sop] + list(c) + start) if c else list(start)
-                    for c in contexts]
+        prefixes = [([tokenizer.sop] + list(c) + list(st)) if c else list(st)
+                    for c, st in zip(contexts, starts)]
     ids, mask = pack_prefixes(prefixes, tokenizer.eot)
     bias_spans = sanitize_bias_spans(bias_spans)
     if mesh is not None:

@@ -217,26 +217,32 @@ def decode_batch(
     include_notimestamps: bool = False,
     pad_to_multiple: int | None = None,
     mesh=None,
+    starts: list[list[int]] | None = None,
 ) -> list[list[int]]:
     """Host-side convenience: build prefixes (reference-parity ``[<|sot|>]``
     start, optionally ``<|sop|> + context`` conditioning), run the jitted
     greedy loop, and strip to finished token lists (without the prefix).
+
+    ``starts``: per-row start sequences overriding the default (e.g.
+    ``[sot, <|fr|>, <|transcribe|>]`` after language detection).
 
     ``mesh``: a ``jax.sharding.Mesh`` shards the decode batch axis over its
     "data" axis (params should already be sharded with
     ``parallel.shard_params``; batch is padded to a data-parallel multiple
     and stripped on return)."""
     b = input_features.shape[0]
-    start: list[int] = [tokenizer.sot]
-    if include_notimestamps:
-        start = tokenizer.prefix_tokens
+    if starts is None:
+        start: list[int] = [tokenizer.sot]
+        if include_notimestamps:
+            start = tokenizer.prefix_tokens
+        starts = [start] * b
     if contexts is None:
-        prefixes = [start] * b
+        prefixes = [list(st) for st in starts]
     else:
         # an empty per-row context means "unprompted" for that row (no bare
         # <|startofprev|> prefix)
-        prefixes = [([tokenizer.sop] + list(c) + start) if c else list(start)
-                    for c in contexts]
+        prefixes = [([tokenizer.sop] + list(c) + list(st)) if c else list(st)
+                    for c, st in zip(contexts, starts)]
     ids, mask = pack_prefixes(prefixes, tokenizer.eot, pad_to_multiple=pad_to_multiple)
     bias_spans = sanitize_bias_spans(bias_spans)
     if mesh is not None:
