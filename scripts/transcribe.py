@@ -57,6 +57,14 @@ def parse_args():
                    help="multilingual models: force a language code "
                         "(e.g. fr), or 'auto' to detect per file from the "
                         "first decoder step (decode/language.py)")
+    p.add_argument("--word_timestamps", action="store_true",
+                   help="per-word start/end times via cross-attention DTW "
+                        "alignment (decode/word_timestamps.py); short-form "
+                        "mode only")
+    p.add_argument("--alignment_heads", default=None,
+                   help="comma-separated layer:head pairs for alignment "
+                        "(e.g. '4:3,5:0'); default = all heads of the top "
+                        "half of decoder layers")
     p.add_argument("--json", action="store_true", help="machine-readable output")
     return p.parse_args()
 
@@ -203,13 +211,33 @@ def main():
                                  num_beams=args.num_beams, **kwargs)
     else:
         hyps = decode_batch(params, cfg, tokenizer, mel, **kwargs)
+    word_timings = None
+    if args.word_timestamps:
+        from whisper_context_biasing_tpu.decode import find_word_timestamps
+
+        heads = None
+        if args.alignment_heads:
+            heads = [tuple(int(x) for x in pair.split(":"))
+                     for pair in args.alignment_heads.split(",")]
+        nf = [n // 320 for n in true_lengths]  # content frames per clip
+        word_timings = find_word_timestamps(
+            params, cfg, tokenizer, mel, hyps,
+            starts=starts, num_frames=nf, alignment_heads=heads)
     wall = time.time() - t0
 
     texts = [tokenizer.decode(h, skip_special_tokens=True).strip() for h in hyps]
     audio_seconds = sum(true_lengths) / 16000  # pre-padding durations
-    for path, text in zip(args.audio, texts):
+    for i, (path, text) in enumerate(zip(args.audio, texts)):
+        rec = {"file": path, "text": text}
+        if word_timings is not None:
+            rec["words"] = [{"word": w.word.strip(), "start": w.start,
+                             "end": w.end} for w in word_timings[i]]
         if args.json:
-            print(json.dumps({"file": path, "text": text}))
+            print(json.dumps(rec))
+        elif word_timings is not None:
+            stamped = " ".join(f"{w.word.strip()}[{w.start:.2f}-{w.end:.2f}]"
+                               for w in word_timings[i])
+            print(f"{path}: {stamped or text}")
         else:
             print(f"{path}: {text}")
     print(f"[{len(args.audio)} files, {audio_seconds:.1f}s audio in {wall:.2f}s "

@@ -1,5 +1,6 @@
 """Model layer: functional JAX Whisper + configs + HF checkpoint import."""
 
+from .alignment import alignment_matrix, default_alignment_mask, heads_to_mask
 from .config import WhisperConfig, get_config, tiny_test_config
 from .whisper import (
     decode_tokens,
@@ -19,6 +20,9 @@ from .load_hf import (
 )
 
 __all__ = [
+    "alignment_matrix",
+    "default_alignment_mask",
+    "heads_to_mask",
     "WhisperConfig",
     "get_config",
     "tiny_test_config",
