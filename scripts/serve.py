@@ -13,8 +13,11 @@ stays fixed — no recompiles), decoded in one program, and answered.
     curl -s "http://localhost:8080/health"
 
 POST /transcribe accepts a WAV body; optional headers:
-    X-Context:     conditioning text (placed after <|startofprev|>)
-    X-Bias-Words:  comma-separated bias words (per-request shallow fusion)
+    X-Context:         conditioning text (placed after <|startofprev|>)
+    X-Bias-Words:      comma-separated bias words (per-request shallow fusion)
+    X-Language:        language code or "auto" (multilingual models)
+    X-Task:            "translate" for speech -> English (multilingual models)
+    X-Word-Timestamps: "1" adds per-word start/end times (short-form requests)
 """
 
 import argparse
@@ -81,7 +84,8 @@ class Engine:
         from whisper_context_biasing_tpu.audio import pad_or_trim
         from whisper_context_biasing_tpu.data.collator import SpeechSeq2SeqCollator
         from whisper_context_biasing_tpu.decode import (
-            beam_decode_batch, decode_batch, transcribe_long_batch,
+            beam_decode_batch, decode_batch, detect_language,
+            find_word_timestamps, transcribe_long_batch,
         )
         from whisper_context_biasing_tpu.models import (
             get_config, init_params, load_checkpoint_or_safetensors,
@@ -97,6 +101,8 @@ class Engine:
         self.decode_batch = decode_batch
         self.beam_decode_batch = beam_decode_batch
         self.transcribe_long_batch = transcribe_long_batch
+        self.detect_language = detect_language
+        self.find_word_timestamps = find_word_timestamps
         self.rtf = RtfMeter()
 
         self.tokenizer = load_tokenizer(args.vocab, args.merges,
@@ -153,8 +159,44 @@ class Engine:
         self.collator.max_spans = self.MAX_SPANS
         return self.collator.pad_bias_spans(encoded)
 
-    def _run(self, audios, contexts, bias_word_lists):
+    def _starts_for(self, mel, opts):
+        """Per-row decode starts from X-Language/X-Task; None when every row
+        uses the default bare ``[<|sot|>]`` start. Rows asking for "auto"
+        (or translate without a language) share one language-id program."""
         tok = self.tokenizer
+        if not tok.multilingual:
+            return None, [None] * mel.shape[0]
+        need = [o for o in opts if o.get("language") or o.get("task") == "translate"]
+        if not need:
+            return None, [None] * mel.shape[0]
+        auto = [i for i, o in enumerate(opts)
+                if (o.get("language") in (None, "auto")
+                    and (o.get("language") == "auto" or o.get("task") == "translate"))]
+        detected = self.detect_language(self.params, self.cfg, tok, mel) \
+            if auto else None
+        starts, langs = [], []
+        for i, o in enumerate(opts):
+            lang = o.get("language")
+            task_id = tok.translate if o.get("task") == "translate" else tok.transcribe
+            if lang and lang != "auto":
+                lid = tok.convert_tokens_to_ids(f"<|{lang}|>")
+                if lid is None:
+                    raise ValueError(f"unknown language code: {lang}")
+            elif i in auto:
+                lang = detected[i][0]
+                lid = tok.convert_tokens_to_ids(f"<|{lang}|>")
+            else:
+                starts.append([tok.sot])
+                langs.append(None)
+                continue
+            starts.append([tok.sot, lid, task_id])
+            langs.append(lang)
+        return starts, langs
+
+    def _run(self, audios, contexts, bias_word_lists, opts=None):
+        tok = self.tokenizer
+        n = len(audios)
+        opts = opts or [{} for _ in range(n)]
         audio = np.stack([self.pad_or_trim(a) for a in audios])
         mel = np.asarray(self.mel_fn(self.jnp.asarray(audio), n_mels=self.cfg.n_mels))
         ctx = None
@@ -167,9 +209,12 @@ class Engine:
         spans = self._spans_for([
             (w if w is not None else default_words) for w in bias_word_lists
         ])
+        starts, langs = self._starts_for(mel, opts)
         kwargs = dict(contexts=ctx, max_new=self.args.max_tokens,
                       bias_spans=spans, bias_boost=self.args.bias_boost,
                       mesh=self.mesh)
+        if starts is not None:
+            kwargs["starts"] = starts
         if self.args.num_beams > 1:
             hyps = self.beam_decode_batch(self.params, self.cfg, tok, mel,
                                           num_beams=self.args.num_beams, **kwargs)
@@ -178,15 +223,32 @@ class Engine:
             # lengths reuse a handful of compiled programs
             hyps = self.decode_batch(self.params, self.cfg, tok, mel,
                                      pad_to_multiple=32, **kwargs)
-        return [tok.decode(h, skip_special_tokens=True).strip() for h in hyps]
+        results = [{"text": tok.decode(h, skip_special_tokens=True).strip()}
+                   for h in hyps]
+        for r, lang in zip(results, langs):
+            if lang:
+                r["language"] = lang
+        if any(o.get("words") for o in opts):
+            # one static-shape alignment program (token axis padded to the
+            # decode budget, full frame axis)
+            timings = self.find_word_timestamps(
+                self.params, self.cfg, tok, mel, hyps, starts=starts,
+                num_frames=[min(len(a), 480000) // 320 for a in audios],
+                pad_to=self.args.max_tokens + 8)
+            for r, o, ws in zip(results, opts, timings):
+                if o.get("words"):
+                    r["words"] = [{"word": w.word.strip(), "start": w.start,
+                                   "end": w.end} for w in ws]
+        return results
 
-    def _run_long(self, audios, contexts, bias_word_lists):
+    def _run_long(self, audios, contexts, bias_word_lists, opts=None):
         """>30 s requests: sequential-window seek loop (decode/long_form.py).
         The window batch is padded to the static micro-batch size and prompt
         lengths are bucketed, so the greedy program shapes stay stable."""
         tok = self.tokenizer
         bs = self.args.batch
         n = len(audios)
+        opts = (opts or [{} for _ in range(n)]) + [{}] * (bs - n)
         audios = list(audios) + [np.zeros(160, np.float32)] * (bs - n)
         contexts = list(contexts) + [None] * (bs - n)
         ctx = [tok.encode(c.lower(), add_special_tokens=False) if c else []
@@ -201,6 +263,15 @@ class Engine:
             return np.asarray(self.mel_fn(self.jnp.asarray(chunk),
                                           n_mels=self.cfg.n_mels))
 
+        # language/task forcing: detect on each file's first window
+        start_tokens = None
+        langs = [None] * bs
+        if tok.multilingual and any(
+            o.get("language") or o.get("task") == "translate" for o in opts
+        ):
+            first = np.stack([self.pad_or_trim(a) for a in audios])
+            start_tokens, langs = self._starts_for(mel_fn(first), opts)
+
         hyps = self.transcribe_long_batch(
             self.params, self.cfg, tok, audios, mel_fn=mel_fn,
             max_new=self.args.max_tokens,
@@ -212,20 +283,25 @@ class Engine:
                                != self.args.logprob_threshold  # nan disables
                                else self.args.logprob_threshold),
             prefix_pad_to_multiple=32,
+            start_tokens=start_tokens,
         )
-        return [tok.decode(h, skip_special_tokens=True).strip()
-                for h in hyps[:n]]
+        results = [{"text": tok.decode(h, skip_special_tokens=True).strip()}
+                   for h in hyps[:n]]
+        for r, lang in zip(results, langs[:n]):
+            if lang:
+                r["language"] = lang
+        return results
 
-    def submit(self, audio, context, bias_words):
+    def submit(self, audio, context, bias_words, opt=None):
         done = threading.Event()
         box = {}
-        self.q.put((audio, context, bias_words, done, box))
+        self.q.put((audio, context, bias_words, opt or {}, done, box))
         done.wait(timeout=300)
         if "error" in box:
             raise RuntimeError(box["error"])
-        if "text" not in box:
+        if "result" not in box:
             raise TimeoutError("decode timed out")
-        return box["text"]
+        return box["result"]
 
     def _worker(self):
         bs = self.args.batch
@@ -241,12 +317,14 @@ class Engine:
             audios = [b[0] for b in batch]
             ctxs = [b[1] for b in batch]
             words = [b[2] for b in batch]
+            opts = [b[3] for b in batch]
             n = len(batch)
             # pad to the static batch shape with silence
             while len(audios) < bs:
                 audios.append(np.zeros(16000, np.float32))
                 ctxs.append(None)
                 words.append(None)
+                opts.append({})
             long_form = not self.args.no_long_form and any(
                 len(a) > 480000 for a in audios[:n]
             )
@@ -255,15 +333,16 @@ class Engine:
             t0 = time.time()
             try:
                 if long_form:
-                    texts = self._run_long(audios[:n], ctxs[:n], words[:n])
+                    results = self._run_long(audios[:n], ctxs[:n], words[:n],
+                                             opts[:n])
                 else:
-                    texts = self._run(audios, ctxs, words)
+                    results = self._run(audios, ctxs, words, opts)
                 self.rtf.add(audio_s, time.time() - t0)
-                for (_, _, _, done, box), text in zip(batch, texts[:n]):
-                    box["text"] = text
+                for (_, _, _, _, done, box), res in zip(batch, results[:n]):
+                    box["result"] = res
                     done.set()
             except Exception as e:  # surface errors to all waiters
-                for _, _, _, done, box in batch:
+                for _, _, _, _, done, box in batch:
                     box["error"] = f"{type(e).__name__}: {e}"
                     done.set()
                 print(f"batch failed: {e}", file=sys.stderr)
@@ -323,13 +402,21 @@ def make_handler(engine: Engine):
                 ctx = self.headers.get("X-Context")
                 words = self.headers.get("X-Bias-Words")
                 words = [w for w in words.split(",")] if words else None
+                opt = {}
+                if self.headers.get("X-Language"):
+                    opt["language"] = self.headers["X-Language"].strip()
+                if self.headers.get("X-Task"):
+                    opt["task"] = self.headers["X-Task"].strip()
+                if (self.headers.get("X-Word-Timestamps") or "").strip() \
+                        in ("1", "true", "yes"):
+                    opt["words"] = True
                 t0 = time.time()
-                text = engine.submit(audio, ctx, words)
-                self._json(200, {
-                    "text": text,
+                result = engine.submit(audio, ctx, words, opt)
+                result.update({
                     "audio_seconds": round(len(audio) / 16000, 2),
                     "latency_ms": round((time.time() - t0) * 1000, 1),
                 })
+                self._json(200, result)
             except Exception as e:
                 self._json(400, {"error": f"{type(e).__name__}: {e}"})
 

@@ -3,11 +3,13 @@
 
 Assembles the full TPU pipeline: native C++ batch audio decode (WAV) ->
 fused Pallas log-mel -> encoder -> while_loop greedy/beam decode with
-optional bias-word boosting and prompt conditioning -> text.
+optional bias-word boosting and prompt conditioning -> text / srt / vtt.
 
     python scripts/transcribe.py --model base.en --audio a.wav b.wav \
         [--bias_words aspirin promisec --bias_boost 2.0] \
         [--context "clinical description"] [--num_beams 5] \
+        [--language auto] [--task translate] [--word_timestamps] \
+        [--format srt --output_dir out/] \
         [--init_checkpoint model.safetensors] [--vocab ... --merges ...]
 """
 
@@ -57,6 +59,11 @@ def parse_args():
                    help="multilingual models: force a language code "
                         "(e.g. fr), or 'auto' to detect per file from the "
                         "first decoder step (decode/language.py)")
+    p.add_argument("--task", choices=["transcribe", "translate"],
+                   default="transcribe",
+                   help="translate = any-language speech -> English text "
+                        "(multilingual models; auto-detects the source "
+                        "language unless --language is given)")
     p.add_argument("--word_timestamps", action="store_true",
                    help="per-word start/end times via cross-attention DTW "
                         "alignment (decode/word_timestamps.py); short-form "
@@ -65,12 +72,98 @@ def parse_args():
                    help="comma-separated layer:head pairs for alignment "
                         "(e.g. '4:3,5:0'); default = all heads of the top "
                         "half of decoder layers")
-    p.add_argument("--json", action="store_true", help="machine-readable output")
+    p.add_argument("--format", choices=["text", "json", "srt", "vtt"],
+                   default=None,
+                   help="output format; srt/vtt need timed segments "
+                        "(--long --timestamps, or short-form word "
+                        "alignment, which is enabled automatically)")
+    p.add_argument("--output_dir", default=None,
+                   help="write one <basename>.<format> file per input "
+                        "instead of printing to stdout")
+    p.add_argument("--json", action="store_true",
+                   help="machine-readable output (alias for --format json)")
     return p.parse_args()
+
+
+def build_starts(args, tokenizer, params, cfg, mel):
+    """Per-file decode start sequences from --language/--task, or None for
+    the reference-parity bare ``[<|sot|>]`` start."""
+    n = mel.shape[0]
+    if not tokenizer.multilingual:
+        if args.language or args.task == "translate":
+            print("warning: --language/--task need a multilingual model; "
+                  "ignored", file=sys.stderr)
+        return None
+    if not args.language and args.task == "transcribe":
+        return None
+    task_id = (tokenizer.transcribe if args.task == "transcribe"
+               else tokenizer.translate)
+    if args.language and args.language != "auto":
+        lid = tokenizer.convert_tokens_to_ids(f"<|{args.language}|>")
+        if lid is None:
+            raise SystemExit(f"unknown language code: {args.language}")
+        return [[tokenizer.sot, lid, task_id]] * n
+    from whisper_context_biasing_tpu.decode import detect_language
+
+    detected = detect_language(params, cfg, tokenizer, mel)
+    print("detected: " + ", ".join(f"{l} ({p:.2f})" for l, p in detected),
+          file=sys.stderr)
+    starts = []
+    for lang, _ in detected:
+        lid = tokenizer.convert_tokens_to_ids(f"<|{lang}|>")
+        starts.append([tokenizer.sot, lid, task_id])
+    return starts
+
+
+def emit(args, fmt, path, text, segments, words):
+    """One input file's output in the chosen format; returns the string."""
+    from whisper_context_biasing_tpu.utils.subtitles import format_srt, format_vtt
+
+    if fmt == "json":
+        rec = {"file": path, "text": text}
+        if segments is not None:
+            rec["segments"] = [{"start": round(a, 3), "end": round(e, 3),
+                                "text": t.strip()} for a, e, t in segments]
+        if words is not None:
+            rec["words"] = [{"word": w.word.strip(), "start": w.start,
+                             "end": w.end} for w in words]
+        return json.dumps(rec)
+    if fmt in ("srt", "vtt"):
+        if segments is None:
+            raise SystemExit(f"--format {fmt} needs timed segments "
+                             "(--long --timestamps or --word_timestamps)")
+        return (format_srt if fmt == "srt" else format_vtt)(segments)
+    if words is not None:
+        stamped = " ".join(f"{w.word.strip()}[{w.start:.2f}-{w.end:.2f}]"
+                           for w in words)
+        return f"{path}: {stamped or text}"
+    if segments is not None and args.timestamps:
+        return f"{path}: " + " ".join(
+            f"[{a:.2f}-{e:.2f}]{t}" for a, e, t in segments)
+    return f"{path}: {text}"
+
+
+def write_outputs(args, fmt, rendered):
+    if args.output_dir:
+        os.makedirs(args.output_dir, exist_ok=True)
+        ext = {"text": "txt", "json": "json", "srt": "srt", "vtt": "vtt"}[fmt]
+        for path, out in zip(args.audio, rendered):
+            base = os.path.splitext(os.path.basename(path))[0]
+            dest = os.path.join(args.output_dir, f"{base}.{ext}")
+            with open(dest, "w") as f:
+                f.write(out if out.endswith("\n") else out + "\n")
+            print(f"wrote {dest}", file=sys.stderr)
+    else:
+        joiner = "\n" if fmt in ("srt", "vtt") else ""
+        for i, out in enumerate(rendered):
+            if fmt in ("srt", "vtt") and len(rendered) > 1:
+                print(f"# {args.audio[i]}")
+            print(out, end=joiner + "\n" if not out.endswith("\n") else joiner)
 
 
 def main():
     args = parse_args()
+    fmt = args.format or ("json" if args.json else "text")
     import jax.numpy as jnp
 
     from whisper_context_biasing_tpu.audio import load_audio, pad_or_trim
@@ -82,6 +175,9 @@ def main():
     )
     from whisper_context_biasing_tpu.ops.mel_kernel import log_mel_spectrogram_fused
     from whisper_context_biasing_tpu.tokenizer import load_tokenizer
+    from whisper_context_biasing_tpu.utils.subtitles import (
+        close_open_segments, words_to_segments,
+    )
 
     tokenizer = load_tokenizer(args.vocab, args.merges,
                                multilingual=not args.model.endswith(".en"))
@@ -92,14 +188,20 @@ def main():
         print("warning: random weights (no --init_checkpoint)", file=sys.stderr)
         params = init_params(cfg, 0)
 
+    def make_mel(chunk):
+        return np.asarray(log_mel_spectrogram_fused(jnp.asarray(chunk),
+                                                    n_mels=cfg.n_mels))
+
     t0 = time.time()
-    true_lengths = None
     if args.long:
         from whisper_context_biasing_tpu.decode import transcribe_long_batch
 
         if args.num_beams > 1:
             print("warning: --long mode decodes greedily; --num_beams ignored",
                   file=sys.stderr)
+        if args.word_timestamps:
+            print("warning: --word_timestamps is short-form only; use "
+                  "--timestamps for long-form segments", file=sys.stderr)
 
         raw = [load_audio(p) for p in args.audio]
         contexts = None
@@ -116,40 +218,37 @@ def main():
             word_ids = [tokenizer.encode(w.lower(), add_special_tokens=False)
                         for w in args.bias_words]
             spans = coll.pad_bias_spans([word_ids] * len(raw))
-        import jax.numpy as _jnp
 
-        def mel_fn(chunk):
-            return np.asarray(log_mel_spectrogram_fused(_jnp.asarray(chunk),
-                                                        n_mels=cfg.n_mels))
+        # language detection reads the first 30 s window of each file
+        first = np.stack([pad_or_trim(a) for a in raw])
+        starts = build_starts(args, tokenizer, params, cfg, make_mel(first))
 
         lp_thresh = args.logprob_threshold
         if lp_thresh is not None and lp_thresh != lp_thresh:  # nan disables
             lp_thresh = None
-        hyps = transcribe_long_batch(params, cfg, tokenizer, raw, mel_fn=mel_fn,
-                                     max_new=args.max_tokens, contexts=contexts,
-                                     bias_spans=spans, bias_boost=args.bias_boost,
-                                     use_timestamps=args.timestamps,
-                                     temperatures=tuple(args.temperatures),
-                                     compression_ratio_threshold=args.compression_ratio_threshold,
-                                     logprob_threshold=lp_thresh)
+        hyps, segments = transcribe_long_batch(
+            params, cfg, tokenizer, raw, mel_fn=make_mel,
+            max_new=args.max_tokens, contexts=contexts,
+            bias_spans=spans, bias_boost=args.bias_boost,
+            use_timestamps=args.timestamps,
+            temperatures=tuple(args.temperatures),
+            compression_ratio_threshold=args.compression_ratio_threshold,
+            logprob_threshold=lp_thresh, start_tokens=starts,
+            return_segments=True)
         wall = time.time() - t0
-        if args.timestamps:
-            texts = []
-            for h in hyps:
-                segs = tokenizer.split_timestamp_segments(h)
-                texts.append(" ".join(
-                    f"[{a:.2f}-{('%.2f' % b_) if b_ is not None else '?'}]{t}"
-                    for a, b_, t in segs) or
-                    tokenizer.decode(h, skip_special_tokens=True).strip())
-        else:
-            texts = [tokenizer.decode(h, skip_special_tokens=True).strip() for h in hyps]
+        texts = [tokenizer.decode(h, skip_special_tokens=True).strip()
+                 for h in hyps]
         audio_seconds = sum(len(a) for a in raw) / 16000
-        for path, text in zip(args.audio, texts):
-            print(json.dumps({"file": path, "text": text}) if args.json
-                  else f"{path}: {text}")
+        rendered = []
+        for i, (path, text) in enumerate(zip(args.audio, texts)):
+            segs = close_open_segments(segments[i],
+                                       clip_end=len(raw[i]) / 16000)
+            rendered.append(emit(args, fmt, path, text, segs, None))
+        write_outputs(args, fmt, rendered)
         print(f"[{len(raw)} files, {audio_seconds:.1f}s audio in {wall:.2f}s "
               f"= {audio_seconds / max(wall, 1e-9):.1f}x realtime]", file=sys.stderr)
         return
+
     if native.available() and all(p.lower().endswith(".wav") for p in args.audio):
         audio = native.decode_batch(args.audio, fixed_len=480000)
         # true durations from WAV headers (cheap; no second decode)
@@ -164,7 +263,7 @@ def main():
         raw_clips = [load_audio(p) for p in args.audio]
         true_lengths = [min(len(a), 480000) for a in raw_clips]
         audio = np.stack([pad_or_trim(a) for a in raw_clips])
-    mel = np.asarray(log_mel_spectrogram_fused(jnp.asarray(audio), n_mels=cfg.n_mels))
+    mel = make_mel(audio)
 
     contexts = None
     if args.context:
@@ -180,27 +279,7 @@ def main():
                for w in args.bias_words]
         spans = coll.pad_bias_spans([raw] * len(args.audio))
 
-    starts = None
-    detected = None
-    if args.language:
-        if not tokenizer.multilingual:
-            print("warning: --language ignored for English-only models",
-                  file=sys.stderr)
-        elif args.language == "auto":
-            from whisper_context_biasing_tpu.decode import detect_language
-
-            detected = detect_language(params, cfg, tokenizer, mel)
-            starts = []
-            for lang, prob in detected:
-                lid = tokenizer.convert_tokens_to_ids(f"<|{lang}|>")
-                starts.append([tokenizer.sot, lid, tokenizer.transcribe])
-            print("detected: " + ", ".join(f"{l} ({p:.2f})" for l, p in detected),
-                  file=sys.stderr)
-        else:
-            lid = tokenizer.convert_tokens_to_ids(f"<|{args.language}|>")
-            if lid is None:
-                raise SystemExit(f"unknown language code: {args.language}")
-            starts = [[tokenizer.sot, lid, tokenizer.transcribe]] * len(args.audio)
+    starts = build_starts(args, tokenizer, params, cfg, mel)
 
     kwargs = dict(contexts=contexts, max_new=args.max_tokens,
                   bias_spans=spans, bias_boost=args.bias_boost)
@@ -211,8 +290,11 @@ def main():
                                  num_beams=args.num_beams, **kwargs)
     else:
         hyps = decode_batch(params, cfg, tokenizer, mel, **kwargs)
+
+    # srt/vtt need timed segments: enable word alignment implicitly
+    want_words = args.word_timestamps or fmt in ("srt", "vtt")
     word_timings = None
-    if args.word_timestamps:
+    if want_words:
         from whisper_context_biasing_tpu.decode import find_word_timestamps
 
         heads = None
@@ -227,19 +309,12 @@ def main():
 
     texts = [tokenizer.decode(h, skip_special_tokens=True).strip() for h in hyps]
     audio_seconds = sum(true_lengths) / 16000  # pre-padding durations
+    rendered = []
     for i, (path, text) in enumerate(zip(args.audio, texts)):
-        rec = {"file": path, "text": text}
-        if word_timings is not None:
-            rec["words"] = [{"word": w.word.strip(), "start": w.start,
-                             "end": w.end} for w in word_timings[i]]
-        if args.json:
-            print(json.dumps(rec))
-        elif word_timings is not None:
-            stamped = " ".join(f"{w.word.strip()}[{w.start:.2f}-{w.end:.2f}]"
-                               for w in word_timings[i])
-            print(f"{path}: {stamped or text}")
-        else:
-            print(f"{path}: {text}")
+        words = word_timings[i] if word_timings is not None else None
+        segs = words_to_segments(words) if words is not None else None
+        rendered.append(emit(args, fmt, path, text, segs, words))
+    write_outputs(args, fmt, rendered)
     print(f"[{len(args.audio)} files, {audio_seconds:.1f}s audio in {wall:.2f}s "
           f"= {audio_seconds / wall:.1f}x realtime]", file=sys.stderr)
 

@@ -1,6 +1,6 @@
-"""Server engine unit tests (no HTTP, no TPU): the long-form routing path
-added to scripts/serve.py — >30 s requests run the sequential-window seek
-loop with the engine's static batch shape and bucketed prompt lengths."""
+"""Server engine unit tests (no HTTP, no TPU): long-form routing, the
+result-dict contract, and the per-request language/task/word-timestamp
+options added to scripts/serve.py."""
 
 import importlib.util
 import os
@@ -10,9 +10,15 @@ from argparse import Namespace
 import numpy as np
 import pytest
 
+from whisper_context_biasing_tpu.audio import pad_or_trim
 from whisper_context_biasing_tpu.audio.mel import N_SAMPLES
 from whisper_context_biasing_tpu.data.collator import SpeechSeq2SeqCollator
-from whisper_context_biasing_tpu.decode import transcribe_long_batch
+from whisper_context_biasing_tpu.decode import (
+    decode_batch,
+    detect_language,
+    find_word_timestamps,
+    transcribe_long_batch,
+)
 from whisper_context_biasing_tpu.models import init_params, tiny_test_config
 from whisper_context_biasing_tpu.tokenizer import load_tokenizer
 
@@ -26,8 +32,7 @@ def _load_serve():
     return mod
 
 
-@pytest.fixture(scope="module")
-def engine():
+def _make_engine(multilingual=False):
     """An Engine wired by hand around the tiny CPU config (the real
     constructor builds a TPU config and warms the compile)."""
     import jax.numpy as jnp
@@ -40,16 +45,17 @@ def engine():
         temperatures=[0.0], logprob_threshold=float("nan"),
     )
     eng.jnp = jnp
-    eng.cfg = tiny_test_config()
+    eng.cfg = tiny_test_config(
+        n_vocab=51865 if multilingual else 51864, multilingual=multilingual)
     eng.params = init_params(eng.cfg, 0)
-    eng.tokenizer = load_tokenizer()
+    eng.tokenizer = load_tokenizer(multilingual=multilingual)
     eng.collator = SpeechSeq2SeqCollator(
         pad_token_id=eng.tokenizer.pad_token_id,
         decoder_start_token_id=eng.tokenizer.sot,
         bias_span_pad_id=eng.tokenizer.eot,
     )
     eng.mesh = None
-    rng = np.random.default_rng(0)
+    eng.pad_or_trim = pad_or_trim
 
     def mel_fn(chunk, n_mels=80):
         r = np.random.default_rng(int(abs(np.asarray(chunk)).sum() * 1e3) % 2**31)
@@ -58,29 +64,98 @@ def engine():
             .astype(np.float32))
 
     eng.mel_fn = mel_fn
+    eng.decode_batch = decode_batch
+    eng.detect_language = detect_language
+    eng.find_word_timestamps = find_word_timestamps
     eng.transcribe_long_batch = transcribe_long_batch
     return eng
 
 
+@pytest.fixture(scope="module")
+def engine():
+    return _make_engine()
+
+
+@pytest.fixture(scope="module")
+def ml_engine():
+    return _make_engine(multilingual=True)
+
+
 class TestServeLongForm:
-    def test_run_long_returns_text_per_request(self, engine):
+    def test_run_long_returns_result_per_request(self, engine):
         audios = [np.ones(N_SAMPLES + 16000, np.float32) * 0.1,  # 31 s
                   np.ones(8000, np.float32) * 0.2]               # 0.5 s
-        texts = engine._run_long(audios, [None, None], [None, None])
-        assert len(texts) == 2
-        assert all(isinstance(t, str) for t in texts)
+        results = engine._run_long(audios, [None, None], [None, None])
+        assert len(results) == 2
+        assert all(isinstance(r["text"], str) for r in results)
 
     def test_run_long_pads_to_static_batch(self, engine):
         # a single long request must still work (batch padded internally)
-        texts = engine._run_long([np.ones(N_SAMPLES + 100, np.float32)],
-                                 [None], [None])
-        assert len(texts) == 1
+        results = engine._run_long([np.ones(N_SAMPLES + 100, np.float32)],
+                                   [None], [None])
+        assert len(results) == 1
 
     def test_run_long_with_context_and_bias(self, engine):
         audios = [np.ones(N_SAMPLES + 100, np.float32) * 0.1]
-        texts = engine._run_long(audios, ["aspirin for pain"], [["aspirin"]])
-        assert len(texts) == 1
+        results = engine._run_long(audios, ["aspirin for pain"], [["aspirin"]])
+        assert len(results) == 1
 
     def test_worker_routing_threshold(self):
         """The worker routes on raw sample count: >480000 == long-form."""
         assert N_SAMPLES == 480000
+
+
+@pytest.mark.slow
+class TestServeOptions:
+    def test_short_form_result_dicts(self, engine):
+        audios = [np.ones(8000, np.float32) * 0.1] * 2
+        results = engine._run(audios, [None, None], [None, None])
+        assert len(results) == 2 and all("text" in r for r in results)
+        assert all("words" not in r for r in results)
+
+    def test_word_timestamps_option(self, engine):
+        audios = [np.ones(8000, np.float32) * 0.1] * 2
+        results = engine._run(audios, [None, None], [None, None],
+                              opts=[{"words": True}, {}])
+        assert "words" in results[0] and "words" not in results[1]
+        for w in results[0]["words"]:
+            assert set(w) == {"word", "start", "end"}
+            assert 0.0 <= w["start"] <= w["end"] <= 8000 / 16000 + 1e-6
+
+    def test_language_forced(self, ml_engine):
+        audios = [np.ones(8000, np.float32) * 0.1] * 2
+        results = ml_engine._run(audios, [None, None], [None, None],
+                                 opts=[{"language": "fr"}, {}])
+        assert results[0].get("language") == "fr"
+        assert "language" not in results[1]
+
+    def test_language_auto_detects(self, ml_engine):
+        from whisper_context_biasing_tpu.tokenizer.whisper_tokenizer import (
+            LANGUAGES,
+        )
+
+        audios = [np.ones(8000, np.float32) * 0.1]
+        results = ml_engine._run(audios, [None], [None],
+                                 opts=[{"language": "auto"}])
+        assert results[0]["language"] in LANGUAGES
+
+    def test_translate_task_implies_detection(self, ml_engine):
+        from whisper_context_biasing_tpu.tokenizer.whisper_tokenizer import (
+            LANGUAGES,
+        )
+
+        audios = [np.ones(8000, np.float32) * 0.1]
+        results = ml_engine._run(audios, [None], [None],
+                                 opts=[{"task": "translate"}])
+        assert results[0]["language"] in LANGUAGES
+
+    def test_unknown_language_raises(self, ml_engine):
+        audios = [np.ones(8000, np.float32) * 0.1]
+        with pytest.raises(ValueError, match="unknown language"):
+            ml_engine._run(audios, [None], [None], opts=[{"language": "zz"}])
+
+    def test_language_ignored_on_english_model(self, engine):
+        audios = [np.ones(8000, np.float32) * 0.1]
+        results = engine._run(audios, [None], [None],
+                              opts=[{"language": "fr"}])
+        assert "language" not in results[0]

@@ -127,10 +127,19 @@ def transcribe_long_batch(
     decode_fn: Callable[..., GreedyResult] | None = None,
     rng_key=None,
     prefix_pad_to_multiple: int | None = None,
+    return_segments: bool = False,
+    start_tokens: list[list[int]] | None = None,  # per-file decode starts
 ) -> list[list[int]]:
     """Returns per-file token lists (concatenated over windows; timestamp
     tokens are kept when ``use_timestamps`` so callers can segment with
     ``tokenizer.split_timestamp_segments``).
+
+    ``return_segments=True`` returns ``(tokens, segments)`` where
+    ``segments[i]`` is a list of ``(start_s, end_s | None, text)`` in
+    *absolute* file time (window timestamps are offset by each window's seek
+    position — required for subtitle output past the first 30 s window).
+    Without ``use_timestamps`` each window becomes one segment spanning its
+    audio.
 
     ``decode_fn(mel, ids, mask, temperature, rng_key) -> GreedyResult`` can
     be injected (tests, beam variants); the default wraps ``greedy_decode``
@@ -161,6 +170,7 @@ def transcribe_long_batch(
     started = [False] * b               # zero-length audio still gets 1 window
     histories: list[list[int]] = [[] for _ in range(b)]
     outputs: list[list[int]] = [[] for _ in range(b)]
+    segments: list[list[tuple[float, float | None, str]]] = [[] for _ in range(b)]
 
     def active(i):
         return not started[i] or seek[i] < len(audios[i])
@@ -183,8 +193,9 @@ def transcribe_long_batch(
                 if room > 0:
                     ctx.extend(histories[i][-room:])
             # a bare <|sot|> start leaves timestamp tokens unsuppressed
-            # (reference-parity generation config, scripts/train.py:211)
-            start = [tokenizer.sot]
+            # (reference-parity generation config, scripts/train.py:211);
+            # start_tokens overrides it (language/task forcing)
+            start = list(start_tokens[i]) if start_tokens else [tokenizer.sot]
             if ctx:
                 prefixes.append([tokenizer.sop] + ctx + start)
             else:
@@ -232,11 +243,25 @@ def transcribe_long_batch(
                     # never stall: a sub-frame advance re-decodes forever
                     advance = max(int(adv_s * SAMPLE_RATE), N_SAMPLES // 100)
                     row = kept
+            if return_segments:
+                offset = seek[i] / SAMPLE_RATE
+                if use_timestamps:
+                    for a, e, text in tokenizer.split_timestamp_segments(row):
+                        segments[i].append(
+                            (offset + a, None if e is None else offset + e, text))
+                else:
+                    span = min(N_SAMPLES, max(len(audios[i]) - seek[i], 0))
+                    text = tokenizer.decode(row, skip_special_tokens=True)
+                    if text.strip():
+                        segments[i].append(
+                            (offset, offset + span / SAMPLE_RATE, text))
             started[i] = True
             seek[i] += advance
             content = _content_tokens(row, tokenizer)
             histories[i] = (histories[i] + content)[-MAX_PROMPT_TOKENS:]
             outputs[i].extend(row)
+    if return_segments:
+        return outputs, segments
     return outputs
 
 

@@ -123,12 +123,17 @@ def find_word_timestamps(
     num_frames: list[int] | int | None = None,  # per-clip content frames
     alignment_heads: list[tuple[int, int]] | None = None,
     medfilt_width: int = 7,
+    pad_to: int | None = None,
 ) -> list[list[WordTiming]]:
     """Per-clip word timings for already-decoded hypotheses.
 
     ``num_frames``: frames actually covered by audio (``n_samples // 320``);
     defaults to the full window. Timestamps are clamped to it so words never
-    extend into padding silence."""
+    extend into padding silence.
+
+    ``pad_to``: pad the token axis to this length so serving batches with
+    varying hypothesis lengths reuse one compiled alignment program (the
+    frame axis is always the full encoder context in that case)."""
     from ..models.alignment import (
         alignment_matrix,
         default_alignment_mask,
@@ -148,6 +153,8 @@ def find_word_timestamps(
     text_hyps = [[t for t in h if not tokenizer.is_special(t)] for h in hyps]
     seqs = [list(st) + h + [tokenizer.eot] for st, h in zip(starts, text_hyps)]
     max_s = max(len(s) for s in seqs)
+    if pad_to is not None:
+        max_s = max(max_s, int(pad_to))
     toks = np.full((b, max_s), tokenizer.eot, np.int32)
     tok_mask = np.zeros((b, max_s), np.float32)
     for i, s in enumerate(seqs):
@@ -164,9 +171,10 @@ def find_word_timestamps(
         frames = list(num_frames)
     frames = [max(2, min(int(f), total_frames)) for f in frames]
 
+    static_frames = total_frames if pad_to is not None else max(frames)
     matrix = np.asarray(alignment_matrix(
         params, cfg, jnp.asarray(toks), enc, head_mask,
-        jnp.asarray(tok_mask), num_frames=max(frames),
+        jnp.asarray(tok_mask), num_frames=static_frames,
         medfilt_width=medfilt_width,
     ))  # (B, S, F)
 
