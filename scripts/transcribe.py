@@ -39,6 +39,11 @@ def parse_args():
     p.add_argument("--bias_words", nargs="*", default=None)
     p.add_argument("--bias_boost", type=float, default=0.0)
     p.add_argument("--num_beams", type=int, default=1)
+    p.add_argument("--beam_early_stopping",
+                   choices=["off", "true", "false", "never"], default="off",
+                   help="off = frozen-beam pool (fastest); true/false/never "
+                        "= HF generate semantics (2k candidates, finished-"
+                        "hypothesis pool, the matching stopping rule)")
     p.add_argument("--max_tokens", type=int, default=224)
     p.add_argument("--long", action="store_true",
                    help="long-form mode: sequential 30 s windows with history "
@@ -287,7 +292,9 @@ def main():
         kwargs["starts"] = starts
     if args.num_beams > 1:
         hyps = beam_decode_batch(params, cfg, tokenizer, mel,
-                                 num_beams=args.num_beams, **kwargs)
+                                 num_beams=args.num_beams,
+                                 early_stopping=args.beam_early_stopping,
+                                 **kwargs)
     else:
         hyps = decode_batch(params, cfg, tokenizer, mel, **kwargs)
 

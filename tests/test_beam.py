@@ -337,3 +337,67 @@ class TestBiasScoreRollback:
                           jnp.asarray(mask), num_beams=2, max_new=4,
                           bias_spans=jnp.asarray(spans), bias_boost=1e6)
         assert np.asarray(res.best)[0, :2].tolist() == span
+
+
+@pytest.mark.slow
+class TestHFBeamModes:
+    """HF early-stopping semantics plumbing (the transcript-level parity vs
+    torch generate lives in test_model.py::TestBeamGenerateParity)."""
+
+    def test_true_mode_returns_sorted_pool(self, setup):
+        cfg, params, mel = setup
+        ids, mask = pack_prefixes([[50257], [50257]], EOT)
+        res = beam_decode(params, cfg, jnp.asarray(mel), jnp.asarray(ids),
+                          jnp.asarray(mask), num_beams=3, max_new=8,
+                          early_stopping="true")
+        scores = np.asarray(res.scores)
+        assert (np.diff(scores, axis=1) <= 1e-6).all()  # pool is top-k sorted
+        best = np.asarray(res.best)
+        np.testing.assert_array_equal(best, np.asarray(res.tokens)[:, 0])
+
+    def test_invalid_mode_raises(self, setup):
+        cfg, params, mel = setup
+        ids, mask = pack_prefixes([[50257], [50257]], EOT)
+        with pytest.raises(ValueError, match="early_stopping"):
+            beam_decode(params, cfg, jnp.asarray(mel), jnp.asarray(ids),
+                        jnp.asarray(mask), num_beams=2, max_new=4,
+                        early_stopping="bogus")
+
+    def test_never_beats_or_ties_true(self, setup):
+        """"never" explores until the rigorous bound, so its best penalized
+        score cannot be worse than "true" (which stops at pool-full)."""
+        cfg, params, mel = setup
+        ids, mask = pack_prefixes([[50257], [50257]], EOT)
+        kw = dict(num_beams=3, max_new=8)
+        r_true = beam_decode(params, cfg, jnp.asarray(mel), jnp.asarray(ids),
+                             jnp.asarray(mask), early_stopping="true", **kw)
+        r_never = beam_decode(params, cfg, jnp.asarray(mel), jnp.asarray(ids),
+                              jnp.asarray(mask), early_stopping="never", **kw)
+        assert (np.asarray(r_never.scores)[:, 0]
+                >= np.asarray(r_true.scores)[:, 0] - 1e-6).all()
+
+    def test_batch_wrapper_mode(self, setup):
+        cfg, params, mel = setup
+        tok = load_tokenizer()
+        hyps = beam_decode_batch(params, cfg, tok, mel, num_beams=3,
+                                 max_new=6, early_stopping="true")
+        assert len(hyps) == 2
+        assert all(EOT not in h for h in hyps)
+
+    def test_bias_boost_composes_with_hf_mode(self, setup):
+        cfg, params, mel = setup
+        tok = load_tokenizer()
+        ids, mask = pack_prefixes([[50257], [50257]], EOT)
+        base = beam_decode(params, cfg, jnp.asarray(mel), jnp.asarray(ids),
+                           jnp.asarray(mask), num_beams=3, max_new=6,
+                           early_stopping="false")
+        target = np.asarray(base.best)[0, :2].tolist()
+        other = [[(t + 7) % 50000 for t in target]]
+        spans = jnp.asarray([other, other], jnp.int32)
+        boosted = beam_decode(params, cfg, jnp.asarray(mel), jnp.asarray(ids),
+                              jnp.asarray(mask), num_beams=3, max_new=6,
+                              bias_spans=spans, bias_boost=15.0,
+                              early_stopping="false")
+        # a large boost toward different tokens must change the result
+        assert not np.array_equal(np.asarray(boosted.best),
+                                  np.asarray(base.best))

@@ -289,3 +289,67 @@ class TestGenerateParity:
             )
             ours = np.asarray(res.tokens)
         np.testing.assert_array_equal(ours, theirs)
+
+
+@pytest.mark.slow
+class TestBeamGenerateParity:
+    """Beam-search transcript parity vs HF ``generate(num_beams=k)`` with
+    the HF early-stopping semantics (beam.py _hf_beam_loop). Both sides f64;
+    any mismatch is a semantic divergence of candidate expansion, pool
+    insertion, or the stopping rule."""
+
+    @pytest.mark.parametrize("seed,early_stopping",
+                             [(0, True), (1, False), (2, "never"), (3, True)])
+    def test_beam_transcripts_bit_match(self, seed, early_stopping):
+        import torch
+        from transformers import (
+            GenerationConfig,
+            WhisperConfig as HFConfig,
+            WhisperForConditionalGeneration,
+        )
+
+        from whisper_context_biasing_tpu.decode import beam_decode
+
+        hf_cfg = HFConfig(
+            vocab_size=51864, num_mel_bins=80, d_model=64,
+            encoder_layers=2, decoder_layers=2,
+            encoder_attention_heads=2, decoder_attention_heads=2,
+            encoder_ffn_dim=256, decoder_ffn_dim=256,
+            max_source_positions=64, max_target_positions=448,
+            decoder_start_token_id=50257, eos_token_id=50256,
+            pad_token_id=50256,
+        )
+        torch.manual_seed(seed)
+        hf = WhisperForConditionalGeneration(hf_cfg).double().eval()
+        gen = GenerationConfig(
+            max_length=16, use_cache=True, decoder_start_token_id=50257,
+            eos_token_id=50256, pad_token_id=50256,
+        )
+        gen.suppress_tokens = None
+        gen.begin_suppress_tokens = None
+        gen.forced_decoder_ids = None
+        hf.generation_config = gen
+
+        mel = _mel(2, seed=seed + 200, frames=128).astype(np.float64) * 0.5
+        with torch.no_grad():
+            theirs = hf.generate(
+                torch.tensor(mel), max_length=16, do_sample=False,
+                num_beams=3, early_stopping=early_stopping,
+                length_penalty=1.0,
+            ).numpy()  # (B, <=15): HF strips the decoder_start token
+
+        params, cfg = load_torch_model(hf)
+        cfg = WhisperConfig(**{**cfg.__dict__, "dtype": "float64", "n_audio_ctx": 64})
+        mode = {True: "true", False: "false", "never": "never"}[early_stopping]
+        with enable_x64():
+            p64 = jax.tree.map(lambda a: jnp.asarray(np.asarray(a, np.float64)), params)
+            ids, mask = pack_prefixes([[50257]] * 2, 50256)
+            res = beam_decode(
+                p64, cfg, jnp.asarray(mel), jnp.asarray(ids), jnp.asarray(mask),
+                num_beams=3, max_new=15, eot_id=50256,
+                early_stopping=mode,
+            )
+            ours = np.asarray(res.best)
+        # HF trims trailing all-pad columns; ours is eot-padded to max_new
+        np.testing.assert_array_equal(ours[:, : theirs.shape[1]], theirs)
+        assert (ours[:, theirs.shape[1]:] == 50256).all()

@@ -49,7 +49,7 @@ class BeamResult(NamedTuple):
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "num_beams", "max_new", "eot_id", "bias_boost",
-                     "length_penalty", "span_pad_id"),
+                     "length_penalty", "span_pad_id", "early_stopping"),
 )
 def beam_decode(
     params,
@@ -64,7 +64,22 @@ def beam_decode(
     bias_boost: float = 0.0,
     length_penalty: float = 1.0,
     span_pad_id: int = 50256,
+    early_stopping: str = "off",
 ) -> BeamResult:
+    """``early_stopping="off"`` (default): the in-pool frozen-beam search
+    documented above — finished beams compete in top-k at zero incremental
+    cost until every beam has finished.
+
+    ``"true"``/``"false"``/``"never"``: HF ``generate(num_beams=k)``
+    semantics — 2k candidates per step, <|eot|> candidates ranked within the
+    top k move to a per-row finished-hypothesis pool (score length-penalized
+    at insertion), live beams refill from the remaining candidates, and rows
+    stop per the HF early-stopping rule: "true" = pool full; "false" = pool
+    full AND its worst hypothesis beats the best running score at the
+    current length (HF's heuristic); "never" = same bound computed at
+    ``max_new`` (rigorous for length_penalty > 0). In these modes the
+    returned ``scores`` are the pool's length-penalized scores and
+    ``lengths`` count generated tokens including <|eot|>."""
     b, p = prefix_ids.shape
     k = num_beams
     v = cfg.n_vocab
@@ -113,6 +128,36 @@ def beam_decode(
     if use_bias:
         bias_state = advance_bias_state(bias_state, spans_tiled, prefix_tiled[:, -1])
 
+    def reorder(cache, state, pos, beam_idx):
+        """Gather beam-major tensors after top-k selection."""
+        def g_cache(a):  # (L, B*K, T, D)
+            l, bk, t, d = a.shape
+            a = a.reshape(l, b, k, t, d)
+            a = jnp.take_along_axis(a, beam_idx[None, :, :, None, None], axis=2)
+            return a.reshape(l, bk, t, d)
+
+        cache = jax.tree.map(g_cache, cache)
+
+        def g_bk(a):  # (B*K, ...)
+            a2 = a.reshape((b, k) + a.shape[1:])
+            a2 = jnp.take_along_axis(
+                a2, beam_idx.reshape((b, k) + (1,) * (a.ndim - 1)), axis=1
+            )
+            return a2.reshape(a.shape)
+
+        state = BiasTrieState(g_bk(state.matched), g_bk(state.span_len))
+        pos = g_bk(pos)
+        return cache, state, pos
+
+    if early_stopping != "off":
+        return _hf_beam_loop(
+            params, cfg, logits, cache, next_pos, cross_kv, key_mask,
+            spans_tiled, bias_state, use_bias, reorder,
+            b=b, k=k, v=v, p=p, max_new=max_new, eot_id=eot_id,
+            bias_boost=bias_boost, length_penalty=length_penalty,
+            early_stopping=early_stopping,
+        )
+
     def step_logprobs(step_logits, state, finished):
         """(B*K, V) masked log-probs for candidate expansion. Biasing uses
         score-exact shallow fusion: completed spans net +boost*len, failed
@@ -144,27 +189,6 @@ def beam_decode(
     scores, flat_idx = jax.lax.top_k(cand.reshape(b, k * v), k)  # (B, K)
     beam_idx = flat_idx // v
     token = (flat_idx % v).astype(jnp.int32)
-
-    def reorder(cache, state, pos, beam_idx):
-        """Gather beam-major tensors after top-k selection."""
-        def g_cache(a):  # (L, B*K, T, D)
-            l, bk, t, d = a.shape
-            a = a.reshape(l, b, k, t, d)
-            a = jnp.take_along_axis(a, beam_idx[None, :, :, None, None], axis=2)
-            return a.reshape(l, bk, t, d)
-
-        cache = jax.tree.map(g_cache, cache)
-
-        def g_bk(a):  # (B*K, ...)
-            a2 = a.reshape((b, k) + a.shape[1:])
-            a2 = jnp.take_along_axis(
-                a2, beam_idx.reshape((b, k) + (1,) * (a.ndim - 1)), axis=1
-            )
-            return a2.reshape(a.shape)
-
-        state = BiasTrieState(g_bk(state.matched), g_bk(state.span_len))
-        pos = g_bk(pos)
-        return cache, state, pos
 
     cache, bias_state, next_pos = reorder(cache, bias_state, next_pos, beam_idx)
     token_flat = token.reshape(b * k)
@@ -216,14 +240,161 @@ def beam_decode(
     return BeamResult(final.out, final.scores, lengths, best)
 
 
+def _hf_beam_loop(
+    params, cfg, logits, cache, next_pos, cross_kv, key_mask,
+    spans_tiled, bias_state, use_bias, reorder, *,
+    b, k, v, p, max_new, eot_id, bias_boost, length_penalty, early_stopping,
+) -> BeamResult:
+    """HF ``BeamSearchScorer.process``/``finalize`` semantics as one XLA
+    loop (transformers generation/beam_search.py behavior): 2k candidates
+    per step; <|eot|> candidates ranked within the top k are inserted into a
+    k-slot finished pool with score ``cum_logprob / gen_len**length_penalty``
+    (gen_len counts the <|eot|>); live beams refill from the leading non-eot
+    candidates; a row is done per the early-stopping rule, checked after
+    insertion against the step's best raw score. At ``max_new`` the
+    surviving live beams of unfinished rows merge into the pool."""
+    if early_stopping not in ("true", "false", "never"):
+        raise ValueError(f"early_stopping must be off/true/false/never, "
+                         f"got {early_stopping!r}")
+    lp_f = float(length_penalty)
+    rank = jnp.arange(2 * k)
+
+    def step_logprobs(step_logits, state, done_bk):
+        lp = jax.nn.log_softmax(step_logits.astype(jnp.float32), axis=-1)
+        if use_bias:
+            lp = lp + bias_score_adjust(state, spans_tiled, v, bias_boost)
+        # rows already done emit <|eot|> at zero cost until the loop exits
+        frozen = jnp.full_like(lp, NEG_INF).at[:, eot_id].set(0.0)
+        return jnp.where(done_bk[:, None], frozen, lp)
+
+    def select(cand, t, out, fin_scores, fin_out, fin_len, done):
+        """One scorer.process step over (B*K, V) cumulative scores."""
+        s2, flat = jax.lax.top_k(cand.reshape(b, k * v), 2 * k)
+        beam_idx = flat // v
+        token = (flat % v).astype(jnp.int32)
+        is_eot = token == eot_id
+        # live refill: the first k non-eot candidates in rank order (each
+        # live beam contributes at most one eot candidate, so >= k remain)
+        order = jnp.argsort(is_eot.astype(jnp.int32) * (2 * k) + rank,
+                            axis=1)[:, :k]
+        live_scores = jnp.take_along_axis(s2, order, axis=1)
+        live_beam = jnp.take_along_axis(beam_idx, order, axis=1)
+        live_tok = jnp.take_along_axis(token, order, axis=1)
+
+        gen_len = (t + 1).astype(jnp.float32)
+        pen = s2 / gen_len ** lp_f
+        eligible = is_eot & (rank[None, :] < k) & ~done[:, None]
+        cand_pen = jnp.where(eligible, pen, NEG_INF)
+        # hypothesis = tokens emitted so far; out is eot-padded, so the
+        # gathered row already reads as "sequence + <|eot|>"
+        cand_out = jnp.take_along_axis(out, beam_idx[:, :, None], axis=1)
+        all_scores = jnp.concatenate([fin_scores, cand_pen], axis=1)
+        all_out = jnp.concatenate([fin_out, cand_out], axis=1)
+        all_len = jnp.concatenate(
+            [fin_len, jnp.zeros((b, 2 * k), jnp.int32) + (t + 1)], axis=1)
+        # stable top-k: on ties existing pool entries win, matching the
+        # scorer's strict score > worst_score insertion test
+        new_scores, sel = jax.lax.top_k(all_scores, k)
+        new_out = jnp.take_along_axis(all_out, sel[:, :, None], axis=1)
+        new_len = jnp.take_along_axis(all_len, sel, axis=1)
+        keep = done[:, None]
+        fin_scores = jnp.where(keep, fin_scores, new_scores)
+        fin_out = jnp.where(keep[:, :, None], fin_out, new_out)
+        fin_len = jnp.where(keep, fin_len, new_len)
+
+        pool_full = jnp.all(fin_scores > NEG_INF / 2, axis=1)
+        worst = jnp.min(fin_scores, axis=1)
+        best_running = s2[:, 0]
+        if early_stopping == "true":
+            row_done = pool_full
+        elif early_stopping == "false":
+            row_done = pool_full & (worst >= best_running / gen_len ** lp_f)
+        else:  # "never": rigorous bound at max generation length
+            denom = (float(max_new) ** lp_f) if lp_f > 0.0 else gen_len ** lp_f
+            row_done = pool_full & (worst >= best_running / denom)
+        done = done | row_done
+        return live_scores, live_beam, live_tok, fin_scores, fin_out, fin_len, done
+
+    class HFCarry(NamedTuple):
+        t: jax.Array
+        cur: jax.Array
+        pos: jax.Array
+        cache: dict
+        out: jax.Array          # (B, K, max_new) live sequences
+        scores: jax.Array       # (B, K) live cumulative logprob
+        done: jax.Array         # (B,)
+        fin_scores: jax.Array   # (B, K) penalized pool scores
+        fin_out: jax.Array      # (B, K, max_new)
+        fin_len: jax.Array      # (B, K)
+        bias_state: BiasTrieState
+
+    out0 = jnp.full((b, k, max_new), eot_id, jnp.int32)
+    init_scores = jnp.tile(
+        jnp.asarray([0.0] + [float(NEG_INF)] * (k - 1), jnp.float32), (b, 1))
+    lp0 = step_logprobs(logits[:, -1], bias_state, jnp.zeros((b * k,), bool))
+    live_scores, live_beam, live_tok, fs, fo, fl, done = select(
+        init_scores.reshape(b * k, 1) + lp0, jnp.int32(0), out0,
+        jnp.full((b, k), NEG_INF), out0, jnp.zeros((b, k), jnp.int32),
+        jnp.zeros((b,), bool))
+    cache, bias_state, next_pos = reorder(cache, bias_state, next_pos, live_beam)
+    token_flat = live_tok.reshape(b * k)
+    out = out0.at[:, :, 0].set(live_tok)
+    if use_bias:
+        bias_state = advance_bias_state(bias_state, spans_tiled, token_flat)
+
+    init = HFCarry(jnp.int32(1), token_flat, next_pos, cache, out, live_scores,
+                   done, fs, fo, fl, bias_state)
+
+    def cond(c: HFCarry):
+        return (c.t < max_new) & ~jnp.all(c.done)
+
+    def body(c: HFCarry):
+        done_bk = jnp.repeat(c.done, k)
+        lg, cache = decode_tokens(
+            params, cfg, c.cur[:, None], cross_kv=cross_kv, cache=c.cache,
+            pos_offset=p - 1 + c.t, token_positions=c.pos[:, None],
+            self_mask=key_mask,
+        )
+        lp = step_logprobs(lg[:, -1], c.bias_state, done_bk)
+        live_scores, live_beam, live_tok, fs, fo, fl, done = select(
+            c.scores.reshape(b * k, 1) + lp, c.t, c.out,
+            c.fin_scores, c.fin_out, c.fin_len, c.done)
+        cache, state, pos = reorder(cache, c.bias_state, c.pos, live_beam)
+        out = jnp.take_along_axis(c.out, live_beam[:, :, None], axis=1)
+        out = jax.lax.dynamic_update_slice(
+            out, live_tok[:, :, None], (jnp.int32(0), jnp.int32(0), c.t))
+        token_flat = live_tok.reshape(b * k)
+        if use_bias:
+            state = advance_bias_state(state, spans_tiled, token_flat)
+        return HFCarry(c.t + 1, token_flat, pos + 1, cache, out, live_scores,
+                       done, fs, fo, fl, state)
+
+    final = jax.lax.while_loop(cond, body, init)
+
+    # finalize: unfinished rows merge their live beams into the pool
+    live_pen = final.scores / final.t.astype(jnp.float32) ** lp_f
+    live_pen = jnp.where(final.done[:, None], NEG_INF, live_pen)
+    all_scores = jnp.concatenate([final.fin_scores, live_pen], axis=1)
+    all_out = jnp.concatenate([final.fin_out, final.out], axis=1)
+    all_len = jnp.concatenate(
+        [final.fin_len, jnp.zeros((b, k), jnp.int32) + final.t], axis=1)
+    fin_scores, sel = jax.lax.top_k(all_scores, k)
+    fin_out = jnp.take_along_axis(all_out, sel[:, :, None], axis=1)
+    fin_len = jnp.take_along_axis(all_len, sel, axis=1)
+    best_idx = jnp.argmax(fin_scores, axis=1)
+    best = jnp.take_along_axis(fin_out, best_idx[:, None, None], axis=1)[:, 0]
+    return BeamResult(fin_out, fin_scores, fin_len, best)
+
+
 def beam_decode_batch(
     params, cfg, tokenizer, input_features: np.ndarray,
     contexts=None, num_beams: int = 5, max_new: int = 224,
     bias_spans=None, bias_boost: float = 0.0, length_penalty: float = 1.0,
-    mesh=None, starts=None,
+    mesh=None, starts=None, early_stopping: str = "off",
 ):
     """Host-side convenience mirroring decode.greedy.decode_batch.
     ``starts``: optional per-row start sequences (see decode_batch).
+    ``early_stopping``: "off" (default) or HF semantics (see beam_decode).
     ``mesh`` shards the batch axis over "data" (see decode_batch)."""
     from .greedy import pack_prefixes
 
@@ -252,7 +423,7 @@ def beam_decode_batch(
         num_beams=num_beams, max_new=max_new, eot_id=tokenizer.eot,
         bias_spans=spans,
         bias_boost=bias_boost, length_penalty=length_penalty,
-        span_pad_id=tokenizer.eot,
+        span_pad_id=tokenizer.eot, early_stopping=early_stopping,
     )
     toks = np.asarray(res.best)
     outs = []
