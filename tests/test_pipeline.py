@@ -1,0 +1,95 @@
+"""High-level Pipeline API: routing, options, and result contract.
+
+Library surface over the same decode paths the CLIs use (the reference has
+no library API at all — scripts only, /root/reference/scripts)."""
+
+import numpy as np
+import pytest
+
+from whisper_context_biasing_tpu import Pipeline, TranscriptionResult
+from whisper_context_biasing_tpu.models import init_params, tiny_test_config
+from whisper_context_biasing_tpu.tokenizer import load_tokenizer
+
+
+def _pipe(multilingual=False):
+    cfg = tiny_test_config(
+        n_vocab=51865 if multilingual else 51864, multilingual=multilingual)
+    return Pipeline(
+        "tiny" if multilingual else "tiny.en",
+        config=cfg, params=init_params(cfg, 0),
+        tokenizer=load_tokenizer(multilingual=multilingual))
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    return _pipe()
+
+
+@pytest.fixture(scope="module")
+def ml_pipe():
+    return _pipe(multilingual=True)
+
+
+@pytest.mark.slow
+class TestPipeline:
+    def test_single_clip_returns_single_result(self, pipe):
+        res = pipe.transcribe(np.zeros(8000, np.float32), max_tokens=4)
+        assert isinstance(res, TranscriptionResult)
+        assert isinstance(res.text, str) and isinstance(res.tokens, list)
+
+    def test_batch_returns_list(self, pipe):
+        res = pipe.transcribe([np.zeros(8000, np.float32)] * 2, max_tokens=4)
+        assert isinstance(res, list) and len(res) == 2
+
+    def test_bias_words_and_context(self, pipe):
+        res = pipe.transcribe([np.zeros(8000, np.float32)],
+                              context="clinical note",
+                              bias_words=["aspirin"], bias_boost=2.0,
+                              max_tokens=4)
+        assert len(res) == 1
+
+    def test_beams(self, pipe):
+        res = pipe.transcribe([np.zeros(8000, np.float32)], num_beams=2,
+                              beam_early_stopping="true", max_tokens=4)
+        assert len(res) == 1
+
+    def test_word_timestamps_and_subtitles(self, pipe):
+        rng = np.random.default_rng(0)
+        res = pipe.transcribe([rng.standard_normal(16000).astype(np.float32) * 0.1],
+                              word_timestamps=True, max_tokens=4)
+        r = res[0]
+        if r.words:  # random weights may emit nothing
+            assert r.segments is not None
+            assert "-->" in r.srt() and r.vtt().startswith("WEBVTT")
+            for w in r.words:
+                assert 0.0 <= w.start <= w.end <= 1.0 + 1e-6
+
+    def test_long_form_auto_routing(self, pipe):
+        # window_samples derives from the test config's reduced audio context
+        audio = np.zeros(pipe.window_samples + 8000, np.float32)
+        res = pipe.transcribe([audio], max_tokens=4)
+        assert len(res) == 1
+        assert res[0].segments is not None  # long form always yields segments
+
+    def test_srt_without_segments_raises(self, pipe):
+        res = pipe.transcribe(np.zeros(8000, np.float32), max_tokens=4)
+        with pytest.raises(ValueError, match="segments"):
+            res.srt()
+
+    def test_language_forcing_and_detection(self, ml_pipe):
+        from whisper_context_biasing_tpu.tokenizer.whisper_tokenizer import (
+            LANGUAGES,
+        )
+
+        res = ml_pipe.transcribe([np.zeros(8000, np.float32)],
+                                 language="fr", task="translate", max_tokens=4)
+        assert res[0].language == "fr"
+        res = ml_pipe.transcribe([np.zeros(8000, np.float32)],
+                                 language="auto", max_tokens=4)
+        assert res[0].language in LANGUAGES
+        det = ml_pipe.detect_language(np.zeros(8000, np.float32))
+        assert det[0][0] in LANGUAGES and 0.0 < det[0][1] <= 1.0
+
+    def test_language_on_english_model_raises(self, pipe):
+        with pytest.raises(ValueError, match="multilingual"):
+            pipe.transcribe(np.zeros(8000, np.float32), language="fr")

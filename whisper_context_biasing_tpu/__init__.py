@@ -54,3 +54,4 @@ from .metrics import (  # noqa: F401
     corpus_wer,
     score_predictions,
 )
+from .pipeline import Pipeline, TranscriptionResult  # noqa: F401

@@ -129,6 +129,7 @@ def transcribe_long_batch(
     prefix_pad_to_multiple: int | None = None,
     return_segments: bool = False,
     start_tokens: list[list[int]] | None = None,  # per-file decode starts
+    window_samples: int = N_SAMPLES,  # 30 s for the standard configs
 ) -> list[list[int]]:
     """Returns per-file token lists (concatenated over windows; timestamp
     tokens are kept when ``use_timestamps`` so callers can segment with
@@ -176,10 +177,10 @@ def transcribe_long_batch(
         return not started[i] or seek[i] < len(audios[i])
 
     while any(active(i) for i in range(b)):
-        chunk = np.zeros((b, N_SAMPLES), np.float32)
+        chunk = np.zeros((b, window_samples), np.float32)
         for i in range(b):
             if active(i):
-                part = audios[i][seek[i] : seek[i] + N_SAMPLES]
+                part = audios[i][seek[i] : seek[i] + window_samples]
                 chunk[i, : len(part)] = part
         mel = mel_fn(chunk)
 
@@ -236,12 +237,12 @@ def transcribe_long_batch(
             if not active(i):
                 continue
             row = accepted[i] if accepted[i] is not None else last[i]
-            advance = N_SAMPLES
+            advance = window_samples
             if use_timestamps:
                 kept, adv_s = timestamp_seek(row, tokenizer)
                 if adv_s is not None:
                     # never stall: a sub-frame advance re-decodes forever
-                    advance = max(int(adv_s * SAMPLE_RATE), N_SAMPLES // 100)
+                    advance = max(int(adv_s * SAMPLE_RATE), window_samples // 100)
                     row = kept
             if return_segments:
                 offset = seek[i] / SAMPLE_RATE
@@ -250,7 +251,7 @@ def transcribe_long_batch(
                         segments[i].append(
                             (offset + a, None if e is None else offset + e, text))
                 else:
-                    span = min(N_SAMPLES, max(len(audios[i]) - seek[i], 0))
+                    span = min(window_samples, max(len(audios[i]) - seek[i], 0))
                     text = tokenizer.decode(row, skip_special_tokens=True)
                     if text.strip():
                         segments[i].append(

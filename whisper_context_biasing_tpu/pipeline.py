@@ -1,0 +1,280 @@
+"""High-level serving API: load once, transcribe anything.
+
+The reference exposes its capabilities only through CLI scripts
+(/root/reference/scripts/train.py, evaluation.py); library users get this
+one-object surface over the same TPU pipeline the CLIs and the HTTP server
+use — batched short-form decode, long-form seeking, bias-word fusion,
+prompt conditioning, language id/translation, beams, and word timestamps::
+
+    from whisper_context_biasing_tpu import Pipeline
+
+    pipe = Pipeline("small", checkpoint="model.safetensors")
+    res = pipe.transcribe(["a.wav", "b.wav"],
+                          bias_words=["aspirin"], bias_boost=2.0)
+    res[0].text, res[0].words, res[0].segments
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+@dataclass
+class TranscriptionResult:
+    text: str
+    tokens: list = field(default_factory=list)
+    language: str | None = None
+    # (start_s, end_s, text) cues — long-form timestamps or word grouping
+    segments: list | None = None
+    # word-level timings (decode/word_timestamps.WordTiming)
+    words: list | None = None
+
+    def srt(self) -> str:
+        from .utils.subtitles import format_srt
+
+        if self.segments is None:
+            raise ValueError("no timed segments (use timestamps=True or "
+                             "word_timestamps=True)")
+        return format_srt(self.segments)
+
+    def vtt(self) -> str:
+        from .utils.subtitles import format_vtt
+
+        if self.segments is None:
+            raise ValueError("no timed segments (use timestamps=True or "
+                             "word_timestamps=True)")
+        return format_vtt(self.segments)
+
+
+class Pipeline:
+    """Loaded model + tokenizer + compiled decode programs.
+
+    ``model``: family name (``tiny.en`` .. ``large-v3``); multilingual
+    variants get language id / translation. ``checkpoint``: HF
+    ``model.safetensors`` or a framework checkpoint; random init without.
+    ``model_parallelism`` > 1 (or multiple visible devices) shards weights
+    over a ``(data, model)`` mesh and decode batches over "data"."""
+
+    def __init__(
+        self,
+        model: str = "base.en",
+        *,
+        checkpoint: str | None = None,
+        vocab: str | None = None,
+        merges: str | None = None,
+        dtype: str = "bfloat16",
+        bias_words: list[str] | None = None,
+        bias_boost: float = 0.0,
+        model_parallelism: int = 1,
+        config_overrides: dict | None = None,
+        params=None,
+        config=None,
+        tokenizer=None,
+    ):
+        from .data.collator import SpeechSeq2SeqCollator
+        from .models import get_config, init_params, load_checkpoint_or_safetensors
+        from .tokenizer import load_tokenizer
+
+        self.model_name = model
+        self.tokenizer = tokenizer or load_tokenizer(
+            vocab, merges, multilingual=not model.endswith(".en"))
+        if config is not None:
+            self.cfg = config
+        else:
+            self.cfg = get_config(model, dtype=dtype, **(config_overrides or {}))
+        if params is not None:
+            self.params = params
+        elif checkpoint:
+            self.params, self.cfg = load_checkpoint_or_safetensors(checkpoint, self.cfg)
+        else:
+            self.params = init_params(self.cfg, 0)
+        self.default_bias_words = bias_words
+        self.default_bias_boost = bias_boost
+        self.collator = SpeechSeq2SeqCollator(
+            pad_token_id=self.tokenizer.pad_token_id,
+            decoder_start_token_id=self.tokenizer.sot,
+            bias_span_pad_id=self.tokenizer.eot,
+        )
+
+        self.mesh = None
+        import jax
+
+        if model_parallelism > 1 or (model_parallelism == 1 and len(jax.devices()) > 1):
+            from .parallel import make_mesh, shard_params
+
+            self.mesh = make_mesh(model_parallelism=model_parallelism)
+            self.params = shard_params(self.params, self.mesh)
+
+    # -- helpers ----------------------------------------------------------
+
+    @property
+    def window_samples(self) -> int:
+        """Audio window in samples (480000 = 30 s for the standard configs;
+        derived from the encoder context so reduced test/bucketed configs
+        keep working: one encoder state per 320 samples)."""
+        return self.cfg.n_audio_ctx * 320
+
+    def _load(self, audio) -> np.ndarray:
+        if isinstance(audio, (str, bytes)):
+            from .audio import load_audio
+
+            return load_audio(audio)
+        return np.asarray(audio, np.float32)
+
+    def _mel(self, chunk: np.ndarray):
+        import jax
+        import jax.numpy as jnp
+
+        # the effective dispatch device, not the backend election winner
+        # (tests pin jax_default_device to CPU while a TPU plugin is present)
+        dev = jax.config.jax_default_device or jax.devices()[0]
+        if getattr(dev, "platform", None) == "tpu":
+            from .ops.mel_kernel import log_mel_spectrogram_fused
+
+            return np.asarray(log_mel_spectrogram_fused(
+                jnp.asarray(chunk), n_mels=self.cfg.n_mels))
+        # CPU/GPU fallback: the pure-jnp frontend (bit-diffed vs the kernel)
+        from .audio.mel import log_mel_spectrogram
+
+        return np.asarray(log_mel_spectrogram(
+            jnp.asarray(chunk), n_mels=self.cfg.n_mels))
+
+    def _spans(self, bias_words, n):
+        words = bias_words if bias_words is not None else self.default_bias_words
+        if not words:
+            return None
+        enc = [self.tokenizer.encode(w.lower(), add_special_tokens=False)
+               for w in words]
+        return self.collator.pad_bias_spans([enc] * n)
+
+    def _starts(self, mel, language, task):
+        tok = self.tokenizer
+        if not tok.multilingual:
+            if language or task == "translate":
+                raise ValueError("language/task need a multilingual model")
+            return None, [None] * mel.shape[0]
+        if not language and task == "transcribe":
+            return None, [None] * mel.shape[0]
+        task_id = tok.translate if task == "translate" else tok.transcribe
+        if language and language != "auto":
+            lid = tok.convert_tokens_to_ids(f"<|{language}|>")
+            if lid is None:
+                raise ValueError(f"unknown language code: {language}")
+            n = mel.shape[0]
+            return [[tok.sot, lid, task_id]] * n, [language] * n
+        detected = self.detect_language(mel, is_mel=True)
+        starts, langs = [], []
+        for lang, _ in detected:
+            starts.append([tok.sot, tok.convert_tokens_to_ids(f"<|{lang}|>"), task_id])
+            langs.append(lang)
+        return starts, langs
+
+    # -- public surface ---------------------------------------------------
+
+    def detect_language(self, audio, *, is_mel: bool = False):
+        """Per-clip ``(language_code, probability)``; multilingual models."""
+        from .audio import pad_or_trim
+        from .decode import detect_language
+
+        if is_mel:
+            mel = audio
+        else:
+            clips = audio if isinstance(audio, (list, tuple)) else [audio]
+            mel = self._mel(np.stack([pad_or_trim(self._load(a), self.window_samples) for a in clips]))
+        return detect_language(self.params, self.cfg, self.tokenizer, mel)
+
+    def transcribe(
+        self,
+        audio,
+        *,
+        context: str | None = None,
+        bias_words: list[str] | None = None,
+        bias_boost: float | None = None,
+        language: str | None = None,
+        task: str = "transcribe",
+        num_beams: int = 1,
+        beam_early_stopping: str = "off",
+        max_tokens: int = 224,
+        long_form: bool | str = "auto",
+        timestamps: bool = False,
+        word_timestamps: bool = False,
+        temperatures: tuple = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0),
+        alignment_heads: list[tuple[int, int]] | None = None,
+    ) -> list[TranscriptionResult]:
+        """Transcribe file paths and/or 16 kHz float arrays.
+
+        ``long_form="auto"`` routes clips through the sequential-window seek
+        loop when any input exceeds the 30 s window; ``timestamps`` adds
+        absolute-time segments there. Short-form ``word_timestamps`` adds
+        per-word times via cross-attention alignment (and caption segments
+        grouped from them)."""
+        from .audio import pad_or_trim
+        from .utils.subtitles import close_open_segments, words_to_segments
+
+        single = not isinstance(audio, (list, tuple))
+        clips = [self._load(a) for a in ([audio] if single else audio)]
+        n = len(clips)
+        boost = self.default_bias_boost if bias_boost is None else bias_boost
+        spans = self._spans(bias_words, n)
+        ctx = None
+        if context:
+            ctx = [self.tokenizer.encode(context.lower(), add_special_tokens=False)] * n
+
+        win = self.window_samples
+        use_long = (long_form is True) or (
+            long_form == "auto" and any(len(c) > win for c in clips))
+
+        if use_long:
+            from .decode import transcribe_long_batch
+
+            first = self._mel(np.stack([pad_or_trim(c, win) for c in clips]))
+            starts, langs = self._starts(first, language, task)
+            hyps, segs = transcribe_long_batch(
+                self.params, self.cfg, self.tokenizer, clips,
+                mel_fn=self._mel, max_new=max_tokens, contexts=ctx,
+                bias_spans=spans, bias_boost=boost,
+                use_timestamps=timestamps, temperatures=tuple(temperatures),
+                start_tokens=starts, return_segments=True,
+                prefix_pad_to_multiple=32, window_samples=win)
+            results = []
+            for i, h in enumerate(hyps):
+                text = self.tokenizer.decode(h, skip_special_tokens=True).strip()
+                results.append(TranscriptionResult(
+                    text=text, tokens=list(h), language=langs[i],
+                    segments=close_open_segments(
+                        segs[i], clip_end=len(clips[i]) / 16000)))
+            return results[0] if single else results
+
+        from .decode import beam_decode_batch, decode_batch, find_word_timestamps
+
+        mel = self._mel(np.stack([pad_or_trim(c, win) for c in clips]))
+        starts, langs = self._starts(mel, language, task)
+        kwargs = dict(contexts=ctx, max_new=max_tokens, bias_spans=spans,
+                      bias_boost=boost, mesh=self.mesh)
+        if starts is not None:
+            kwargs["starts"] = starts
+        if num_beams > 1:
+            hyps = beam_decode_batch(
+                self.params, self.cfg, self.tokenizer, mel,
+                num_beams=num_beams, early_stopping=beam_early_stopping,
+                **kwargs)
+        else:
+            hyps = decode_batch(self.params, self.cfg, self.tokenizer, mel,
+                                pad_to_multiple=32, **kwargs)
+        timings = None
+        if word_timestamps:
+            timings = find_word_timestamps(
+                self.params, self.cfg, self.tokenizer, mel, hyps,
+                starts=starts,
+                num_frames=[min(len(c), win) // 320 for c in clips],
+                alignment_heads=alignment_heads)
+        results = []
+        for i, h in enumerate(hyps):
+            text = self.tokenizer.decode(h, skip_special_tokens=True).strip()
+            words = timings[i] if timings is not None else None
+            results.append(TranscriptionResult(
+                text=text, tokens=list(h), language=langs[i], words=words,
+                segments=words_to_segments(words) if words is not None else None))
+        return results[0] if single else results
