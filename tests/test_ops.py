@@ -289,6 +289,33 @@ class TestQuantizedCrossKV:
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=1e-5, rtol=1e-5)
 
+    def test_indexed_kernel_selects_layer(self):
+        """quant_cross_attention_step_indexed reads layer l of the stacked
+        (L, ...) K/V via the scalar-prefetch index map — must equal the
+        per-layer kernel for every l."""
+        import jax.numpy as jnp
+        from whisper_context_biasing_tpu.models.whisper import quantize_cross_kv
+        from whisper_context_biasing_tpu.ops.quant_cross_attention import (
+            quant_cross_attention_step,
+            quant_cross_attention_step_indexed,
+        )
+
+        rng = np.random.default_rng(4)
+        L, B, T, D, H = 3, 2, 200, 128, 4
+        k = jnp.asarray(rng.standard_normal((L, B, T, D)).astype(np.float32))
+        v = jnp.asarray(rng.standard_normal((L, B, T, D)).astype(np.float32))
+        q = jnp.asarray(rng.standard_normal((B, 1, D)).astype(np.float32))
+        kv = quantize_cross_kv((k, v))
+        for l in range(L):
+            ref = quant_cross_attention_step(
+                q, kv["k_q"][l], kv["k_s"][l], kv["v_q"][l], kv["v_s"][l],
+                H, interpret=True)
+            got = quant_cross_attention_step_indexed(
+                q, kv["k_q"], kv["k_s"], kv["v_q"], kv["v_s"],
+                jnp.int32(l), H, interpret=True)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       atol=1e-6, rtol=1e-6)
+
     def test_fused_kernel_greedy_tokens_match(self):
         """End-to-end: greedy decode with fused_quant_cross (interpret) ==
         plain quantized decode."""

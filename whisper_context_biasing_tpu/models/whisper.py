@@ -497,12 +497,17 @@ def decode_tokens(
             if quantized_cross and s == 1 and cfg.fused_quant_cross:
                 # Pallas kernel: per-batch-row dequant inside VMEM — avoids
                 # the whole-batch bf16 KV spill that made batch>=32 decode
-                # super-linear (docs/PERF.md round 2)
-                from ..ops.quant_cross_attention import quant_cross_attention_step
+                # super-linear (docs/PERF.md round 2). The stacked K/V stay
+                # OUT of the scan xs (a scalar-prefetch index map reads the
+                # layer directly): slicing them per layer would copy ~68 GB
+                # per batch-64 decode call (docs/PERF.md round 2b)
+                from ..ops.quant_cross_attention import (
+                    quant_cross_attention_step_indexed,
+                )
 
-                ckv = blk["ckv"]
-                catt = quant_cross_attention_step(
-                    cq, ckv["k_q"], ckv["k_s"], ckv["v_q"], ckv["v_s"],
+                catt = quant_cross_attention_step_indexed(
+                    cq, cross_kv["k_q"], cross_kv["k_s"],
+                    cross_kv["v_q"], cross_kv["v_s"], blk["li"],
                     cfg.n_heads, interpret=cfg.flash_interpret,
                 )
             elif quantized_cross:
@@ -514,7 +519,10 @@ def decode_tokens(
             h = h + _mlp(m, blk["mlp"]["w1"], blk["mlp"]["b1"], blk["mlp"]["w2"], blk["mlp"]["b2"])
             return h, (ck_upd, cv_upd)
 
-        if quantized_cross:
+        if quantized_cross and s == 1 and cfg.fused_quant_cross:
+            xs = dict(blocks, cache_k=cache["k"], cache_v=cache["v"],
+                      li=jnp.arange(cfg.n_text_layers, dtype=jnp.int32))
+        elif quantized_cross:
             xs = dict(blocks, ckv=cross_kv,
                       cache_k=cache["k"], cache_v=cache["v"])
         else:

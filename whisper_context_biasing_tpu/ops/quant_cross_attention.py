@@ -115,3 +115,59 @@ def quant_cross_attention_step(
         interpret=interpret,
     )(qb, k_q, ks, v_q, v_s, mhd)
     return out
+
+
+def _kernel_indexed(l_ref, qb_ref, k_ref, ks_ref, v_ref, vs_ref, mhd_ref, o_ref):
+    del l_ref  # consumed by the index maps (scalar prefetch)
+    _kernel(qb_ref, k_ref, ks_ref, v_ref, vs_ref, mhd_ref, o_ref)
+
+
+@functools.partial(jax.jit, static_argnames=("n_heads", "interpret"))
+def quant_cross_attention_step_indexed(
+    q: jax.Array,        # (B, 1, D) — single decode-step query
+    k_q: jax.Array,      # (L, B, T_pad, D) int8 — ALL layers, unsliced
+    k_s: jax.Array,      # (L, B, 1, T_pad) f32
+    v_q: jax.Array,      # (L, B, T_pad, D) int8
+    v_s: jax.Array,      # (L, B, 1, T_pad) f32
+    layer,               # traced int32 scalar — which layer's K/V to read
+    n_heads: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Layer-indexed variant for the scan-over-layers decode step.
+
+    Passing the stacked (L, ...) K/V through ``lax.scan``'s xs makes XLA
+    materialize a dynamic-slice COPY of each layer's 2x(B, T, D) int8 slab
+    every layer of every decode step before the kernel can read it — at
+    whisper-small batch 64 those copies alone are ~68 GB per 32-token call,
+    more HBM traffic than the attention itself (docs/PERF.md round 2b). Here
+    the full arrays stay put and a scalar-prefetch index map points each
+    grid cell's DMA at (layer, row) directly — zero copies."""
+    _, b, t_pad, d = k_q.shape
+    dh = d // n_heads
+    h_pad = ((n_heads + 15) // 16) * 16  # bf16 sublane tile
+    mhd = jnp.asarray(_head_mask(n_heads, h_pad, d), q.dtype)
+
+    qb = q[:, 0, :][:, None, :] * mhd[None]
+    ks = k_s * jnp.float32(1.0 / math.sqrt(dh))
+    li = jnp.reshape(jnp.asarray(layer, jnp.int32), (1,))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((None, h_pad, d), lambda i, l: (i, 0, 0)),
+            pl.BlockSpec((None, None, t_pad, d), lambda i, l: (l[0], i, 0, 0)),
+            pl.BlockSpec((None, None, 1, t_pad), lambda i, l: (l[0], i, 0, 0)),
+            pl.BlockSpec((None, None, t_pad, d), lambda i, l: (l[0], i, 0, 0)),
+            pl.BlockSpec((None, None, 1, t_pad), lambda i, l: (l[0], i, 0, 0)),
+            pl.BlockSpec((h_pad, d), lambda i, l: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((None, 1, d), lambda i, l: (i, 0, 0)),
+    )
+    out = pl.pallas_call(
+        _kernel_indexed,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, 1, d), q.dtype),
+        interpret=interpret,
+    )(li, qb, k_q, ks, v_q, v_s, mhd)
+    return out
