@@ -52,6 +52,8 @@ def main():
     quant_kv = os.environ.get("BENCH_QUANT_KV", "1") == "1"
     cfg = get_config(MODEL, dtype="bfloat16", flash_attention=FLASH,
                      flash_block_q=1536 if FLASH else 256,
+                     # tanh gelu: error below bf16 rounding, ~10% encoder win
+                     gelu_approx=os.environ.get("BENCH_GELU_APPROX", "1") == "1",
                      quantize_cross_kv=quant_kv,
                      # Pallas per-batch-row int8 cross attention: fixes the
                      # batch>=32 VMEM spill (docs/PERF.md round 2)

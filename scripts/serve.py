@@ -109,7 +109,7 @@ class Engine:
                                         multilingual=not args.model.endswith(".en"))
         self.cfg = get_config(args.model, dtype="bfloat16", flash_attention=True,
                               flash_block_q=1536, quantize_cross_kv=True,
-                              fused_quant_cross=True)
+                              fused_quant_cross=True, gelu_approx=True)
         if args.init_checkpoint:
             self.params, self.cfg = load_checkpoint_or_safetensors(
                 args.init_checkpoint, self.cfg)

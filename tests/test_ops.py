@@ -385,3 +385,25 @@ class TestQuantizedDecoderWeights:
         orig = nbytes(params["decoder"]["mlp"])
         quant = nbytes(q["decoder"]["mlp"])
         assert quant < 0.3 * orig  # int8 vs f32 plus small scales
+
+
+class TestGeluApprox:
+    def test_encoder_error_below_bf16_rounding(self):
+        """cfg.gelu_approx (tanh) vs exact erf gelu: the output difference
+        must stay within bf16 rounding of the activations, the acceptance
+        argument for enabling it in bf16 serving configs (docs/PERF.md)."""
+        import jax.numpy as jnp
+
+        from whisper_context_biasing_tpu.models import (
+            encode_audio, init_params, tiny_test_config,
+        )
+
+        cfg_e = tiny_test_config(dtype="float32")
+        cfg_a = tiny_test_config(dtype="float32", gelu_approx=True)
+        params = init_params(cfg_e, 0)
+        rng = np.random.default_rng(0)
+        mel = jnp.asarray((rng.standard_normal((2, 80, 128)) * 0.5).astype(np.float32))
+        exact = np.asarray(encode_audio(params, cfg_e, mel))
+        approx = np.asarray(encode_audio(params, cfg_a, mel))
+        scale = np.abs(exact).max()
+        assert np.abs(approx - exact).max() < 0.008 * scale  # bf16 eps ~ 0.0078

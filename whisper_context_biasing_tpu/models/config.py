@@ -57,6 +57,12 @@ class WhisperConfig:
     # int8 cross-attention K/V for decode: halves the dominant HBM traffic of
     # single-token steps (models/whisper.py:quantize_cross_kv)
     quantize_cross_kv: bool = False
+    # tanh-approximate gelu instead of exact erf. The erf runs on the VPU and
+    # is ~10% of encoder wall time at batch 64 (docs/PERF.md round 2b); the
+    # tanh approximation's error (~3e-3 absolute) is below bf16 rounding at
+    # typical activation magnitudes, so bf16 serving configs lose nothing.
+    # Off by default: f32/f64 parity tests pin exact gelu (HF semantics).
+    gelu_approx: bool = False
 
     @property
     def head_dim(self) -> int:

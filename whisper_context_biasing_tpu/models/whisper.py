@@ -178,9 +178,9 @@ def _proj(x, w, b=None):
     return y
 
 
-def _mlp(x, w1, b1, w2, b2):
+def _mlp(x, w1, b1, w2, b2, approximate=False):
     h = _proj(x, w1, b1)
-    h = jax.nn.gelu(h, approximate=False)
+    h = jax.nn.gelu(h, approximate=approximate)
     return _proj(h, w2, b2)
 
 
@@ -222,8 +222,10 @@ def encode_audio(params: Params, cfg: WhisperConfig, mel: jax.Array) -> jax.Arra
     enc = params["encoder"]
     dt = cfg.compute_dtype
     x = jnp.transpose(mel, (0, 2, 1)).astype(dt)  # (B, 3000, n_mels)
-    x = jax.nn.gelu(_conv1d(x, enc["conv1"]["w"], enc["conv1"]["b"], 1), approximate=False)
-    x = jax.nn.gelu(_conv1d(x, enc["conv2"]["w"], enc["conv2"]["b"], 2), approximate=False)
+    x = jax.nn.gelu(_conv1d(x, enc["conv1"]["w"], enc["conv1"]["b"], 1),
+                    approximate=cfg.gelu_approx)
+    x = jax.nn.gelu(_conv1d(x, enc["conv2"]["w"], enc["conv2"]["b"], 2),
+                    approximate=cfg.gelu_approx)
     # slice positions: shorter (bucketed) audio contexts are supported for
     # short-utterance serving (docs/PERF.md encoder-state pruning)
     x = x + enc["pos_emb"][: x.shape[1]].astype(dt)
@@ -248,7 +250,8 @@ def encode_audio(params: Params, cfg: WhisperConfig, mel: jax.Array) -> jax.Arra
             att = attention(q, k, v, cfg.n_heads)
         h = h + _proj(att, blk["attn"]["wo"], blk["attn"]["bo"])
         m = layer_norm(h, blk["mlp_ln"]["scale"], blk["mlp_ln"]["bias"])
-        h = h + _mlp(m, blk["mlp"]["w1"], blk["mlp"]["b1"], blk["mlp"]["w2"], blk["mlp"]["b2"])
+        h = h + _mlp(m, blk["mlp"]["w1"], blk["mlp"]["b1"],
+                     blk["mlp"]["w2"], blk["mlp"]["b2"], cfg.gelu_approx)
         return h, None
 
     block = _remat(block, cfg)  # remat: trade FLOPs for HBM in training
@@ -451,7 +454,8 @@ def decode_tokens(
             cq = _proj(c, blk["ca"]["wq"], blk["ca"]["bq"])
             h = h + _proj(_cross_attn(cq, blk["ck"], blk["cv"]), blk["ca"]["wo"], blk["ca"]["bo"])
             m = layer_norm(h, blk["mlp_ln"]["scale"], blk["mlp_ln"]["bias"])
-            h = h + _mlp(m, blk["mlp"]["w1"], blk["mlp"]["b1"], blk["mlp"]["w2"], blk["mlp"]["b2"])
+            h = h + _mlp(m, blk["mlp"]["w1"], blk["mlp"]["b1"],
+                         blk["mlp"]["w2"], blk["mlp"]["b2"], cfg.gelu_approx)
             return h, None
 
         xs = dict(blocks, ck=cross_k.astype(dt), cv=cross_v.astype(dt))
@@ -516,7 +520,8 @@ def decode_tokens(
                 catt = attention(cq, blk["ck"], blk["cv"], cfg.n_heads)
             h = h + _proj(catt, blk["ca"]["wo"], blk["ca"]["bo"])
             m = layer_norm(h, blk["mlp_ln"]["scale"], blk["mlp_ln"]["bias"])
-            h = h + _mlp(m, blk["mlp"]["w1"], blk["mlp"]["b1"], blk["mlp"]["w2"], blk["mlp"]["b2"])
+            h = h + _mlp(m, blk["mlp"]["w1"], blk["mlp"]["b1"],
+                         blk["mlp"]["w2"], blk["mlp"]["b2"], cfg.gelu_approx)
             return h, (ck_upd, cv_upd)
 
         if quantized_cross and s == 1 and cfg.fused_quant_cross:
