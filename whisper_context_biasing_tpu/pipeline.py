@@ -65,6 +65,7 @@ class Pipeline:
         vocab: str | None = None,
         merges: str | None = None,
         dtype: str = "bfloat16",
+        fast: bool | None = None,
         bias_words: list[str] | None = None,
         bias_boost: float = 0.0,
         model_parallelism: int = 1,
@@ -83,7 +84,21 @@ class Pipeline:
         if config is not None:
             self.cfg = config
         else:
-            self.cfg = get_config(model, dtype=dtype, **(config_overrides or {}))
+            import jax
+
+            if fast is None:  # auto: serving approximations on real TPUs only
+                dev = jax.config.jax_default_device or jax.devices()[0]
+                fast = getattr(dev, "platform", None) == "tpu"
+            overrides = dict(config_overrides or {})
+            if fast:
+                # the serve.py fast path: Pallas kernels + int8 cross-KV +
+                # tanh gelu (errors below bf16 rounding, docs/PERF.md)
+                overrides.setdefault("flash_attention", True)
+                overrides.setdefault("flash_block_q", 1536)
+                overrides.setdefault("quantize_cross_kv", True)
+                overrides.setdefault("fused_quant_cross", True)
+                overrides.setdefault("gelu_approx", True)
+            self.cfg = get_config(model, dtype=dtype, **overrides)
         if params is not None:
             self.params = params
         elif checkpoint:
