@@ -60,6 +60,10 @@ def parse_args():
     p.add_argument("--logprob_threshold", type=float, default=-1.0,
                    help="avg token logprob below this triggers fallback; "
                         "pass nan to disable")
+    p.add_argument("--no_speech_threshold", type=float, default=0.6,
+                   help="long-form: windows with P(<|nospeech|>) above this "
+                        "(and avg logprob below --logprob_threshold) emit "
+                        "nothing; pass nan to disable")
     p.add_argument("--language", default=None,
                    help="multilingual models: force a language code "
                         "(e.g. fr), or 'auto' to detect per file from the "
@@ -242,6 +246,9 @@ def main():
         lp_thresh = args.logprob_threshold
         if lp_thresh is not None and lp_thresh != lp_thresh:  # nan disables
             lp_thresh = None
+        ns_thresh = args.no_speech_threshold
+        if ns_thresh is not None and ns_thresh != ns_thresh:  # nan disables
+            ns_thresh = None
         hyps, segments = transcribe_long_batch(
             params, cfg, tokenizer, raw, mel_fn=make_mel,
             max_new=args.max_tokens, contexts=contexts,
@@ -249,8 +256,8 @@ def main():
             use_timestamps=args.timestamps,
             temperatures=tuple(args.temperatures),
             compression_ratio_threshold=args.compression_ratio_threshold,
-            logprob_threshold=lp_thresh, start_tokens=starts,
-            return_segments=True)
+            logprob_threshold=lp_thresh, no_speech_threshold=ns_thresh,
+            start_tokens=starts, return_segments=True)
         wall = time.time() - t0
         texts = [tokenizer.decode(h, skip_special_tokens=True).strip()
                  for h in hyps]

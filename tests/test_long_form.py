@@ -257,3 +257,111 @@ class TestGreedySumLogprob:
                            max_new=6, temperature=1.0, rng_key=jax.random.PRNGKey(7))
         np.testing.assert_array_equal(np.asarray(r1.tokens), np.asarray(r2.tokens))
         assert float(r1.sum_logprob[0]) == pytest.approx(float(r2.sum_logprob[0]))
+
+
+class TestNoSpeech:
+    """OpenAI's long-form silence rule: windows with high P(<|nospeech|>)
+    and low confidence emit nothing and advance a full window."""
+
+    @staticmethod
+    def _decode_fn(tok, nsp_value, avg_lp):
+        from whisper_context_biasing_tpu.decode.greedy import GreedyResult
+
+        word = tok.encode(" noise", add_special_tokens=False)
+
+        def decode_fn(mel, ids, mask, temperature, key):
+            b = mel.shape[0]
+            row = word + [tok.eot]
+            toks = np.tile(np.asarray(row, np.int32), (b, 1))
+            lens = np.full((b,), len(word), np.int32)
+            slp = np.full((b,), avg_lp * (len(word) + 1), np.float32)
+            return GreedyResult(toks, lens, slp,
+                                np.full((b,), nsp_value, np.float32))
+
+        return decode_fn
+
+    def test_silent_window_emits_nothing(self):
+        from whisper_context_biasing_tpu.decode.long_form import (
+            transcribe_long_batch,
+        )
+        from whisper_context_biasing_tpu.models import tiny_test_config
+        from whisper_context_biasing_tpu.tokenizer import load_tokenizer
+
+        tok = load_tokenizer()
+        cfg = tiny_test_config()
+
+        def mel_fn(chunk):
+            return np.zeros((chunk.shape[0], cfg.n_mels, 3000), np.float32)
+
+        out = transcribe_long_batch(
+            params=None, cfg=cfg, tokenizer=tok,
+            audios=[np.zeros(16000, np.float32)], mel_fn=mel_fn,
+            decode_fn=self._decode_fn(tok, nsp_value=0.9, avg_lp=-2.0),
+            temperatures=(0.0, 0.5), no_speech_threshold=0.6,
+            logprob_threshold=-1.0)
+        assert out[0] == []
+
+    def test_confident_decode_overrides_silence_signal(self):
+        from whisper_context_biasing_tpu.decode.long_form import (
+            transcribe_long_batch,
+        )
+        from whisper_context_biasing_tpu.models import tiny_test_config
+        from whisper_context_biasing_tpu.tokenizer import load_tokenizer
+
+        tok = load_tokenizer()
+        cfg = tiny_test_config()
+
+        def mel_fn(chunk):
+            return np.zeros((chunk.shape[0], cfg.n_mels, 3000), np.float32)
+
+        out = transcribe_long_batch(
+            params=None, cfg=cfg, tokenizer=tok,
+            audios=[np.zeros(16000, np.float32)], mel_fn=mel_fn,
+            decode_fn=self._decode_fn(tok, nsp_value=0.9, avg_lp=-0.1),
+            temperatures=(0.0,), no_speech_threshold=0.6,
+            logprob_threshold=-1.0)
+        assert "noise" in tok.decode(out[0], skip_special_tokens=True)
+
+    def test_threshold_none_disables(self):
+        from whisper_context_biasing_tpu.decode.long_form import (
+            transcribe_long_batch,
+        )
+        from whisper_context_biasing_tpu.models import tiny_test_config
+        from whisper_context_biasing_tpu.tokenizer import load_tokenizer
+
+        tok = load_tokenizer()
+        cfg = tiny_test_config()
+
+        def mel_fn(chunk):
+            return np.zeros((chunk.shape[0], cfg.n_mels, 3000), np.float32)
+
+        out = transcribe_long_batch(
+            params=None, cfg=cfg, tokenizer=tok,
+            audios=[np.zeros(16000, np.float32)], mel_fn=mel_fn,
+            decode_fn=self._decode_fn(tok, nsp_value=0.99, avg_lp=-5.0),
+            temperatures=(0.0,), no_speech_threshold=None,
+            logprob_threshold=None)
+        assert "noise" in tok.decode(out[0], skip_special_tokens=True)
+
+
+@pytest.mark.slow
+class TestNoSpeechProbEndToEnd:
+    def test_greedy_returns_probability(self):
+        import jax.numpy as jnp
+
+        from whisper_context_biasing_tpu.decode import greedy_decode, pack_prefixes
+        from whisper_context_biasing_tpu.models import init_params, tiny_test_config
+        from whisper_context_biasing_tpu.tokenizer import load_tokenizer
+
+        tok = load_tokenizer()
+        cfg = tiny_test_config()
+        params = init_params(cfg, 0)
+        rng = np.random.default_rng(0)
+        mel = jnp.asarray((rng.standard_normal((2, 80, 128)) * 0.5).astype(np.float32))
+        ids, mask = pack_prefixes([[tok.sot], [tok.sot]], tok.eot)
+        res = greedy_decode(params, cfg, mel, jnp.asarray(ids), jnp.asarray(mask),
+                            max_new=4, eot_id=tok.eot,
+                            no_speech_id=tok.no_speech)
+        nsp = np.asarray(res.no_speech_prob)
+        assert nsp.shape == (2,)
+        assert ((nsp >= 0) & (nsp <= 1)).all()

@@ -46,6 +46,9 @@ class GreedyResult(NamedTuple):
                             # Used by long-form quality fallbacks
                             # (decode/long_form.py), mirroring the avg_logprob
                             # heuristic of OpenAI's long-form loop
+    no_speech_prob: jax.Array | None = None  # (B,) f32 — P(<|nospeech|>) in the
+                            # distribution at the <|sot|> input position
+                            # (OpenAI's silence detector; needs no_speech_id)
 
 
 def pack_prefixes(
@@ -69,7 +72,8 @@ def pack_prefixes(
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "max_new", "eot_id", "bias_boost", "vocab_size",
-                     "span_pad_id", "temperature", "suppress_tokens"),
+                     "span_pad_id", "temperature", "suppress_tokens",
+                     "no_speech_id", "sot_offset"),
 )
 def greedy_decode(
     params,
@@ -86,6 +90,8 @@ def greedy_decode(
     temperature: float = 0.0,
     suppress_tokens: tuple[int, ...] = (),
     rng_key: jax.Array | None = None,
+    no_speech_id: int | None = None,
+    sot_offset: int = 1,
 ) -> GreedyResult:
     """Batched greedy decode. The prefix must end with the token the model
     should continue from (e.g. ``[<|sot|>]`` for reference-parity generation,
@@ -94,7 +100,12 @@ def greedy_decode(
     ``temperature > 0`` switches argmax to categorical sampling (pass
     ``rng_key``); ``suppress_tokens`` are masked to -inf every step (the
     reference clears its suppress list, scripts/train.py:211, so the default
-    is empty — this is the production-decoding extension)."""
+    is empty — this is the production-decoding extension).
+
+    ``no_speech_id`` computes ``no_speech_prob`` from the prefill logits at
+    the ``<|sot|>`` input position — ``sot_offset`` tokens from the end of
+    the prefix (1 for a bare ``[<|sot|>]`` start, 3 for
+    ``[sot, lang, task]``)."""
     b, p = prefix_ids.shape
     v = vocab_size or cfg.n_vocab
     # long prompts squeeze the generation budget (the reference's
@@ -127,6 +138,11 @@ def greedy_decode(
         token_positions=prefix_pos, self_mask=key_mask,
     )
     next_pos = prefix_pos[:, -1] + 1  # (B,)
+
+    no_speech_prob = None
+    if no_speech_id is not None:
+        sot_lg = logits[:, -sot_offset].astype(jnp.float32)  # (B, V)
+        no_speech_prob = jax.nn.softmax(sot_lg, axis=-1)[:, no_speech_id]
 
     use_bias = bias_spans is not None and bias_boost != 0.0
     if bias_spans is None:  # keep the loop state static
@@ -202,7 +218,7 @@ def greedy_decode(
     lengths = jnp.sum(
         jnp.cumprod((final.out != eot_id).astype(jnp.int32), axis=1), axis=1
     )
-    return GreedyResult(final.out, lengths, final.sum_lp)
+    return GreedyResult(final.out, lengths, final.sum_lp, no_speech_prob)
 
 
 def decode_batch(

@@ -124,6 +124,7 @@ def transcribe_long_batch(
     temperatures: tuple[float, ...] = DEFAULT_TEMPERATURES,
     compression_ratio_threshold: float | None = 2.4,
     logprob_threshold: float | None = -1.0,
+    no_speech_threshold: float | None = 0.6,
     decode_fn: Callable[..., GreedyResult] | None = None,
     rng_key=None,
     prefix_pad_to_multiple: int | None = None,
@@ -142,6 +143,12 @@ def transcribe_long_batch(
     Without ``use_timestamps`` each window becomes one segment spanning its
     audio.
 
+    ``no_speech_threshold``: a window whose ``P(<|nospeech|>)`` at the sot
+    position exceeds it AND whose avg logprob is below ``logprob_threshold``
+    is treated as silence — nothing is emitted and the seek advances a full
+    window (OpenAI's long-form silence rule; confident decodes override the
+    silence signal).
+
     ``decode_fn(mel, ids, mask, temperature, rng_key) -> GreedyResult`` can
     be injected (tests, beam variants); the default wraps ``greedy_decode``
     with this call's bias arguments. ``prefix_pad_to_multiple`` buckets the
@@ -151,6 +158,7 @@ def transcribe_long_batch(
         mel_fn = lambda a: np.stack([log_mel_spectrogram_np(x, cfg.n_mels) for x in a])  # noqa: E731
     if decode_fn is None:
         spans = None if bias_spans is None else jnp.asarray(bias_spans)
+        sot_off = len(start_tokens[0]) if start_tokens else 1
 
         def decode_fn(mel, ids, mask, temperature, key):
             return greedy_decode(
@@ -159,6 +167,9 @@ def transcribe_long_batch(
                 bias_spans=spans, bias_boost=bias_boost,
                 span_pad_id=tokenizer.eot,
                 temperature=temperature, rng_key=key,
+                no_speech_id=(tokenizer.no_speech
+                              if no_speech_threshold is not None else None),
+                sot_offset=sot_off,
             )
     if rng_key is None:
         rng_key = jax.random.PRNGKey(0)
@@ -208,12 +219,16 @@ def transcribe_long_batch(
         # rows that fail every rung keep the last (highest-temperature) one
         accepted: list[list[int] | None] = [None] * b
         last: list[list[int]] = [[] for _ in range(b)]
-        for temperature in temperatures:
+        nsp = None
+        for ti, temperature in enumerate(temperatures):
             rng_key, sub = jax.random.split(rng_key)
             res = decode_fn(mel, ids, mask, temperature, sub)
             toks = np.asarray(res.tokens)
             lens = np.asarray(res.lengths)
             slp = np.asarray(res.sum_logprob) if res.sum_logprob is not None else None
+            if (ti == 0 and no_speech_threshold is not None
+                    and res.no_speech_prob is not None):
+                nsp = np.asarray(res.no_speech_prob)
             pending = False
             for i in range(b):
                 if not active(i) or accepted[i] is not None:
@@ -221,6 +236,13 @@ def transcribe_long_batch(
                 row = toks[i, : lens[i]].tolist()
                 last[i] = row
                 avg_lp = None if slp is None else float(slp[i]) / (int(lens[i]) + 1)
+                if ti == 0 and nsp is not None and nsp[i] > no_speech_threshold:
+                    # silence — unless the decode is confident despite it
+                    # (OpenAI rule: avg_logprob above the threshold overrides)
+                    if not (logprob_threshold is not None and avg_lp is not None
+                            and avg_lp > logprob_threshold):
+                        accepted[i] = []  # emit nothing, advance a window
+                        continue
                 text = tokenizer.decode(row, skip_special_tokens=True)
                 if window_quality_ok(
                     text, avg_lp,

@@ -216,6 +216,7 @@ class Pipeline:
         timestamps: bool = False,
         word_timestamps: bool = False,
         temperatures: tuple = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0),
+        no_speech_threshold: float | None = 0.6,
         alignment_heads: list[tuple[int, int]] | None = None,
     ) -> list[TranscriptionResult]:
         """Transcribe file paths and/or 16 kHz float arrays.
@@ -251,6 +252,7 @@ class Pipeline:
                 mel_fn=self._mel, max_new=max_tokens, contexts=ctx,
                 bias_spans=spans, bias_boost=boost,
                 use_timestamps=timestamps, temperatures=tuple(temperatures),
+                no_speech_threshold=no_speech_threshold,
                 start_tokens=starts, return_segments=True,
                 prefix_pad_to_multiple=32, window_samples=win)
             results = []
