@@ -65,6 +65,10 @@ def parse_args():
     p.add_argument("--prompt_generation", action="store_true")
     p.add_argument("--bias_boost", type=float, default=0.0)
     p.add_argument("--num_beams", type=int, default=1)
+    p.add_argument("--model_parallelism", type=int, default=1,
+                   help="tensor-parallel degree; with >1 device a "
+                        "(data, model) mesh shards eval decode batches over "
+                        "'data' and the weights over 'model'")
     return p.parse_args()
 
 
@@ -80,11 +84,17 @@ def load_model(args, model_cfg, path):
 
 def run_eval(args, params, model_cfg, tokenizer, data_test, collator, bias_spans, model_name):
     refs_pred_file = args.refs_pred_file or os.path.join(args.output, "refs_and_pred.txt")
+    mesh = None
+    if args.model_parallelism > 1:
+        from whisper_context_biasing_tpu.parallel import make_mesh, shard_params
+
+        mesh = make_mesh(model_parallelism=args.model_parallelism)
+        params = shard_params(params, mesh)
     result = evaluate_wer(
         params, model_cfg, tokenizer, data_test, collator, args.batch, 224,
         refs_pred_file=refs_pred_file,
         prompt_generation=args.prompt_generation, bias_boost=args.bias_boost,
-        num_beams=args.num_beams,
+        num_beams=args.num_beams, mesh=mesh,
     )
     if not args.only_eval_bias_wer:
         print(f"{model_name} Test set evaluation results:", result)

@@ -145,6 +145,7 @@ def main():
         params = init_params(model_cfg, args.seed)
 
     shard_fn = None
+    mesh = None
     if args.model_parallelism > 1:
         mesh = make_mesh(model_parallelism=args.model_parallelism)
         params = shard_params(params, mesh)
@@ -170,7 +171,7 @@ def main():
     print("Starting training...")
     params, log_history = train_and_evaluate(
         model_cfg, params, tokenizer, data_train, data_eval, collator, tcfg,
-        resume=args.resume, shard_fn=shard_fn,
+        resume=args.resume, shard_fn=shard_fn, mesh=mesh,
     )
 
     print("Starting final evaluation on test set...")
@@ -180,6 +181,7 @@ def main():
         tcfg.per_device_eval_batch_size, tcfg.generation_max_length - 1,
         refs_pred_file=refs_pred_file,
         prompt_generation=args.prompt_generation, bias_boost=args.bias_boost,
+        mesh=mesh,
     )
     print("Test set evaluation results:", result)
     with open(os.path.join(args.output, "test_results.json"), "w") as f:

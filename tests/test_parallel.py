@@ -170,3 +170,42 @@ class TestShardedDecode:
         out = beam_decode_batch(p_sh, cfg, tok, mel, num_beams=2, max_new=5,
                                 mesh=mesh)
         assert out == ref
+
+
+@pytest.mark.slow
+class TestShardedEval:
+    def test_evaluate_wer_mesh_matches_single_device(self, setup, tmp_path):
+        """evaluate_wer with a (data, model) mesh must score identically to
+        the unsharded pass (same decode tokens -> same WER artifact)."""
+        from whisper_context_biasing_tpu.data.collator import SpeechSeq2SeqCollator
+        from whisper_context_biasing_tpu.tokenizer import load_tokenizer
+        from whisper_context_biasing_tpu.train import evaluate_wer
+
+        cfg, params, _ = setup
+        tok = load_tokenizer()
+        coll = SpeechSeq2SeqCollator(
+            pad_token_id=tok.pad_token_id, decoder_start_token_id=tok.sot,
+            decoder_prev_token_id=tok.sop, bias_span_pad_id=tok.eot)
+        rng = np.random.default_rng(5)
+        items = []
+        for i in range(6):
+            text = [" take aspirin", " hello world", " blood pressure"][i % 3]
+            items.append({
+                "input_features": (rng.standard_normal((80, 128)) * 0.4)
+                .astype(np.float32),
+                "labels": np.asarray(
+                    [tok.sot] + tok.encode(text, add_special_tokens=False)
+                    + [tok.eot], np.int32),
+                "bias_spans": [],
+            })
+
+        ref = evaluate_wer(params, cfg, tok, items, coll, batch_size=4,
+                           max_new=6,
+                           refs_pred_file=str(tmp_path / "ref.txt"))
+        mesh = make_mesh(devices=cpu_devices()[:4], model_parallelism=2)
+        sharded = shard_params(params, mesh)
+        got = evaluate_wer(sharded, cfg, tok, items, coll, batch_size=4,
+                           max_new=6, mesh=mesh,
+                           refs_pred_file=str(tmp_path / "got.txt"))
+        assert got["wer"] == ref["wer"]
+        assert (tmp_path / "got.txt").read_text() == (tmp_path / "ref.txt").read_text()

@@ -94,6 +94,7 @@ def evaluate_wer(
     bias_boost: float = 0.0,
     num_beams: int = 1,
     num_workers: int = 4,
+    mesh=None,
 ) -> dict:
     """Batched greedy (or beam, num_beams>1) decode over a dataset +
     compute_wer scoring.
@@ -102,7 +103,10 @@ def evaluate_wer(
     final partial batch is padded up to ``batch_size`` (rows stripped after
     decode), prefix lengths are bucketed to multiples of 32, and bias-span
     dims to multiples of 4 — so one eval pass reuses a handful of compiled
-    decode programs instead of recompiling per batch shape."""
+    decode programs instead of recompiling per batch shape.
+
+    ``mesh``: shards each decode batch over the mesh's "data" axis (params
+    should already be sharded with ``parallel.shard_params``)."""
     all_preds: list[list[int]] = []
     all_labels: list[list[int]] = []
 
@@ -132,7 +136,7 @@ def evaluate_wer(
         for batch in loader:
             _eval_decode_batch(
                 batch, all_preds, all_labels, params, model_cfg, tokenizer,
-                collator, batch_size, max_new, bias_boost, num_beams,
+                collator, batch_size, max_new, bias_boost, num_beams, mesh,
             )
     finally:
         collator.span_pad_multiple = old_span_mult
@@ -158,7 +162,7 @@ def _pad_rows(a: np.ndarray, b_full: int) -> np.ndarray:
 
 def _eval_decode_batch(
     batch, all_preds, all_labels, params, model_cfg, tokenizer, collator,
-    batch_size, max_new, bias_boost, num_beams,
+    batch_size, max_new, bias_boost, num_beams, mesh=None,
 ):
     prefixes = batch.pop("_prefixes")
     b = len(prefixes)
@@ -175,6 +179,12 @@ def _eval_decode_batch(
         spans = sanitize_bias_spans(batch["bias_spans"])
         if spans is not None:
             spans = jnp.asarray(_pad_rows(np.asarray(spans), batch_size))
+    if mesh is not None:
+        from ..parallel import shard_decode_inputs
+
+        (feats, ids, mask, spans), _ = shard_decode_inputs(
+            mesh, np.asarray(feats), np.asarray(ids), np.asarray(mask),
+            None if spans is None else np.asarray(spans))
     if num_beams > 1:
         bres = beam_decode(
             params, model_cfg, jnp.asarray(feats),
@@ -213,6 +223,7 @@ def train_and_evaluate(
     resume: bool = False,
     shard_fn=None,  # optional: fn(batch_pytree) -> device-sharded batch
     logger: RunLogger | None = None,
+    mesh=None,      # optional: shards eval decode batches over "data"
 ):
     """Runs the full fine-tune. Returns (params, log_history)."""
     os.makedirs(tcfg.output_dir, exist_ok=True)
@@ -321,7 +332,7 @@ def train_and_evaluate(
                     tcfg.generation_max_length - 1,
                     refs_pred_file=os.path.join(tcfg.output_dir, "refs_and_pred.txt"),
                     prompt_generation=tcfg.prompt_generation,
-                    bias_boost=tcfg.bias_boost,
+                    bias_boost=tcfg.bias_boost, mesh=mesh,
                 )["wer"]
                 entry = {"step": step, "eval_wer": last_wer}
                 log_history.append(entry)
