@@ -18,6 +18,12 @@ POST /transcribe accepts a WAV body; optional headers:
     X-Language:        language code or "auto" (multilingual models)
     X-Task:            "translate" for speech -> English (multilingual models)
     X-Word-Timestamps: "1" adds per-word start/end times (short-form requests)
+
+Streaming (incremental) sessions — decode/streaming.py:
+    POST /stream            -> {"session": id}   (same option headers)
+    POST /stream/<id>       WAV or raw PCM16-LE body; returns segments
+                            closed by the newly completed windows
+    POST /stream/<id>/end   flush the tail; returns the final transcript
 """
 
 import argparse
@@ -136,6 +142,8 @@ class Engine:
             print(f"mesh: {dict(self.mesh.shape)}", file=sys.stderr)
 
         self.q: queue.Queue = queue.Queue()
+        self.streams: dict = {}
+        self.streams_lock = threading.Lock()
         threading.Thread(target=self._worker, daemon=True).start()
 
         # warm the compile with a silent batch
@@ -292,6 +300,83 @@ class Engine:
                 r["language"] = lang
         return results
 
+    # -- streaming sessions (decode/streaming.py) -------------------------
+
+    def stream_start(self, context=None, bias_words=None, opt=None) -> str:
+        """Create an incremental session. Streaming decodes run b=1 outside
+        the micro-batch queue (their window cadence doesn't batch well);
+        compiled programs are shared across sessions via the jit cache."""
+        import uuid
+
+        from whisper_context_biasing_tpu.decode import StreamingTranscriber
+
+        opt = opt or {}
+        tok = self.tokenizer
+        spans = None
+        words = bias_words if bias_words is not None else self.args.bias_words
+        if words:
+            self.collator.max_spans = self.MAX_SPANS
+            spans = self.collator.pad_bias_spans(
+                [[tok.encode(w.strip().lower(), add_special_tokens=False)[:16]
+                  for w in words if w.strip()]])
+        ctx = (tok.encode(context.lower(), add_special_tokens=False)
+               if context else None)
+        starts = None
+        if tok.multilingual and opt.get("language") and opt["language"] != "auto":
+            lid = tok.convert_tokens_to_ids(f"<|{opt['language']}|>")
+            if lid is None:
+                raise ValueError(f"unknown language code: {opt['language']}")
+            task_id = (tok.translate if opt.get("task") == "translate"
+                       else tok.transcribe)
+            starts = [tok.sot, lid, task_id]
+
+        def mel_fn(chunk):
+            return np.asarray(self.mel_fn(self.jnp.asarray(chunk),
+                                          n_mels=self.cfg.n_mels))
+
+        st = StreamingTranscriber(
+            self.params, self.cfg, tok, mel_fn=mel_fn,
+            max_new=self.args.max_tokens, context=ctx, bias_spans=spans,
+            bias_boost=self.args.bias_boost,
+            use_timestamps=self.args.timestamps,
+            temperatures=tuple(self.args.temperatures),
+            logprob_threshold=(None if self.args.logprob_threshold
+                               != self.args.logprob_threshold
+                               else self.args.logprob_threshold),
+            start_tokens=starts,
+        )
+        sid = uuid.uuid4().hex[:16]
+        with self.streams_lock:
+            self.streams[sid] = (st, threading.Lock())
+        return sid
+
+    def _stream(self, sid):
+        with self.streams_lock:
+            if sid not in self.streams:
+                raise KeyError(f"unknown stream session: {sid}")
+            return self.streams[sid]
+
+    def stream_feed(self, sid, audio):
+        st, lock = self._stream(sid)
+        with lock:
+            segs = st.feed(audio)
+            return {"segments": [{"start": round(a, 3),
+                                  "end": None if e is None else round(e, 3),
+                                  "text": t.strip()} for a, e, t in segs],
+                    "buffered_seconds": round(len(st._buffer) / 16000, 2)}
+
+    def stream_end(self, sid):
+        st, lock = self._stream(sid)
+        with lock:
+            segs = st.finish()
+            out = {"segments": [{"start": round(a, 3),
+                                 "end": None if e is None else round(e, 3),
+                                 "text": t.strip()} for a, e, t in segs],
+                   "text": st.text}
+        with self.streams_lock:
+            self.streams.pop(sid, None)
+        return out
+
     def submit(self, audio, context, bias_words, opt=None):
         done = threading.Event()
         box = {}
@@ -393,6 +478,9 @@ def make_handler(engine: Engine):
                 self._json(404, {"error": "not found"})
 
         def do_POST(self):
+            if self.path.startswith("/stream"):
+                self._stream_post()
+                return
             if self.path != "/transcribe":
                 self._json(404, {"error": "not found"})
                 return
@@ -417,6 +505,36 @@ def make_handler(engine: Engine):
                     "latency_ms": round((time.time() - t0) * 1000, 1),
                 })
                 self._json(200, result)
+            except Exception as e:
+                self._json(400, {"error": f"{type(e).__name__}: {e}"})
+
+        def _stream_post(self):
+            try:
+                parts = [p for p in self.path.split("/") if p]
+                body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
+                if parts == ["stream"]:  # create session
+                    opt = {}
+                    if self.headers.get("X-Language"):
+                        opt["language"] = self.headers["X-Language"].strip()
+                    if self.headers.get("X-Task"):
+                        opt["task"] = self.headers["X-Task"].strip()
+                    words = self.headers.get("X-Bias-Words")
+                    sid = engine.stream_start(
+                        context=self.headers.get("X-Context"),
+                        bias_words=words.split(",") if words else None,
+                        opt=opt)
+                    self._json(200, {"session": sid})
+                elif len(parts) == 2:  # feed audio
+                    audio = (decode_wav_bytes(body) if body[:4] == b"RIFF"
+                             else np.frombuffer(body, dtype="<i2")
+                             .astype(np.float32) / 32768.0)
+                    self._json(200, engine.stream_feed(parts[1], audio))
+                elif len(parts) == 3 and parts[2] == "end":
+                    self._json(200, engine.stream_end(parts[1]))
+                else:
+                    self._json(404, {"error": "not found"})
+            except KeyError as e:
+                self._json(404, {"error": str(e)})
             except Exception as e:
                 self._json(400, {"error": f"{type(e).__name__}: {e}"})
 

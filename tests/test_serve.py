@@ -56,6 +56,10 @@ def _make_engine(multilingual=False):
     )
     eng.mesh = None
     eng.pad_or_trim = pad_or_trim
+    import threading
+
+    eng.streams = {}
+    eng.streams_lock = threading.Lock()
 
     def mel_fn(chunk, n_mels=80):
         r = np.random.default_rng(int(abs(np.asarray(chunk)).sum() * 1e3) % 2**31)
@@ -159,3 +163,38 @@ class TestServeOptions:
         results = engine._run(audios, [None], [None],
                               opts=[{"language": "fr"}])
         assert "language" not in results[0]
+
+
+@pytest.mark.slow
+class TestStreamingSessions:
+    def test_stream_lifecycle(self, engine):
+        sid = engine.stream_start()
+        assert isinstance(sid, str) and len(sid) == 16
+        win = engine.cfg.n_audio_ctx * 320  # StreamingTranscriber default
+        # the engine streams at the standard 30 s window; feed less: buffered
+        out = engine.stream_feed(sid, np.zeros(16000, np.float32))
+        assert out["segments"] == []
+        assert out["buffered_seconds"] == 1.0
+        fin = engine.stream_end(sid)
+        assert "text" in fin and isinstance(fin["segments"], list)
+        with pytest.raises(KeyError):
+            engine.stream_feed(sid, np.zeros(100, np.float32))
+
+    def test_stream_with_options(self, engine):
+        sid = engine.stream_start(context="clinical note",
+                                  bias_words=["aspirin"])
+        engine.stream_feed(sid, np.zeros(8000, np.float32))
+        fin = engine.stream_end(sid)
+        assert "text" in fin
+
+    def test_stream_language_forcing(self, ml_engine):
+        sid = ml_engine.stream_start(opt={"language": "fr", "task": "translate"})
+        st, _ = ml_engine._stream(sid)
+        tok = ml_engine.tokenizer
+        assert st.start == [tok.sot, tok.convert_tokens_to_ids("<|fr|>"),
+                            tok.translate]
+        ml_engine.stream_end(sid)
+
+    def test_stream_unknown_language_raises(self, ml_engine):
+        with pytest.raises(ValueError, match="unknown language"):
+            ml_engine.stream_start(opt={"language": "zz"})

@@ -13,6 +13,7 @@ from .greedy import GreedyResult, decode_batch, greedy_decode, pack_prefixes
 from .beam import BeamResult, beam_decode, beam_decode_batch
 from .language import detect_language
 from .long_form import split_windows, transcribe_long, transcribe_long_batch
+from .streaming import StreamingTranscriber
 from .word_timestamps import WordTiming, find_word_timestamps
 
 __all__ = [
@@ -33,6 +34,7 @@ __all__ = [
     "split_windows",
     "transcribe_long",
     "transcribe_long_batch",
+    "StreamingTranscriber",
     "WordTiming",
     "find_word_timestamps",
 ]

@@ -1,0 +1,229 @@
+"""Incremental (streaming) transcription.
+
+The reference is strictly offline batch (``trainer.predict``,
+/root/reference/scripts/evaluation.py:42). This is the b=1 incremental twin
+of ``transcribe_long_batch``: audio arrives in arbitrary-size chunks;
+whenever a full window is buffered it is decoded with the same machinery —
+history conditioning through ``<|startofprev|>``, the temperature fallback
+ladder, the no-speech silence rule, and timestamp-conditioned seeking (a
+trailing open segment stays in the buffer and is re-decoded whole once more
+audio arrives). ``finish()`` flushes the remaining tail.
+
+Semantics are pinned to the batch loop by an equivalence test
+(tests/test_streaming.py): chunked feeding must reproduce
+``transcribe_long_batch``'s tokens for the same audio and decode_fn.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+
+from ..audio.mel import N_SAMPLES, SAMPLE_RATE
+from .greedy import greedy_decode, pack_prefixes
+from .long_form import (
+    DEFAULT_TEMPERATURES,
+    MAX_PROMPT_TOKENS,
+    _content_tokens,
+    timestamp_seek,
+    window_quality_ok,
+)
+
+
+class StreamingTranscriber:
+    """One audio stream -> incremental token/segment output.
+
+    ``feed(samples)`` buffers 16 kHz float32 audio and decodes every
+    completed window, returning newly closed segments
+    ``(abs_start_s, abs_end_s | None, text)``; ``finish()`` decodes the
+    remaining tail and returns the final new segments. ``tokens`` / ``text``
+    accumulate everything emitted so far."""
+
+    def __init__(
+        self,
+        params,
+        cfg,
+        tokenizer,
+        *,
+        mel_fn=None,
+        max_new: int = 224,
+        context: list[int] | None = None,
+        bias_spans: np.ndarray | None = None,   # (1, N, K)
+        bias_boost: float = 0.0,
+        condition_on_previous: bool = True,
+        use_timestamps: bool = True,
+        temperatures: tuple = DEFAULT_TEMPERATURES,
+        compression_ratio_threshold: float | None = 2.4,
+        logprob_threshold: float | None = -1.0,
+        no_speech_threshold: float | None = 0.6,
+        start_tokens: list[int] | None = None,
+        window_samples: int = N_SAMPLES,
+        prefix_pad_to_multiple: int | None = 32,
+        decode_fn=None,
+        rng_key=None,
+    ):
+        self.tokenizer = tokenizer
+        self.context = list(context) if context else []
+        self.condition_on_previous = condition_on_previous
+        self.use_timestamps = use_timestamps
+        self.temperatures = tuple(temperatures) or (0.0,)
+        self.compression_ratio_threshold = compression_ratio_threshold
+        self.logprob_threshold = logprob_threshold
+        self.no_speech_threshold = no_speech_threshold
+        self.start = list(start_tokens) if start_tokens else [tokenizer.sot]
+        self.window_samples = int(window_samples)
+        self.prefix_pad_to_multiple = prefix_pad_to_multiple
+        self.rng_key = rng_key if rng_key is not None else jax.random.PRNGKey(0)
+
+        if mel_fn is None:
+            from ..audio.mel import log_mel_spectrogram_np
+
+            mel_fn = lambda a: np.stack(  # noqa: E731
+                [log_mel_spectrogram_np(x, cfg.n_mels) for x in a])
+        self.mel_fn = mel_fn
+        if decode_fn is None:
+            import jax.numpy as jnp
+
+            spans = None if bias_spans is None else jnp.asarray(bias_spans)
+            sot_off = len(self.start)
+
+            def decode_fn(mel, ids, mask, temperature, key):
+                return greedy_decode(
+                    params, cfg, jnp.asarray(mel), jnp.asarray(ids),
+                    jnp.asarray(mask), max_new=max_new, eot_id=tokenizer.eot,
+                    bias_spans=spans, bias_boost=bias_boost,
+                    span_pad_id=tokenizer.eot, temperature=temperature,
+                    rng_key=key,
+                    no_speech_id=(tokenizer.no_speech
+                                  if no_speech_threshold is not None else None),
+                    sot_offset=sot_off,
+                )
+
+        self.decode_fn = decode_fn
+
+        self._buffer = np.zeros(0, np.float32)
+        self._consumed = 0          # absolute samples already seeked past
+        self._started = False       # zero-length streams still get 1 window
+        self._history: list[int] = []
+        self.tokens: list[int] = []
+        self.segments: list[tuple[float, float | None, str]] = []
+        self._finished = False
+
+    # -- internals --------------------------------------------------------
+
+    def _decode_window(self, chunk: np.ndarray, window_audio_len: int):
+        """One window through the rung ladder; returns kept tokens and the
+        samples to advance by."""
+        tok = self.tokenizer
+        mel = self.mel_fn(chunk[None])
+        ctx: list[int] = list(self.context)
+        if self.condition_on_previous and self._history:
+            room = MAX_PROMPT_TOKENS - len(ctx)
+            if room > 0:
+                ctx.extend(self._history[-room:])
+        prefix = ([tok.sop] + ctx + self.start) if ctx else list(self.start)
+        ids, mask = pack_prefixes([prefix], tok.eot,
+                                  pad_to_multiple=self.prefix_pad_to_multiple)
+
+        accepted = None
+        last: list[int] = []
+        for ti, temperature in enumerate(self.temperatures):
+            self.rng_key, sub = jax.random.split(self.rng_key)
+            res = self.decode_fn(mel, ids, mask, temperature, sub)
+            row = np.asarray(res.tokens)[0, : int(np.asarray(res.lengths)[0])].tolist()
+            last = row
+            slp = res.sum_logprob
+            avg_lp = (None if slp is None
+                      else float(np.asarray(slp)[0]) / (len(row) + 1))
+            if (ti == 0 and self.no_speech_threshold is not None
+                    and res.no_speech_prob is not None
+                    and float(np.asarray(res.no_speech_prob)[0])
+                    > self.no_speech_threshold):
+                if not (self.logprob_threshold is not None
+                        and avg_lp is not None
+                        and avg_lp > self.logprob_threshold):
+                    accepted = []  # silence: emit nothing, advance a window
+                    break
+            text = tok.decode(row, skip_special_tokens=True)
+            if window_quality_ok(
+                text, avg_lp,
+                compression_ratio_threshold=self.compression_ratio_threshold or 0.0,
+                logprob_threshold=self.logprob_threshold,
+            ):
+                accepted = row
+                break
+        row = accepted if accepted is not None else last
+
+        advance = self.window_samples
+        if self.use_timestamps:
+            kept, adv_s = timestamp_seek(row, tok)
+            if adv_s is not None:
+                advance = max(int(adv_s * SAMPLE_RATE), self.window_samples // 100)
+                row = kept
+        return row, advance, window_audio_len
+
+    def _emit(self, row: list[int], span_samples: int):
+        tok = self.tokenizer
+        offset = self._consumed / SAMPLE_RATE
+        new_segments: list[tuple[float, float | None, str]] = []
+        if self.use_timestamps:
+            for a, e, text in tok.split_timestamp_segments(row):
+                new_segments.append(
+                    (offset + a, None if e is None else offset + e, text))
+        else:
+            text = tok.decode(row, skip_special_tokens=True)
+            if text.strip():
+                new_segments.append(
+                    (offset, offset + span_samples / SAMPLE_RATE, text))
+        self.segments.extend(new_segments)
+        self.tokens.extend(row)
+        content = _content_tokens(row, tok)
+        self._history = (self._history + content)[-MAX_PROMPT_TOKENS:]
+        return new_segments
+
+    def _drain(self, *, flush: bool) -> list:
+        """Decode buffered windows. Without ``flush`` only full windows are
+        consumed (a short tail waits for more audio); with ``flush`` the loop
+        mirrors the batch seek loop exactly — the zero-padded tail decodes
+        (possibly repeatedly under timestamp seeking) until consumed, and a
+        stream that never had audio still decodes one silent window."""
+        out = []
+        while True:
+            avail = len(self._buffer)
+            if not flush and avail < self.window_samples:
+                break
+            if flush and avail == 0 and self._started:
+                break
+            chunk = self._buffer[: self.window_samples]
+            window_audio_len = len(chunk)
+            if len(chunk) < self.window_samples:
+                chunk = np.pad(chunk, (0, self.window_samples - len(chunk)))
+            row, advance, span = self._decode_window(chunk, window_audio_len)
+            out.extend(self._emit(row, span))
+            self._buffer = self._buffer[advance:]
+            self._consumed += advance
+            self._started = True
+        return out
+
+    # -- public surface ---------------------------------------------------
+
+    def feed(self, samples) -> list[tuple[float, float | None, str]]:
+        """Buffer more audio; decode any completed windows. Returns newly
+        emitted segments in absolute stream time."""
+        if self._finished:
+            raise RuntimeError("stream already finished")
+        samples = np.asarray(samples, np.float32).reshape(-1)
+        self._buffer = np.concatenate([self._buffer, samples])
+        return self._drain(flush=False)
+
+    def finish(self) -> list[tuple[float, float | None, str]]:
+        """Decode the buffered tail (zero-padded to a window) and close the
+        stream."""
+        if self._finished:
+            return []
+        self._finished = True
+        return self._drain(flush=True)
+
+    @property
+    def text(self) -> str:
+        return self.tokenizer.decode(self.tokens, skip_special_tokens=True).strip()
