@@ -191,3 +191,31 @@ class TestEndToEnd:
         mel = np.zeros((1, cfg.n_mels, 128), np.float32)
         out = find_word_timestamps(params, cfg, tok, mel, [[]])
         assert out == [[]]
+
+
+class TestMergePunctuations:
+    def test_opening_mark_joins_following(self, setup):
+        from whisper_context_biasing_tpu.decode.word_timestamps import (
+            merge_punctuations,
+        )
+
+        words, toks = merge_punctuations(
+            [" he", " (", " said", ")"], [[1], [2], [3], [4]])
+        assert words == [" he", " ( said)"]
+        assert toks == [[1], [2, 3, 4]]
+
+    def test_closing_mark_joins_previous(self, setup):
+        from whisper_context_biasing_tpu.decode.word_timestamps import (
+            merge_punctuations,
+        )
+
+        words, toks = merge_punctuations([" stop", "."], [[1], [2]])
+        assert words == [" stop."]
+        assert toks == [[1, 2]]
+
+    def test_split_words_with_quotes(self, setup):
+        tok, _, _ = setup
+        ids = tok.encode(' he said "yes" loudly', add_special_tokens=False)
+        words, word_tokens = split_words(tok, ids)
+        assert "".join(words) == ' he said "yes" loudly'
+        assert [t for wt in word_tokens for t in wt] == ids

@@ -18,7 +18,6 @@ capability. Frame rate: one encoder state per 0.02 s (two 10 ms mel hops).
 
 from __future__ import annotations
 
-import string
 from dataclasses import dataclass
 
 import jax.numpy as jnp
@@ -78,13 +77,53 @@ def dtw_path(cost: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return np.asarray(text_idx[::-1]), np.asarray(time_idx[::-1])
 
 
+# the standard whisper punctuation conventions: opening marks attach to the
+# following word, closing marks to the previous
+PREPEND_PUNCTUATIONS = "\"'“¿([{-"
+APPEND_PUNCTUATIONS = "\"'.。,，!！?？:：”)]}、"
+
+
+def merge_punctuations(
+    words: list[str], word_tokens: list[list[int]],
+    prepended: str = PREPEND_PUNCTUATIONS,
+    appended: str = APPEND_PUNCTUATIONS,
+) -> tuple[list[str], list[list[int]]]:
+    """Two-pass punctuation merge (openai-whisper timing semantics): a
+    standalone opening mark joins the word after it, a standalone closing
+    mark joins the word before it."""
+    words = list(words)
+    word_tokens = [list(t) for t in word_tokens]
+    # prepended: walk backwards so chains ("¿(" + word) collapse fully
+    i, j = len(words) - 2, len(words) - 1
+    while i >= 0:
+        if words[i].startswith(" ") and words[i].strip() in prepended:
+            words[j] = words[i] + words[j]
+            word_tokens[j] = word_tokens[i] + word_tokens[j]
+            words[i], word_tokens[i] = "", []
+        else:
+            j = i
+        i -= 1
+    # appended: walk forwards
+    i, j = 0, 1
+    while j < len(words):
+        if not words[i].endswith(" ") and words[j] in appended:
+            words[i] = words[i] + words[j]
+            word_tokens[i] = word_tokens[i] + word_tokens[j]
+            words[j], word_tokens[j] = "", []
+        else:
+            i = j
+        j += 1
+    keep = [k for k, w in enumerate(words) if w]
+    return [words[k] for k in keep], [word_tokens[k] for k in keep]
+
+
 def split_words(tokenizer, tokens: list[int]) -> tuple[list[str], list[list[int]]]:
     """Group text tokens into space/punctuation-delimited words.
 
     Byte-level BPE pieces are first merged until they decode without a
     trailing replacement character (whole unicode chars), then merged into
-    words: a piece starting with a space (or following one) starts a new
-    word; bare punctuation attaches to the previous word."""
+    words at space boundaries; punctuation attaches per
+    :func:`merge_punctuations` (opening marks forward, closing marks back)."""
     sub_texts, sub_tokens = [], []
     current: list[int] = []
     for tok in tokens:
@@ -101,15 +140,13 @@ def split_words(tokenizer, tokens: list[int]) -> tuple[list[str], list[list[int]
     words: list[str] = []
     word_tokens: list[list[int]] = []
     for text, toks in zip(sub_texts, sub_tokens):
-        starts_new = text.startswith(" ") or not words
-        is_punct = text.strip() and all(c in string.punctuation for c in text.strip())
-        if starts_new and not (is_punct and words):
+        if text.startswith(" ") or not words:
             words.append(text)
             word_tokens.append(list(toks))
         else:
             words[-1] += text
             word_tokens[-1].extend(toks)
-    return words, word_tokens
+    return merge_punctuations(words, word_tokens)
 
 
 def find_word_timestamps(
