@@ -167,39 +167,49 @@ class Engine:
         self.collator.max_spans = self.MAX_SPANS
         return self.collator.pad_bias_spans(encoded)
 
-    def _starts_for(self, mel, opts):
+    @staticmethod
+    def _needs_detection(o) -> bool:
+        return (o.get("language") == "auto"
+                or (o.get("task") == "translate" and not o.get("language")))
+
+    def _starts_for(self, mel, opts, enc_out=None):
         """Per-row decode starts from X-Language/X-Task; None when every row
         uses the default bare ``[<|sot|>]`` start. Rows asking for "auto"
-        (or translate without a language) share one language-id program."""
+        (or translate without a language) share one language-id program;
+        ``enc_out`` reuses already-computed encoder states."""
+        from whisper_context_biasing_tpu.decode import resolve_start_tokens
+
         tok = self.tokenizer
-        if not tok.multilingual:
-            return None, [None] * mel.shape[0]
-        need = [o for o in opts if o.get("language") or o.get("task") == "translate"]
-        if not need:
-            return None, [None] * mel.shape[0]
-        auto = [i for i, o in enumerate(opts)
-                if (o.get("language") in (None, "auto")
-                    and (o.get("language") == "auto" or o.get("task") == "translate"))]
-        detected = self.detect_language(self.params, self.cfg, tok, mel) \
-            if auto else None
+        n = mel.shape[0]
+        if not tok.multilingual or not any(
+            o.get("language") or o.get("task") == "translate" for o in opts
+        ):
+            return None, [None] * n
+        detected = None
+        if any(self._needs_detection(o) for o in opts):
+            detected = self.detect_language(self.params, self.cfg, tok, mel,
+                                            enc_out=enc_out)
         starts, langs = [], []
         for i, o in enumerate(opts):
-            lang = o.get("language")
-            task_id = tok.translate if o.get("task") == "translate" else tok.transcribe
-            if lang and lang != "auto":
-                lid = tok.convert_tokens_to_ids(f"<|{lang}|>")
-                if lid is None:
-                    raise ValueError(f"unknown language code: {lang}")
-            elif i in auto:
-                lang = detected[i][0]
-                lid = tok.convert_tokens_to_ids(f"<|{lang}|>")
-            else:
-                starts.append([tok.sot])
-                langs.append(None)
-                continue
-            starts.append([tok.sot, lid, task_id])
-            langs.append(lang)
+            st, lg = resolve_start_tokens(
+                tok, 1, language=o.get("language"),
+                task=o.get("task", "transcribe"),
+                detect=(lambda i=i: [detected[i]]) if detected else None)
+            starts.append(st[0] if st else [tok.sot])
+            langs.append(lg[0])
         return starts, langs
+
+    def _encode(self, mel):
+        """One jitted encoder pass shared by language id and word alignment
+        (the decode program still encodes internally — 2 passes, not 3)."""
+        import jax
+
+        if not hasattr(self, "_encode_jit"):
+            from whisper_context_biasing_tpu.models import encode_audio
+
+            self._encode_jit = jax.jit(
+                lambda p, m: encode_audio(p, self.cfg, m))
+        return self._encode_jit(self.params, self.jnp.asarray(mel))
 
     def _run(self, audios, contexts, bias_word_lists, opts=None):
         tok = self.tokenizer
@@ -217,7 +227,12 @@ class Engine:
         spans = self._spans_for([
             (w if w is not None else default_words) for w in bias_word_lists
         ])
-        starts, langs = self._starts_for(mel, opts)
+        want_words = any(o.get("words") for o in opts)
+        enc = None
+        if want_words or (self.tokenizer.multilingual
+                          and any(self._needs_detection(o) for o in opts)):
+            enc = self._encode(mel)
+        starts, langs = self._starts_for(mel, opts, enc_out=enc)
         kwargs = dict(contexts=ctx, max_new=self.args.max_tokens,
                       bias_spans=spans, bias_boost=self.args.bias_boost,
                       mesh=self.mesh)
@@ -236,13 +251,13 @@ class Engine:
         for r, lang in zip(results, langs):
             if lang:
                 r["language"] = lang
-        if any(o.get("words") for o in opts):
+        if want_words:
             # one static-shape alignment program (token axis padded to the
-            # decode budget, full frame axis)
+            # decode budget, full frame axis), reusing the encoder pass
             timings = self.find_word_timestamps(
                 self.params, self.cfg, tok, mel, hyps, starts=starts,
                 num_frames=[min(len(a), 480000) // 320 for a in audios],
-                pad_to=self.args.max_tokens + 8)
+                pad_to=self.args.max_tokens + 8, enc_out=enc)
             for r, o, ws in zip(results, opts, timings):
                 if o.get("words"):
                     r["words"] = [{"word": w.word.strip(), "start": w.start,
@@ -302,15 +317,21 @@ class Engine:
 
     # -- streaming sessions (decode/streaming.py) -------------------------
 
+    STREAM_TTL_S = 600    # idle sessions are reaped (client vanished)
+    MAX_STREAMS = 64      # hard cap on concurrent sessions
+
     def stream_start(self, context=None, bias_words=None, opt=None) -> str:
         """Create an incremental session. Streaming decodes run b=1 outside
         the micro-batch queue (their window cadence doesn't batch well);
-        compiled programs are shared across sessions via the jit cache."""
+        compiled programs are shared across sessions via the jit cache.
+        Language options follow /transcribe: an explicit code forces it,
+        "auto" (or translate without a code) detects on the first window."""
         import uuid
 
         from whisper_context_biasing_tpu.decode import StreamingTranscriber
 
         opt = opt or {}
+        self._reap_streams()
         tok = self.tokenizer
         spans = None
         words = bias_words if bias_words is not None else self.args.bias_words
@@ -321,14 +342,6 @@ class Engine:
                   for w in words if w.strip()]])
         ctx = (tok.encode(context.lower(), add_special_tokens=False)
                if context else None)
-        starts = None
-        if tok.multilingual and opt.get("language") and opt["language"] != "auto":
-            lid = tok.convert_tokens_to_ids(f"<|{opt['language']}|>")
-            if lid is None:
-                raise ValueError(f"unknown language code: {opt['language']}")
-            task_id = (tok.translate if opt.get("task") == "translate"
-                       else tok.transcribe)
-            starts = [tok.sot, lid, task_id]
 
         def mel_fn(chunk):
             return np.asarray(self.mel_fn(self.jnp.asarray(chunk),
@@ -343,36 +356,56 @@ class Engine:
             logprob_threshold=(None if self.args.logprob_threshold
                                != self.args.logprob_threshold
                                else self.args.logprob_threshold),
-            start_tokens=starts,
+            language=opt.get("language") if tok.multilingual else None,
+            task=(opt.get("task", "transcribe") if tok.multilingual
+                  else "transcribe"),
         )
         sid = uuid.uuid4().hex[:16]
         with self.streams_lock:
-            self.streams[sid] = (st, threading.Lock())
+            if len(self.streams) >= self.MAX_STREAMS:
+                raise RuntimeError(
+                    f"too many active streams (max {self.MAX_STREAMS})")
+            self.streams[sid] = [st, threading.Lock(), time.time()]
         return sid
+
+    def _reap_streams(self):
+        """Drop sessions idle past the TTL (abandoned clients would leak
+        buffered audio and history forever otherwise)."""
+        cutoff = time.time() - self.STREAM_TTL_S
+        with self.streams_lock:
+            for sid in [s for s, rec in self.streams.items() if rec[2] < cutoff]:
+                del self.streams[sid]
 
     def _stream(self, sid):
         with self.streams_lock:
             if sid not in self.streams:
                 raise KeyError(f"unknown stream session: {sid}")
-            return self.streams[sid]
+            rec = self.streams[sid]
+            rec[2] = time.time()
+            return rec
 
     def stream_feed(self, sid, audio):
-        st, lock = self._stream(sid)
+        st, lock, _ = self._stream(sid)
         with lock:
             segs = st.feed(audio)
-            return {"segments": [{"start": round(a, 3),
-                                  "end": None if e is None else round(e, 3),
-                                  "text": t.strip()} for a, e, t in segs],
-                    "buffered_seconds": round(len(st._buffer) / 16000, 2)}
+            out = {"segments": [{"start": round(a, 3),
+                                 "end": None if e is None else round(e, 3),
+                                 "text": t.strip()} for a, e, t in segs],
+                   "buffered_seconds": round(len(st._buffer) / 16000, 2)}
+            if st.language:
+                out["language"] = st.language
+            return out
 
     def stream_end(self, sid):
-        st, lock = self._stream(sid)
+        st, lock, _ = self._stream(sid)
         with lock:
             segs = st.finish()
             out = {"segments": [{"start": round(a, 3),
                                  "end": None if e is None else round(e, 3),
                                  "text": t.strip()} for a, e, t in segs],
                    "text": st.text}
+            if st.language:
+                out["language"] = st.language
         with self.streams_lock:
             self.streams.pop(sid, None)
         return out
@@ -456,6 +489,19 @@ def decode_wav_bytes(data: bytes) -> np.ndarray:
     return sig
 
 
+def _validate_opt(engine, opt) -> str | None:
+    """Pre-batch request validation (language code, task name)."""
+    lang = opt.get("language")
+    tok = engine.tokenizer
+    if lang and lang != "auto" and tok.multilingual \
+            and tok.convert_tokens_to_ids(f"<|{lang}|>") is None:
+        return f"unknown language code: {lang}"
+    task = opt.get("task")
+    if task and task not in ("transcribe", "translate"):
+        return f"unknown task: {task}"
+    return None
+
+
 def make_handler(engine: Engine):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quieter logs
@@ -498,6 +544,12 @@ def make_handler(engine: Engine):
                 if (self.headers.get("X-Word-Timestamps") or "").strip() \
                         in ("1", "true", "yes"):
                     opt["words"] = True
+                # reject bad options HERE: a ValueError inside the worker
+                # would fail every request sharing the micro-batch
+                err = _validate_opt(engine, opt)
+                if err:
+                    self._json(400, {"error": err})
+                    return
                 t0 = time.time()
                 result = engine.submit(audio, ctx, words, opt)
                 result.update({
@@ -518,6 +570,10 @@ def make_handler(engine: Engine):
                         opt["language"] = self.headers["X-Language"].strip()
                     if self.headers.get("X-Task"):
                         opt["task"] = self.headers["X-Task"].strip()
+                    err = _validate_opt(engine, opt)
+                    if err:
+                        self._json(400, {"error": err})
+                        return
                     words = self.headers.get("X-Bias-Words")
                     sid = engine.stream_start(
                         context=self.headers.get("X-Context"),

@@ -98,41 +98,40 @@ def parse_args():
 
 
 def build_starts(args, tokenizer, params, cfg, mel):
-    """Per-file decode start sequences from --language/--task, or None for
-    the reference-parity bare ``[<|sot|>]`` start."""
+    """Per-file decode start sequences from --language/--task via
+    decode.resolve_start_tokens. Returns (starts | None, langs)."""
+    from whisper_context_biasing_tpu.decode import (
+        detect_language, resolve_start_tokens,
+    )
+
     n = mel.shape[0]
     if not tokenizer.multilingual:
         if args.language or args.task == "translate":
             print("warning: --language/--task need a multilingual model; "
                   "ignored", file=sys.stderr)
-        return None
-    if not args.language and args.task == "transcribe":
-        return None
-    task_id = (tokenizer.transcribe if args.task == "transcribe"
-               else tokenizer.translate)
-    if args.language and args.language != "auto":
-        lid = tokenizer.convert_tokens_to_ids(f"<|{args.language}|>")
-        if lid is None:
-            raise SystemExit(f"unknown language code: {args.language}")
-        return [[tokenizer.sot, lid, task_id]] * n
-    from whisper_context_biasing_tpu.decode import detect_language
+        return None, [None] * n
 
-    detected = detect_language(params, cfg, tokenizer, mel)
-    print("detected: " + ", ".join(f"{l} ({p:.2f})" for l, p in detected),
-          file=sys.stderr)
-    starts = []
-    for lang, _ in detected:
-        lid = tokenizer.convert_tokens_to_ids(f"<|{lang}|>")
-        starts.append([tokenizer.sot, lid, task_id])
-    return starts
+    def detect():
+        detected = detect_language(params, cfg, tokenizer, mel)
+        print("detected: " + ", ".join(f"{l} ({p:.2f})" for l, p in detected),
+              file=sys.stderr)
+        return detected
+
+    try:
+        return resolve_start_tokens(tokenizer, n, language=args.language,
+                                    task=args.task, detect=detect)
+    except ValueError as e:
+        raise SystemExit(str(e))
 
 
-def emit(args, fmt, path, text, segments, words):
+def emit(args, fmt, path, text, segments, words, language=None):
     """One input file's output in the chosen format; returns the string."""
     from whisper_context_biasing_tpu.utils.subtitles import format_srt, format_vtt
 
     if fmt == "json":
         rec = {"file": path, "text": text}
+        if language:
+            rec["language"] = language
         if segments is not None:
             rec["segments"] = [{"start": round(a, 3), "end": round(e, 3),
                                 "text": t.strip()} for a, e, t in segments]
@@ -241,7 +240,7 @@ def main():
 
         # language detection reads the first 30 s window of each file
         first = np.stack([pad_or_trim(a) for a in raw])
-        starts = build_starts(args, tokenizer, params, cfg, make_mel(first))
+        starts, langs = build_starts(args, tokenizer, params, cfg, make_mel(first))
 
         lp_thresh = args.logprob_threshold
         if lp_thresh is not None and lp_thresh != lp_thresh:  # nan disables
@@ -266,7 +265,8 @@ def main():
         for i, (path, text) in enumerate(zip(args.audio, texts)):
             segs = close_open_segments(segments[i],
                                        clip_end=len(raw[i]) / 16000)
-            rendered.append(emit(args, fmt, path, text, segs, None))
+            rendered.append(emit(args, fmt, path, text, segs, None,
+                                 language=langs[i]))
         write_outputs(args, fmt, rendered)
         print(f"[{len(raw)} files, {audio_seconds:.1f}s audio in {wall:.2f}s "
               f"= {audio_seconds / max(wall, 1e-9):.1f}x realtime]", file=sys.stderr)
@@ -302,7 +302,7 @@ def main():
                for w in args.bias_words]
         spans = coll.pad_bias_spans([raw] * len(args.audio))
 
-    starts = build_starts(args, tokenizer, params, cfg, mel)
+    starts, langs = build_starts(args, tokenizer, params, cfg, mel)
 
     kwargs = dict(contexts=contexts, max_new=args.max_tokens,
                   bias_spans=spans, bias_boost=args.bias_boost)
@@ -338,7 +338,8 @@ def main():
     for i, (path, text) in enumerate(zip(args.audio, texts)):
         words = word_timings[i] if word_timings is not None else None
         segs = words_to_segments(words) if words is not None else None
-        rendered.append(emit(args, fmt, path, text, segs, words))
+        rendered.append(emit(args, fmt, path, text, segs, words,
+                             language=langs[i]))
     write_outputs(args, fmt, rendered)
     print(f"[{len(args.audio)} files, {audio_seconds:.1f}s audio in {wall:.2f}s "
           f"= {audio_seconds / wall:.1f}x realtime]", file=sys.stderr)

@@ -365,3 +365,37 @@ class TestNoSpeechProbEndToEnd:
         nsp = np.asarray(res.no_speech_prob)
         assert nsp.shape == (2,)
         assert ((nsp >= 0) & (nsp <= 1)).all()
+
+    def test_per_row_sot_offsets(self):
+        """Batches mixing bare [sot] and [sot, lang, task] starts must read
+        each row's P(<|nospeech|>) at ITS OWN sot position (regression: a
+        single static offset probed the wrong prefill position for every
+        row whose start length differed from row 0)."""
+        import jax.numpy as jnp
+
+        from whisper_context_biasing_tpu.decode import greedy_decode, pack_prefixes
+        from whisper_context_biasing_tpu.models import init_params, tiny_test_config
+        from whisper_context_biasing_tpu.tokenizer import load_tokenizer
+
+        tok = load_tokenizer(multilingual=True)
+        cfg = tiny_test_config(n_vocab=51865, multilingual=True)
+        params = init_params(cfg, 0)
+        rng = np.random.default_rng(1)
+        mel = jnp.asarray((rng.standard_normal((2, 80, 128)) * 0.5).astype(np.float32))
+        fr = tok.convert_tokens_to_ids("<|fr|>")
+        starts = [[tok.sot], [tok.sot, fr, tok.transcribe]]
+        ids, mask = pack_prefixes(starts, tok.eot)
+        res = greedy_decode(
+            params, cfg, mel, jnp.asarray(ids), jnp.asarray(mask),
+            max_new=2, eot_id=tok.eot, no_speech_id=tok.no_speech,
+            sot_offset=jnp.asarray([1, 3], jnp.int32))
+        # each row must match its own single-row decode with a scalar offset
+        for i, off in enumerate((1, 3)):
+            ids1, mask1 = pack_prefixes([starts[i]], tok.eot)
+            ref = greedy_decode(
+                params, cfg, mel[i:i+1], jnp.asarray(ids1), jnp.asarray(mask1),
+                max_new=2, eot_id=tok.eot, no_speech_id=tok.no_speech,
+                sot_offset=off)
+            np.testing.assert_allclose(
+                float(np.asarray(res.no_speech_prob)[i]),
+                float(np.asarray(ref.no_speech_prob)[0]), rtol=1e-4)

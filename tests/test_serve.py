@@ -189,7 +189,7 @@ class TestStreamingSessions:
 
     def test_stream_language_forcing(self, ml_engine):
         sid = ml_engine.stream_start(opt={"language": "fr", "task": "translate"})
-        st, _ = ml_engine._stream(sid)
+        st, _, _ = ml_engine._stream(sid)
         tok = ml_engine.tokenizer
         assert st.start == [tok.sot, tok.convert_tokens_to_ids("<|fr|>"),
                             tok.translate]

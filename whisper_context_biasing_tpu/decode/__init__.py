@@ -11,7 +11,7 @@ from .bias_processor import (
 )
 from .greedy import GreedyResult, decode_batch, greedy_decode, pack_prefixes
 from .beam import BeamResult, beam_decode, beam_decode_batch
-from .language import detect_language
+from .language import detect_language, resolve_start_tokens
 from .long_form import split_windows, transcribe_long, transcribe_long_batch
 from .streaming import StreamingTranscriber
 from .word_timestamps import WordTiming, find_word_timestamps
@@ -31,6 +31,7 @@ __all__ = [
     "beam_decode",
     "beam_decode_batch",
     "detect_language",
+    "resolve_start_tokens",
     "split_windows",
     "transcribe_long",
     "transcribe_long_batch",

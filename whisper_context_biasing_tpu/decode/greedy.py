@@ -73,7 +73,7 @@ def pack_prefixes(
     jax.jit,
     static_argnames=("cfg", "max_new", "eot_id", "bias_boost", "vocab_size",
                      "span_pad_id", "temperature", "suppress_tokens",
-                     "no_speech_id", "sot_offset"),
+                     "no_speech_id"),
 )
 def greedy_decode(
     params,
@@ -91,7 +91,7 @@ def greedy_decode(
     suppress_tokens: tuple[int, ...] = (),
     rng_key: jax.Array | None = None,
     no_speech_id: int | None = None,
-    sot_offset: int = 1,
+    sot_offset=1,  # int or (B,) int32 — per-row <|sot|> position from the end
 ) -> GreedyResult:
     """Batched greedy decode. The prefix must end with the token the model
     should continue from (e.g. ``[<|sot|>]`` for reference-parity generation,
@@ -105,7 +105,8 @@ def greedy_decode(
     ``no_speech_id`` computes ``no_speech_prob`` from the prefill logits at
     the ``<|sot|>`` input position — ``sot_offset`` tokens from the end of
     the prefix (1 for a bare ``[<|sot|>]`` start, 3 for
-    ``[sot, lang, task]``)."""
+    ``[sot, lang, task]``; pass a (B,) array when rows use different start
+    sequences)."""
     b, p = prefix_ids.shape
     v = vocab_size or cfg.n_vocab
     # long prompts squeeze the generation budget (the reference's
@@ -141,7 +142,8 @@ def greedy_decode(
 
     no_speech_prob = None
     if no_speech_id is not None:
-        sot_lg = logits[:, -sot_offset].astype(jnp.float32)  # (B, V)
+        off = jnp.broadcast_to(jnp.asarray(sot_offset, jnp.int32), (b,))
+        sot_lg = logits[jnp.arange(b), p - off].astype(jnp.float32)  # (B, V)
         no_speech_prob = jax.nn.softmax(sot_lg, axis=-1)[:, no_speech_id]
 
     use_bias = bias_spans is not None and bias_boost != 0.0

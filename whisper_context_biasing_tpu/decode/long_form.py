@@ -158,7 +158,10 @@ def transcribe_long_batch(
         mel_fn = lambda a: np.stack([log_mel_spectrogram_np(x, cfg.n_mels) for x in a])  # noqa: E731
     if decode_fn is None:
         spans = None if bias_spans is None else jnp.asarray(bias_spans)
-        sot_off = len(start_tokens[0]) if start_tokens else 1
+        # per-row <|sot|> offsets: start sequences may differ per file
+        # (e.g. auto-detected languages)
+        sot_off = (jnp.asarray([len(st) for st in start_tokens], jnp.int32)
+                   if start_tokens else 1)
 
         def decode_fn(mel, ids, mask, temperature, key):
             return greedy_decode(
@@ -219,6 +222,7 @@ def transcribe_long_batch(
         # rows that fail every rung keep the last (highest-temperature) one
         accepted: list[list[int] | None] = [None] * b
         last: list[list[int]] = [[] for _ in range(b)]
+        last_avg_lp: list[float | None] = [None] * b
         nsp = None
         for ti, temperature in enumerate(temperatures):
             rng_key, sub = jax.random.split(rng_key)
@@ -228,7 +232,8 @@ def transcribe_long_batch(
             slp = np.asarray(res.sum_logprob) if res.sum_logprob is not None else None
             if (ti == 0 and no_speech_threshold is not None
                     and res.no_speech_prob is not None):
-                nsp = np.asarray(res.no_speech_prob)
+                nsp = np.asarray(res.no_speech_prob)  # prefill-derived:
+                # identical at every rung, so read it once
             pending = False
             for i in range(b):
                 if not active(i) or accepted[i] is not None:
@@ -236,13 +241,7 @@ def transcribe_long_batch(
                 row = toks[i, : lens[i]].tolist()
                 last[i] = row
                 avg_lp = None if slp is None else float(slp[i]) / (int(lens[i]) + 1)
-                if ti == 0 and nsp is not None and nsp[i] > no_speech_threshold:
-                    # silence — unless the decode is confident despite it
-                    # (OpenAI rule: avg_logprob above the threshold overrides)
-                    if not (logprob_threshold is not None and avg_lp is not None
-                            and avg_lp > logprob_threshold):
-                        accepted[i] = []  # emit nothing, advance a window
-                        continue
+                last_avg_lp[i] = avg_lp
                 text = tokenizer.decode(row, skip_special_tokens=True)
                 if window_quality_ok(
                     text, avg_lp,
@@ -254,6 +253,18 @@ def transcribe_long_batch(
                     pending = True
             if not pending:
                 break
+
+        # OpenAI's silence rule, applied AFTER the fallback ladder to its
+        # final result: high P(<|nospeech|>) drops the window unless the
+        # (possibly retried) decode ended up confident
+        if nsp is not None:
+            for i in range(b):
+                if not active(i) or nsp[i] <= no_speech_threshold:
+                    continue
+                if not (logprob_threshold is not None
+                        and last_avg_lp[i] is not None
+                        and last_avg_lp[i] > logprob_threshold):
+                    accepted[i] = []  # emit nothing, advance a full window
 
         for i in range(b):
             if not active(i):

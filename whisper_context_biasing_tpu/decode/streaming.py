@@ -57,6 +57,8 @@ class StreamingTranscriber:
         logprob_threshold: float | None = -1.0,
         no_speech_threshold: float | None = 0.6,
         start_tokens: list[int] | None = None,
+        language: str | None = None,   # code | "auto" (multilingual models)
+        task: str = "transcribe",      # "translate" implies detection
         window_samples: int = N_SAMPLES,
         prefix_pad_to_multiple: int | None = 32,
         decode_fn=None,
@@ -70,7 +72,26 @@ class StreamingTranscriber:
         self.compression_ratio_threshold = compression_ratio_threshold
         self.logprob_threshold = logprob_threshold
         self.no_speech_threshold = no_speech_threshold
-        self.start = list(start_tokens) if start_tokens else [tokenizer.sot]
+        self._params, self._cfg = params, cfg
+        self.language = None
+        self._pending_lang = False
+        self._task = task
+        if start_tokens:
+            self.start = list(start_tokens)
+        else:
+            from .language import resolve_start_tokens
+
+            if language in (None, "auto") and (language == "auto"
+                                               or task == "translate"):
+                # validate multilingual-ness now; detect on the first window
+                resolve_start_tokens(tokenizer, 1, language, task,
+                                     detect=lambda: [("en", 1.0)])
+                self.start = [tokenizer.sot]
+                self._pending_lang = True
+            else:
+                starts, langs = resolve_start_tokens(tokenizer, 1, language, task)
+                self.start = starts[0] if starts else [tokenizer.sot]
+                self.language = langs[0]
         self.window_samples = int(window_samples)
         self.prefix_pad_to_multiple = prefix_pad_to_multiple
         self.rng_key = rng_key if rng_key is not None else jax.random.PRNGKey(0)
@@ -85,7 +106,7 @@ class StreamingTranscriber:
             import jax.numpy as jnp
 
             spans = None if bias_spans is None else jnp.asarray(bias_spans)
-            sot_off = len(self.start)
+            outer = self
 
             def decode_fn(mel, ids, mask, temperature, key):
                 return greedy_decode(
@@ -96,7 +117,8 @@ class StreamingTranscriber:
                     rng_key=key,
                     no_speech_id=(tokenizer.no_speech
                                   if no_speech_threshold is not None else None),
-                    sot_offset=sot_off,
+                    # read at call time: detection may rewrite the start
+                    sot_offset=len(outer.start),
                 )
 
         self.decode_fn = decode_fn
@@ -116,6 +138,16 @@ class StreamingTranscriber:
         samples to advance by."""
         tok = self.tokenizer
         mel = self.mel_fn(chunk[None])
+        if self._pending_lang:
+            # first audible window fixes the stream's language (and task)
+            from .language import detect_language, resolve_start_tokens
+
+            det = detect_language(self._params, self._cfg, tok, mel)
+            starts, langs = resolve_start_tokens(
+                tok, 1, "auto", self._task, detect=lambda: det)
+            self.start = starts[0]
+            self.language = langs[0]
+            self._pending_lang = False
         ctx: list[int] = list(self.context)
         if self.condition_on_previous and self._history:
             room = MAX_PROMPT_TOKENS - len(ctx)
@@ -127,6 +159,8 @@ class StreamingTranscriber:
 
         accepted = None
         last: list[int] = []
+        last_avg_lp = None
+        nsp = None
         for ti, temperature in enumerate(self.temperatures):
             self.rng_key, sub = jax.random.split(self.rng_key)
             res = self.decode_fn(mel, ids, mask, temperature, sub)
@@ -135,15 +169,10 @@ class StreamingTranscriber:
             slp = res.sum_logprob
             avg_lp = (None if slp is None
                       else float(np.asarray(slp)[0]) / (len(row) + 1))
+            last_avg_lp = avg_lp
             if (ti == 0 and self.no_speech_threshold is not None
-                    and res.no_speech_prob is not None
-                    and float(np.asarray(res.no_speech_prob)[0])
-                    > self.no_speech_threshold):
-                if not (self.logprob_threshold is not None
-                        and avg_lp is not None
-                        and avg_lp > self.logprob_threshold):
-                    accepted = []  # silence: emit nothing, advance a window
-                    break
+                    and res.no_speech_prob is not None):
+                nsp = float(np.asarray(res.no_speech_prob)[0])
             text = tok.decode(row, skip_special_tokens=True)
             if window_quality_ok(
                 text, avg_lp,
@@ -152,6 +181,12 @@ class StreamingTranscriber:
             ):
                 accepted = row
                 break
+        # OpenAI's silence rule, applied AFTER the ladder to its final result
+        if nsp is not None and nsp > self.no_speech_threshold:
+            if not (self.logprob_threshold is not None
+                    and last_avg_lp is not None
+                    and last_avg_lp > self.logprob_threshold):
+                accepted = []  # silence: emit nothing, advance a window
         row = accepted if accepted is not None else last
 
         advance = self.window_samples

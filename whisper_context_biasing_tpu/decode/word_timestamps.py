@@ -161,6 +161,7 @@ def find_word_timestamps(
     alignment_heads: list[tuple[int, int]] | None = None,
     medfilt_width: int = 7,
     pad_to: int | None = None,
+    enc_out=None,  # precomputed (B, T, D) encoder states: skip re-encoding
 ) -> list[list[WordTiming]]:
     """Per-clip word timings for already-decoded hypotheses.
 
@@ -198,7 +199,7 @@ def find_word_timestamps(
         toks[i, : len(s)] = s
         tok_mask[i, : len(s)] = 1.0
 
-    enc = encode_audio(params, cfg, jnp.asarray(mel))
+    enc = enc_out if enc_out is not None else encode_audio(params, cfg, jnp.asarray(mel))
     total_frames = enc.shape[1]
     if num_frames is None:
         frames = [total_frames] * b

@@ -116,10 +116,18 @@ class Pipeline:
         self.mesh = None
         import jax
 
-        if model_parallelism > 1 or (model_parallelism == 1 and len(jax.devices()) > 1):
+        # auto-mesh only over devices of the EFFECTIVE platform: a session
+        # pinned to CPU (jax_default_device) on a TPU host must not shard
+        # its weights onto the TPU mesh. model_parallelism=0 disables.
+        dev = jax.config.jax_default_device or jax.devices()[0]
+        platform_devices = jax.devices(getattr(dev, "platform", None))
+        if model_parallelism and (
+            model_parallelism > 1 or len(platform_devices) > 1
+        ):
             from .parallel import make_mesh, shard_params
 
-            self.mesh = make_mesh(model_parallelism=model_parallelism)
+            self.mesh = make_mesh(devices=platform_devices,
+                                  model_parallelism=max(model_parallelism, 1))
             self.params = shard_params(self.params, self.mesh)
 
     # -- helpers ----------------------------------------------------------
@@ -156,6 +164,17 @@ class Pipeline:
         return np.asarray(log_mel_spectrogram(
             jnp.asarray(chunk), n_mels=self.cfg.n_mels))
 
+    def _encode(self, mel):
+        import jax
+        import jax.numpy as jnp
+
+        if not hasattr(self, "_encode_jit"):
+            from .models import encode_audio
+
+            self._encode_jit = jax.jit(
+                lambda p, m: encode_audio(p, self.cfg, m))
+        return self._encode_jit(self.params, jnp.asarray(mel))
+
     def _spans(self, bias_words, n):
         words = bias_words if bias_words is not None else self.default_bias_words
         if not words:
@@ -164,31 +183,17 @@ class Pipeline:
                for w in words]
         return self.collator.pad_bias_spans([enc] * n)
 
-    def _starts(self, mel, language, task):
-        tok = self.tokenizer
-        if not tok.multilingual:
-            if language or task == "translate":
-                raise ValueError("language/task need a multilingual model")
-            return None, [None] * mel.shape[0]
-        if not language and task == "transcribe":
-            return None, [None] * mel.shape[0]
-        task_id = tok.translate if task == "translate" else tok.transcribe
-        if language and language != "auto":
-            lid = tok.convert_tokens_to_ids(f"<|{language}|>")
-            if lid is None:
-                raise ValueError(f"unknown language code: {language}")
-            n = mel.shape[0]
-            return [[tok.sot, lid, task_id]] * n, [language] * n
-        detected = self.detect_language(mel, is_mel=True)
-        starts, langs = [], []
-        for lang, _ in detected:
-            starts.append([tok.sot, tok.convert_tokens_to_ids(f"<|{lang}|>"), task_id])
-            langs.append(lang)
-        return starts, langs
+    def _starts(self, mel, language, task, enc_out=None):
+        from .decode import resolve_start_tokens
+
+        return resolve_start_tokens(
+            self.tokenizer, mel.shape[0], language=language, task=task,
+            detect=lambda: self.detect_language(mel, is_mel=True,
+                                                enc_out=enc_out))
 
     # -- public surface ---------------------------------------------------
 
-    def detect_language(self, audio, *, is_mel: bool = False):
+    def detect_language(self, audio, *, is_mel: bool = False, enc_out=None):
         """Per-clip ``(language_code, probability)``; multilingual models."""
         from .audio import pad_or_trim
         from .decode import detect_language
@@ -198,7 +203,8 @@ class Pipeline:
         else:
             clips = audio if isinstance(audio, (list, tuple)) else [audio]
             mel = self._mel(np.stack([pad_or_trim(self._load(a), self.window_samples) for a in clips]))
-        return detect_language(self.params, self.cfg, self.tokenizer, mel)
+        return detect_language(self.params, self.cfg, self.tokenizer, mel,
+                               enc_out=enc_out)
 
     def transcribe(
         self,
@@ -267,7 +273,14 @@ class Pipeline:
         from .decode import beam_decode_batch, decode_batch, find_word_timestamps
 
         mel = self._mel(np.stack([pad_or_trim(c, win) for c in clips]))
-        starts, langs = self._starts(mel, language, task)
+        # one shared encoder pass for language id + word alignment (decode
+        # still encodes inside its own program)
+        enc = None
+        if word_timestamps or (self.tokenizer.multilingual and (
+            language == "auto" or (task == "translate" and not language)
+        )):
+            enc = self._encode(mel)
+        starts, langs = self._starts(mel, language, task, enc_out=enc)
         kwargs = dict(contexts=ctx, max_new=max_tokens, bias_spans=spans,
                       bias_boost=boost, mesh=self.mesh)
         if starts is not None:
@@ -286,7 +299,7 @@ class Pipeline:
                 self.params, self.cfg, self.tokenizer, mel, hyps,
                 starts=starts,
                 num_frames=[min(len(c), win) // 320 for c in clips],
-                alignment_heads=alignment_heads)
+                alignment_heads=alignment_heads, enc_out=enc)
         results = []
         for i, h in enumerate(hyps):
             text = self.tokenizer.decode(h, skip_special_tokens=True).strip()
