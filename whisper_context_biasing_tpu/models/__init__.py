@@ -13,6 +13,8 @@ from .whisper import (
 )
 from .load_hf import (
     load_checkpoint_or_safetensors,
+    save_safetensors,
+    state_dict_from_params,
     load_pretrained,
     load_safetensors,
     load_torch_model,
@@ -38,4 +40,6 @@ __all__ = [
     "load_safetensors",
     "load_torch_model",
     "params_from_state_dict",
+    "save_safetensors",
+    "state_dict_from_params",
 ]

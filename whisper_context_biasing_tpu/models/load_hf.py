@@ -143,6 +143,91 @@ def params_from_state_dict(sd: dict, cfg: WhisperConfig | None = None) -> tuple[
     return params, cfg
 
 
+def state_dict_from_params(params: Params, cfg: WhisperConfig) -> dict:
+    """The inverse of :func:`params_from_state_dict`: our stacked pytree ->
+    an HF ``WhisperForConditionalGeneration`` state dict (numpy float32).
+
+    Interop parity: the reference publishes its fine-tunes as HF checkpoints
+    (hub pushes, scripts/train.py:285-307); this lets models trained here be
+    loaded by transformers / openai-whisper tooling anywhere. Quantized
+    (int8) params are not exportable — dequantize or export the float
+    master copy."""
+    enc, dec = params["encoder"], params["decoder"]
+    sd: dict[str, np.ndarray] = {}
+
+    def put(key, v):
+        # contiguity matters: transposed weight views must be materialized
+        # before safetensors serialization
+        sd["model." + key] = np.ascontiguousarray(v, dtype=np.float32)
+
+    def put_attn(prefix, grp, n, has_k_bias=False):
+        for i in range(n):
+            put(f"{prefix.format(i)}.q_proj.weight", np.asarray(grp["wq"][i]).T)
+            put(f"{prefix.format(i)}.q_proj.bias", grp["bq"][i])
+            put(f"{prefix.format(i)}.k_proj.weight", np.asarray(grp["wk"][i]).T)
+            put(f"{prefix.format(i)}.v_proj.weight", np.asarray(grp["wv"][i]).T)
+            put(f"{prefix.format(i)}.v_proj.bias", grp["bv"][i])
+            put(f"{prefix.format(i)}.out_proj.weight", np.asarray(grp["wo"][i]).T)
+            put(f"{prefix.format(i)}.out_proj.bias", grp["bo"][i])
+
+    def put_ln(tmpl, grp, n):
+        for i in range(n):
+            put(f"{tmpl.format(i)}.weight", grp["scale"][i])
+            put(f"{tmpl.format(i)}.bias", grp["bias"][i])
+
+    def put_mlp(tmpl, grp, n):
+        for i in range(n):
+            put(f"{tmpl.format(i)}.fc1.weight", np.asarray(grp["w1"][i]).T)
+            put(f"{tmpl.format(i)}.fc1.bias", grp["b1"][i])
+            put(f"{tmpl.format(i)}.fc2.weight", np.asarray(grp["w2"][i]).T)
+            put(f"{tmpl.format(i)}.fc2.bias", grp["b2"][i])
+
+    import jax
+
+    if any(np.asarray(leaf).dtype == np.int8
+           for leaf in jax.tree_util.tree_leaves(params)):
+        raise ValueError("quantized (int8) params are not exportable — "
+                         "export the float master copy")
+
+    La, Lt = cfg.n_audio_layers, cfg.n_text_layers
+    put("encoder.conv1.weight", np.asarray(enc["conv1"]["w"]).transpose(2, 1, 0))
+    put("encoder.conv1.bias", enc["conv1"]["b"])
+    put("encoder.conv2.weight", np.asarray(enc["conv2"]["w"]).transpose(2, 1, 0))
+    put("encoder.conv2.bias", enc["conv2"]["b"])
+    put("encoder.embed_positions.weight", enc["pos_emb"])
+    put_ln("encoder.layers.{0}.self_attn_layer_norm", enc["attn_ln"], La)
+    put_attn("encoder.layers.{0}.self_attn", enc["attn"], La)
+    put_ln("encoder.layers.{0}.final_layer_norm", enc["mlp_ln"], La)
+    put_mlp("encoder.layers.{0}", enc["mlp"], La)
+    put("encoder.layer_norm.weight", enc["ln_post"]["scale"])
+    put("encoder.layer_norm.bias", enc["ln_post"]["bias"])
+
+    put("decoder.embed_tokens.weight", dec["token_emb"])
+    put("decoder.embed_positions.weight", dec["pos_emb"])
+    put_ln("decoder.layers.{0}.self_attn_layer_norm", dec["self_attn_ln"], Lt)
+    put_attn("decoder.layers.{0}.self_attn", dec["self_attn"], Lt)
+    put_ln("decoder.layers.{0}.encoder_attn_layer_norm", dec["cross_attn_ln"], Lt)
+    put_attn("decoder.layers.{0}.encoder_attn", dec["cross_attn"], Lt)
+    put_ln("decoder.layers.{0}.final_layer_norm", dec["mlp_ln"], Lt)
+    put_mlp("decoder.layers.{0}", dec["mlp"], Lt)
+    put("decoder.layer_norm.weight", dec["ln"]["scale"])
+    put("decoder.layer_norm.bias", dec["ln"]["bias"])
+
+    proj = params.get("proj_out", dec["token_emb"])
+    sd["proj_out.weight"] = np.ascontiguousarray(proj, dtype=np.float32)
+    return sd
+
+
+def save_safetensors(params: Params, cfg: WhisperConfig, path: str) -> None:
+    """Write an HF-compatible ``model.safetensors`` (directory or file path)."""
+    from safetensors.numpy import save_file
+
+    if os.path.isdir(path) or not path.endswith(".safetensors"):
+        os.makedirs(path, exist_ok=True)
+        path = os.path.join(path, "model.safetensors")
+    save_file(state_dict_from_params(params, cfg), path)
+
+
 def load_safetensors(path: str, cfg: WhisperConfig | None = None) -> tuple[Params, WhisperConfig]:
     """Load an HF whisper checkpoint directory or .safetensors file."""
     from safetensors.numpy import load_file
