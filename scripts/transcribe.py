@@ -218,9 +218,6 @@ def main():
         if args.num_beams > 1:
             print("warning: --long mode decodes greedily; --num_beams ignored",
                   file=sys.stderr)
-        if args.word_timestamps:
-            print("warning: --word_timestamps is short-form only; use "
-                  "--timestamps for long-form segments", file=sys.stderr)
 
         raw = [load_audio(p) for p in args.audio]
         contexts = None
@@ -248,7 +245,7 @@ def main():
         ns_thresh = args.no_speech_threshold
         if ns_thresh is not None and ns_thresh != ns_thresh:  # nan disables
             ns_thresh = None
-        hyps, segments = transcribe_long_batch(
+        out = transcribe_long_batch(
             params, cfg, tokenizer, raw, mel_fn=make_mel,
             max_new=args.max_tokens, contexts=contexts,
             bias_spans=spans, bias_boost=args.bias_boost,
@@ -256,7 +253,12 @@ def main():
             temperatures=tuple(args.temperatures),
             compression_ratio_threshold=args.compression_ratio_threshold,
             logprob_threshold=lp_thresh, no_speech_threshold=ns_thresh,
-            start_tokens=starts, return_segments=True)
+            start_tokens=starts, return_segments=True,
+            word_timestamps=args.word_timestamps)
+        if args.word_timestamps:
+            hyps, segments, long_words = out
+        else:
+            (hyps, segments), long_words = out, None
         wall = time.time() - t0
         texts = [tokenizer.decode(h, skip_special_tokens=True).strip()
                  for h in hyps]
@@ -265,7 +267,10 @@ def main():
         for i, (path, text) in enumerate(zip(args.audio, texts)):
             segs = close_open_segments(segments[i],
                                        clip_end=len(raw[i]) / 16000)
-            rendered.append(emit(args, fmt, path, text, segs, None,
+            lw = long_words[i] if long_words is not None else None
+            if lw is not None and not args.timestamps:
+                segs = words_to_segments(lw)  # word-derived cues
+            rendered.append(emit(args, fmt, path, text, segs, lw,
                                  language=langs[i]))
         write_outputs(args, fmt, rendered)
         print(f"[{len(raw)} files, {audio_seconds:.1f}s audio in {wall:.2f}s "

@@ -399,3 +399,43 @@ class TestNoSpeechProbEndToEnd:
             np.testing.assert_allclose(
                 float(np.asarray(res.no_speech_prob)[i]),
                 float(np.asarray(ref.no_speech_prob)[0]), rtol=1e-4)
+
+
+@pytest.mark.slow
+class TestLongFormWordTimestamps:
+    def test_words_in_absolute_time(self):
+        import jax.numpy as jnp  # noqa: F401
+
+        from whisper_context_biasing_tpu.decode.long_form import (
+            transcribe_long_batch,
+        )
+        from whisper_context_biasing_tpu.models import init_params, tiny_test_config
+        from whisper_context_biasing_tpu.tokenizer import load_tokenizer
+
+        tok = load_tokenizer()
+        cfg = tiny_test_config()
+        params = init_params(cfg, 0)
+        win = cfg.n_audio_ctx * 320
+        rng = np.random.default_rng(0)
+        audio = (rng.standard_normal(win + win // 2) * 0.1).astype(np.float32)
+
+        def mel_fn(chunk):
+            r = np.random.default_rng(int(abs(chunk).sum() * 1e3) % 2**31)
+            return (r.standard_normal((chunk.shape[0], cfg.n_mels, 128)) * 0.5
+                    ).astype(np.float32)
+
+        tokens, segments, words = transcribe_long_batch(
+            params, cfg, tok, [audio], mel_fn=mel_fn, max_new=5,
+            use_timestamps=False, temperatures=(0.0,),
+            no_speech_threshold=None, window_samples=win,
+            return_segments=True, word_timestamps=True)
+        assert len(words) == 1
+        total_s = len(audio) / 16000
+        last = -1.0
+        for w in words[0]:
+            assert 0.0 <= w.start <= w.end <= total_s + 1e-6
+            assert w.start >= last - 1e-6  # non-decreasing across windows
+            last = w.start
+        # the transcript reassembles from the aligned words
+        text = "".join(w.word for w in words[0]).strip()
+        assert text == tok.decode(tokens[0], skip_special_tokens=True).strip()

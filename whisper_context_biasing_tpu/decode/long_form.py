@@ -129,6 +129,7 @@ def transcribe_long_batch(
     rng_key=None,
     prefix_pad_to_multiple: int | None = None,
     return_segments: bool = False,
+    word_timestamps: bool = False,   # per-window cross-attention alignment
     start_tokens: list[list[int]] | None = None,  # per-file decode starts
     window_samples: int = N_SAMPLES,  # 30 s for the standard configs
 ) -> list[list[int]]:
@@ -142,6 +143,11 @@ def transcribe_long_batch(
     position — required for subtitle output past the first 30 s window).
     Without ``use_timestamps`` each window becomes one segment spanning its
     audio.
+
+    ``word_timestamps=True`` (with ``return_segments``) additionally returns
+    per-file WordTiming lists: each emitted window's tokens are aligned via
+    cross-attention DTW (decode/word_timestamps.py) in one batched pass per
+    window iteration, with times offset into absolute file time.
 
     ``no_speech_threshold``: a window whose ``P(<|nospeech|>)`` at the sot
     position exceeds it AND whose avg logprob is below ``logprob_threshold``
@@ -186,6 +192,7 @@ def transcribe_long_batch(
     histories: list[list[int]] = [[] for _ in range(b)]
     outputs: list[list[int]] = [[] for _ in range(b)]
     segments: list[list[tuple[float, float | None, str]]] = [[] for _ in range(b)]
+    words: list[list] = [[] for _ in range(b)]
 
     def active(i):
         return not started[i] or seek[i] < len(audios[i])
@@ -266,6 +273,9 @@ def transcribe_long_batch(
                         and last_avg_lp[i] > logprob_threshold):
                     accepted[i] = []  # emit nothing, advance a full window
 
+        # resolve each row's kept tokens and seek advance
+        kept_rows: dict[int, list[int]] = {}
+        advances: dict[int, int] = {}
         for i in range(b):
             if not active(i):
                 continue
@@ -277,6 +287,32 @@ def transcribe_long_batch(
                     # never stall: a sub-frame advance re-decodes forever
                     advance = max(int(adv_s * SAMPLE_RATE), window_samples // 100)
                     row = kept
+            kept_rows[i], advances[i] = row, advance
+
+        if word_timestamps:
+            # one batched alignment pass over this iteration's emitted rows,
+            # word times offset into absolute file time
+            from .word_timestamps import find_word_timestamps
+
+            act = [i for i in kept_rows if kept_rows[i]]
+            if act:
+                frames = [max(2, min(window_samples,
+                                     max(len(audios[i]) - seek[i], 0)) // 320)
+                          for i in act]
+                starts_act = ([start_tokens[i] for i in act]
+                              if start_tokens else None)
+                timings = find_word_timestamps(
+                    params, cfg, tokenizer, np.asarray(mel)[act],
+                    [kept_rows[i] for i in act],
+                    starts=starts_act, num_frames=frames)
+                for i, ws in zip(act, timings):
+                    offset = seek[i] / SAMPLE_RATE
+                    for w in ws:
+                        w.start = round(w.start + offset, 3)
+                        w.end = round(w.end + offset, 3)
+                    words[i].extend(ws)
+
+        for i, row in kept_rows.items():
             if return_segments:
                 offset = seek[i] / SAMPLE_RATE
                 if use_timestamps:
@@ -290,10 +326,12 @@ def transcribe_long_batch(
                         segments[i].append(
                             (offset, offset + span / SAMPLE_RATE, text))
             started[i] = True
-            seek[i] += advance
+            seek[i] += advances[i]
             content = _content_tokens(row, tokenizer)
             histories[i] = (histories[i] + content)[-MAX_PROMPT_TOKENS:]
             outputs[i].extend(row)
+    if return_segments and word_timestamps:
+        return outputs, segments, words
     if return_segments:
         return outputs, segments
     return outputs

@@ -253,19 +253,25 @@ class Pipeline:
 
             first = self._mel(np.stack([pad_or_trim(c, win) for c in clips]))
             starts, langs = self._starts(first, language, task)
-            hyps, segs = transcribe_long_batch(
+            out = transcribe_long_batch(
                 self.params, self.cfg, self.tokenizer, clips,
                 mel_fn=self._mel, max_new=max_tokens, contexts=ctx,
                 bias_spans=spans, bias_boost=boost,
                 use_timestamps=timestamps, temperatures=tuple(temperatures),
                 no_speech_threshold=no_speech_threshold,
                 start_tokens=starts, return_segments=True,
+                word_timestamps=word_timestamps,
                 prefix_pad_to_multiple=32, window_samples=win)
+            if word_timestamps:
+                hyps, segs, long_words = out
+            else:
+                (hyps, segs), long_words = out, None
             results = []
             for i, h in enumerate(hyps):
                 text = self.tokenizer.decode(h, skip_special_tokens=True).strip()
                 results.append(TranscriptionResult(
                     text=text, tokens=list(h), language=langs[i],
+                    words=long_words[i] if long_words is not None else None,
                     segments=close_open_segments(
                         segs[i], clip_end=len(clips[i]) / 16000)))
             return results[0] if single else results
