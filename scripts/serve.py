@@ -359,6 +359,7 @@ class Engine:
             language=opt.get("language") if tok.multilingual else None,
             task=(opt.get("task", "transcribe") if tok.multilingual
                   else "transcribe"),
+            word_timestamps=bool(opt.get("words")),
         )
         sid = uuid.uuid4().hex[:16]
         with self.streams_lock:
@@ -387,11 +388,15 @@ class Engine:
     def stream_feed(self, sid, audio):
         st, lock, _ = self._stream(sid)
         with lock:
+            n_words = len(st.words)
             segs = st.feed(audio)
             out = {"segments": [{"start": round(a, 3),
                                  "end": None if e is None else round(e, 3),
                                  "text": t.strip()} for a, e, t in segs],
                    "buffered_seconds": round(len(st._buffer) / 16000, 2)}
+            if st.word_timestamps:
+                out["words"] = [{"word": w.word.strip(), "start": w.start,
+                                 "end": w.end} for w in st.words[n_words:]]
             if st.language:
                 out["language"] = st.language
             return out
@@ -399,11 +404,15 @@ class Engine:
     def stream_end(self, sid):
         st, lock, _ = self._stream(sid)
         with lock:
+            n_words = len(st.words)
             segs = st.finish()
             out = {"segments": [{"start": round(a, 3),
                                  "end": None if e is None else round(e, 3),
                                  "text": t.strip()} for a, e, t in segs],
                    "text": st.text}
+            if st.word_timestamps:
+                out["words"] = [{"word": w.word.strip(), "start": w.start,
+                                 "end": w.end} for w in st.words[n_words:]]
             if st.language:
                 out["language"] = st.language
         with self.streams_lock:
@@ -570,6 +579,9 @@ def make_handler(engine: Engine):
                         opt["language"] = self.headers["X-Language"].strip()
                     if self.headers.get("X-Task"):
                         opt["task"] = self.headers["X-Task"].strip()
+                    if (self.headers.get("X-Word-Timestamps") or "").strip() \
+                            in ("1", "true", "yes"):
+                        opt["words"] = True
                     err = _validate_opt(engine, opt)
                     if err:
                         self._json(400, {"error": err})

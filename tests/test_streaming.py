@@ -210,3 +210,34 @@ class TestStreamingRealModel:
             st.feed(audio[i : i + 10000])
         st.finish()
         assert st.tokens == ref[0]
+
+
+@pytest.mark.slow
+class TestStreamingWordTimestamps:
+    def test_words_accumulate_in_absolute_time(self, tok, cfg):
+        from whisper_context_biasing_tpu.models import init_params
+
+        params = init_params(cfg, 0)
+        win = cfg.n_audio_ctx * 320
+        rng = np.random.default_rng(0)
+        audio = (rng.standard_normal(win + win // 2) * 0.1).astype(np.float32)
+
+        def mel_fn(chunk):
+            r = np.random.default_rng(int(abs(chunk).sum() * 1e3) % 2**31)
+            return (r.standard_normal((chunk.shape[0], cfg.n_mels, 128)) * 0.5
+                    ).astype(np.float32)
+
+        st = StreamingTranscriber(params, cfg, tok, mel_fn=mel_fn, max_new=5,
+                                  use_timestamps=False, temperatures=(0.0,),
+                                  no_speech_threshold=None,
+                                  window_samples=win, word_timestamps=True)
+        st.feed(audio)
+        st.finish()
+        total_s = len(audio) / 16000
+        last = -1.0
+        for w in st.words:
+            assert 0.0 <= w.start <= w.end <= total_s + 1e-6
+            assert w.start >= last - 1e-6
+            last = w.start
+        text = "".join(w.word for w in st.words).strip()
+        assert text == st.text

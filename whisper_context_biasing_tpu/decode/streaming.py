@@ -59,6 +59,7 @@ class StreamingTranscriber:
         start_tokens: list[int] | None = None,
         language: str | None = None,   # code | "auto" (multilingual models)
         task: str = "transcribe",      # "translate" implies detection
+        word_timestamps: bool = False,  # align each window's words (absolute time)
         window_samples: int = N_SAMPLES,
         prefix_pad_to_multiple: int | None = 32,
         decode_fn=None,
@@ -123,12 +124,14 @@ class StreamingTranscriber:
 
         self.decode_fn = decode_fn
 
+        self.word_timestamps = word_timestamps
         self._buffer = np.zeros(0, np.float32)
         self._consumed = 0          # absolute samples already seeked past
         self._started = False       # zero-length streams still get 1 window
         self._history: list[int] = []
         self.tokens: list[int] = []
         self.segments: list[tuple[float, float | None, str]] = []
+        self.words: list = []       # WordTiming in absolute stream time
         self._finished = False
 
     # -- internals --------------------------------------------------------
@@ -234,6 +237,19 @@ class StreamingTranscriber:
             if len(chunk) < self.window_samples:
                 chunk = np.pad(chunk, (0, self.window_samples - len(chunk)))
             row, advance, span = self._decode_window(chunk, window_audio_len)
+            if self.word_timestamps and row:
+                from .word_timestamps import find_word_timestamps
+
+                mel = self.mel_fn(chunk[None])
+                ws = find_word_timestamps(
+                    self._params, self._cfg, self.tokenizer, mel, [row],
+                    starts=[self.start],
+                    num_frames=[max(2, window_audio_len // 320)])[0]
+                offset = self._consumed / SAMPLE_RATE
+                for w in ws:
+                    w.start = round(w.start + offset, 3)
+                    w.end = round(w.end + offset, 3)
+                self.words.extend(ws)
             out.extend(self._emit(row, span))
             self._buffer = self._buffer[advance:]
             self._consumed += advance
