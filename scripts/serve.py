@@ -78,6 +78,10 @@ def parse_args():
     p.add_argument("--logprob_threshold", type=float, default=-1.0,
                    help="long-form: avg token logprob below this triggers "
                         "fallback; pass nan to disable")
+    p.add_argument("--stream_ttl", type=int, default=600,
+                   help="seconds before an idle streaming session is reaped")
+    p.add_argument("--max_streams", type=int, default=64,
+                   help="cap on concurrent streaming sessions")
     return p.parse_args()
 
 
@@ -317,8 +321,10 @@ class Engine:
 
     # -- streaming sessions (decode/streaming.py) -------------------------
 
-    STREAM_TTL_S = 600    # idle sessions are reaped (client vanished)
-    MAX_STREAMS = 64      # hard cap on concurrent sessions
+    # idle-session TTL / concurrent cap; overridden from --stream_ttl /
+    # --max_streams when constructed through main()
+    STREAM_TTL_S = 600
+    MAX_STREAMS = 64
 
     def stream_start(self, context=None, bias_words=None, opt=None) -> str:
         """Create an incremental session. Streaming decodes run b=1 outside
@@ -363,16 +369,16 @@ class Engine:
         )
         sid = uuid.uuid4().hex[:16]
         with self.streams_lock:
-            if len(self.streams) >= self.MAX_STREAMS:
-                raise RuntimeError(
-                    f"too many active streams (max {self.MAX_STREAMS})")
+            cap = getattr(self.args, "max_streams", self.MAX_STREAMS)
+            if len(self.streams) >= cap:
+                raise RuntimeError(f"too many active streams (max {cap})")
             self.streams[sid] = [st, threading.Lock(), time.time()]
         return sid
 
     def _reap_streams(self):
         """Drop sessions idle past the TTL (abandoned clients would leak
         buffered audio and history forever otherwise)."""
-        cutoff = time.time() - self.STREAM_TTL_S
+        cutoff = time.time() - getattr(self.args, "stream_ttl", self.STREAM_TTL_S)
         with self.streams_lock:
             for sid in [s for s, rec in self.streams.items() if rec[2] < cutoff]:
                 del self.streams[sid]
