@@ -200,6 +200,15 @@ def main():
             push_to_hub_if_exists, upload_results_to_hub,
         )
 
+        # the reference's hub artifacts are HF checkpoints: export the final
+        # weights in transformers-loadable form alongside the native ones
+        try:
+            from whisper_context_biasing_tpu.models import save_safetensors
+
+            save_safetensors(params, model_cfg, args.output)
+        except Exception as e:  # noqa: BLE001 — sync must not fail training
+            print(f"HF export skipped: {e}")
+
         upload_results_to_hub(os.path.join(args.output, "test_results.json"),
                               args.hub_model_id, "results/test_results.json",
                               args.hf_token)
