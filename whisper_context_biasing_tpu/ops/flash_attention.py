@@ -68,10 +68,13 @@ def _fwd_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float,
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     denom = jnp.sum(p, axis=-1, keepdims=True)
-    p = (p / denom).astype(v_ref.dtype)
-    o_ref[...] = jax.lax.dot_general(
-        p, v_ref[...], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ).astype(o_ref.dtype)
+    # normalize the (BQ, dh) OUTPUT, not the (BQ, Tk) probabilities — one
+    # large VPU pass less per cell (Tk/dh ~ 24x fewer divides)
+    o = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[...] = (o / denom).astype(o_ref.dtype)
 
 
 def _dq_kernel(lens_ref, q_ref, k_ref, v_ref, do_ref, dq_ref, lse_ref, *,
