@@ -31,7 +31,11 @@ def main():
         get_config, load_checkpoint_or_safetensors, save_safetensors,
     )
 
-    cfg = get_config(args.model)
+    native = (os.path.isdir(args.checkpoint)
+              and os.path.isfile(os.path.join(args.checkpoint, "params.npz")))
+    # native checkpoints need --model for dims; HF inputs carry their own
+    # dims — inferring them prevents silently truncating a bigger model
+    cfg = get_config(args.model) if native else None
     params, cfg = load_checkpoint_or_safetensors(args.checkpoint, cfg)
     save_safetensors(params, cfg, args.out)
     dest = (args.out if args.out.endswith(".safetensors")

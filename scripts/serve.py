@@ -299,7 +299,8 @@ class Engine:
             first = np.stack([self.pad_or_trim(a) for a in audios])
             start_tokens, langs = self._starts_for(mel_fn(first), opts)
 
-        hyps = self.transcribe_long_batch(
+        want_words = any(o.get("words") for o in opts[:n])
+        out = self.transcribe_long_batch(
             self.params, self.cfg, tok, audios, mel_fn=mel_fn,
             max_new=self.args.max_tokens,
             contexts=ctx if any(ctx) else None,
@@ -311,18 +312,26 @@ class Engine:
                                else self.args.logprob_threshold),
             prefix_pad_to_multiple=32,
             start_tokens=start_tokens,
+            return_segments=want_words, word_timestamps=want_words,
         )
+        if want_words:
+            hyps, _, words = out
+        else:
+            hyps, words = out, None
         results = [{"text": tok.decode(h, skip_special_tokens=True).strip()}
                    for h in hyps[:n]]
-        for r, lang in zip(results, langs[:n]):
+        for i, (r, lang) in enumerate(zip(results, langs[:n])):
             if lang:
                 r["language"] = lang
+            if words is not None and opts[i].get("words"):
+                r["words"] = [{"word": w.word.strip(), "start": w.start,
+                               "end": w.end} for w in words[i]]
         return results
 
     # -- streaming sessions (decode/streaming.py) -------------------------
 
-    # idle-session TTL / concurrent cap; overridden from --stream_ttl /
-    # --max_streams when constructed through main()
+    # idle-session TTL / concurrent cap; defaults for hand-wired engines,
+    # --stream_ttl / --max_streams take precedence via getattr(self.args,...)
     STREAM_TTL_S = 600
     MAX_STREAMS = 64
 

@@ -245,6 +245,10 @@ def main():
         ns_thresh = args.no_speech_threshold
         if ns_thresh is not None and ns_thresh != ns_thresh:  # nan disables
             ns_thresh = None
+        heads = None
+        if args.alignment_heads:
+            heads = [tuple(int(x) for x in pair.split(":"))
+                     for pair in args.alignment_heads.split(",")]
         out = transcribe_long_batch(
             params, cfg, tokenizer, raw, mel_fn=make_mel,
             max_new=args.max_tokens, contexts=contexts,
@@ -254,7 +258,7 @@ def main():
             compression_ratio_threshold=args.compression_ratio_threshold,
             logprob_threshold=lp_thresh, no_speech_threshold=ns_thresh,
             start_tokens=starts, return_segments=True,
-            word_timestamps=args.word_timestamps)
+            word_timestamps=args.word_timestamps, alignment_heads=heads)
         if args.word_timestamps:
             hyps, segments, long_words = out
         else:

@@ -198,3 +198,17 @@ class TestStreamingSessions:
     def test_stream_unknown_language_raises(self, ml_engine):
         with pytest.raises(ValueError, match="unknown language"):
             ml_engine.stream_start(opt={"language": "zz"})
+
+
+@pytest.mark.slow
+class TestServeLongFormWords:
+    def test_long_request_honors_words_option(self, engine):
+        """Regression: X-Word-Timestamps on a >30 s request was silently
+        dropped by _run_long."""
+        audios = [np.ones(N_SAMPLES + 16000, np.float32) * 0.1]
+        results = engine._run_long(audios, [None], [None],
+                                   opts=[{"words": True}])
+        assert "words" in results[0]
+        total = (N_SAMPLES + 16000) / 16000
+        for w in results[0]["words"]:
+            assert 0.0 <= w["start"] <= w["end"] <= total + 1e-6

@@ -130,6 +130,7 @@ def transcribe_long_batch(
     prefix_pad_to_multiple: int | None = None,
     return_segments: bool = False,
     word_timestamps: bool = False,   # per-window cross-attention alignment
+    alignment_heads: list[tuple[int, int]] | None = None,
     start_tokens: list[list[int]] | None = None,  # per-file decode starts
     window_samples: int = N_SAMPLES,  # 30 s for the standard configs
 ) -> list[list[int]]:
@@ -304,7 +305,11 @@ def transcribe_long_batch(
                 timings = find_word_timestamps(
                     params, cfg, tokenizer, np.asarray(mel)[act],
                     [kept_rows[i] for i in act],
-                    starts=starts_act, num_frames=frames)
+                    starts=starts_act, num_frames=frames,
+                    alignment_heads=alignment_heads,
+                    # static token axis: window hyp lengths vary, one
+                    # compiled alignment program must serve them all
+                    pad_to=max_new + 8)
                 for i, ws in zip(act, timings):
                     offset = seek[i] / SAMPLE_RATE
                     for w in ws:

@@ -60,6 +60,7 @@ class StreamingTranscriber:
         language: str | None = None,   # code | "auto" (multilingual models)
         task: str = "transcribe",      # "translate" implies detection
         word_timestamps: bool = False,  # align each window's words (absolute time)
+        alignment_heads: list[tuple[int, int]] | None = None,
         window_samples: int = N_SAMPLES,
         prefix_pad_to_multiple: int | None = 32,
         decode_fn=None,
@@ -125,6 +126,8 @@ class StreamingTranscriber:
         self.decode_fn = decode_fn
 
         self.word_timestamps = word_timestamps
+        self.alignment_heads = alignment_heads
+        self._max_new = max_new
         self._buffer = np.zeros(0, np.float32)
         self._consumed = 0          # absolute samples already seeked past
         self._started = False       # zero-length streams still get 1 window
@@ -141,6 +144,7 @@ class StreamingTranscriber:
         samples to advance by."""
         tok = self.tokenizer
         mel = self.mel_fn(chunk[None])
+        self._last_mel = mel  # reused by the word-alignment pass
         if self._pending_lang:
             # first audible window fixes the stream's language (and task)
             from .language import detect_language, resolve_start_tokens
@@ -240,11 +244,12 @@ class StreamingTranscriber:
             if self.word_timestamps and row:
                 from .word_timestamps import find_word_timestamps
 
-                mel = self.mel_fn(chunk[None])
                 ws = find_word_timestamps(
-                    self._params, self._cfg, self.tokenizer, mel, [row],
-                    starts=[self.start],
-                    num_frames=[max(2, window_audio_len // 320)])[0]
+                    self._params, self._cfg, self.tokenizer,
+                    self._last_mel, [row], starts=[self.start],
+                    num_frames=[max(2, window_audio_len // 320)],
+                    alignment_heads=self.alignment_heads,
+                    pad_to=self._max_new + 8)[0]
                 offset = self._consumed / SAMPLE_RATE
                 for w in ws:
                     w.start = round(w.start + offset, 3)

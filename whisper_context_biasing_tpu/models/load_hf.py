@@ -160,7 +160,7 @@ def state_dict_from_params(params: Params, cfg: WhisperConfig) -> dict:
         # before safetensors serialization
         sd["model." + key] = np.ascontiguousarray(v, dtype=np.float32)
 
-    def put_attn(prefix, grp, n, has_k_bias=False):
+    def put_attn(prefix, grp, n):
         for i in range(n):
             put(f"{prefix.format(i)}.q_proj.weight", np.asarray(grp["wq"][i]).T)
             put(f"{prefix.format(i)}.q_proj.bias", grp["bq"][i])
@@ -225,6 +225,8 @@ def save_safetensors(params: Params, cfg: WhisperConfig, path: str) -> None:
     if os.path.isdir(path) or not path.endswith(".safetensors"):
         os.makedirs(path, exist_ok=True)
         path = os.path.join(path, "model.safetensors")
+    elif os.path.dirname(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
     save_file(state_dict_from_params(params, cfg), path)
 
 

@@ -261,6 +261,7 @@ class Pipeline:
                 no_speech_threshold=no_speech_threshold,
                 start_tokens=starts, return_segments=True,
                 word_timestamps=word_timestamps,
+                alignment_heads=alignment_heads,
                 prefix_pad_to_multiple=32, window_samples=win)
             if word_timestamps:
                 hyps, segs, long_words = out
@@ -269,11 +270,15 @@ class Pipeline:
             results = []
             for i, h in enumerate(hyps):
                 text = self.tokenizer.decode(h, skip_special_tokens=True).strip()
+                lw = long_words[i] if long_words is not None else None
+                segments = close_open_segments(
+                    segs[i], clip_end=len(clips[i]) / 16000)
+                if lw is not None and not timestamps:
+                    # word-derived cues beat whole-window blobs for srt/vtt
+                    segments = words_to_segments(lw)
                 results.append(TranscriptionResult(
                     text=text, tokens=list(h), language=langs[i],
-                    words=long_words[i] if long_words is not None else None,
-                    segments=close_open_segments(
-                        segs[i], clip_end=len(clips[i]) / 16000)))
+                    words=lw, segments=segments))
             return results[0] if single else results
 
         from .decode import beam_decode_batch, decode_batch, find_word_timestamps
