@@ -12,7 +12,7 @@ stays fixed — no recompiles), decoded in one program, and answered.
     curl -s --data-binary @clip.wav http://localhost:8080/transcribe
     curl -s "http://localhost:8080/health"
 
-POST /transcribe accepts a WAV body; optional headers:
+POST /transcribe accepts a WAV or MP3 body; optional headers:
     X-Context:         conditioning text (placed after <|startofprev|>)
     X-Bias-Words:      comma-separated bias words (per-request shallow fusion)
     X-Language:        language code or "auto" (multilingual models)
@@ -490,6 +490,32 @@ class Engine:
                 print(f"batch failed: {e}", file=sys.stderr)
 
 
+def decode_audio_bytes(data: bytes) -> np.ndarray:
+    """Route an uploaded body by magic bytes: WAV, or MP3 (the corpus's
+    format, decoded via the libmpg123 binding when present)."""
+    if data[:4] == b"RIFF":
+        return decode_wav_bytes(data)
+    if data[:3] == b"ID3" or (
+        len(data) > 1 and data[0] == 0xFF and (data[1] & 0xE0) == 0xE0
+    ):
+        import tempfile
+
+        from whisper_context_biasing_tpu.audio import resample
+        from whisper_context_biasing_tpu.audio.io import EXTRA_DECODERS
+
+        dec = EXTRA_DECODERS.get(".mp3")
+        if dec is None:
+            raise ValueError("mp3 decoder unavailable on this host")
+        with tempfile.NamedTemporaryFile(suffix=".mp3") as f:
+            f.write(data)
+            f.flush()
+            sig, sr = dec(f.name)
+        if sr != 16000:
+            sig = resample(sig, sr, 16000)
+        return np.asarray(sig, np.float32)
+    raise ValueError("unsupported audio container (expect WAV or MP3)")
+
+
 def decode_wav_bytes(data: bytes) -> np.ndarray:
     with wave.open(io.BytesIO(data), "rb") as w:
         sr = w.getframerate()
@@ -556,7 +582,7 @@ def make_handler(engine: Engine):
                 return
             try:
                 n = int(self.headers.get("Content-Length", 0))
-                audio = decode_wav_bytes(self.rfile.read(n))
+                audio = decode_audio_bytes(self.rfile.read(n))
                 ctx = self.headers.get("X-Context")
                 words = self.headers.get("X-Bias-Words")
                 words = [w for w in words.split(",")] if words else None

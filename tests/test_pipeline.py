@@ -93,3 +93,22 @@ class TestPipeline:
     def test_language_on_english_model_raises(self, pipe):
         with pytest.raises(ValueError, match="multilingual"):
             pipe.transcribe(np.zeros(8000, np.float32), language="fr")
+
+
+@pytest.mark.slow
+class TestPipelineStream:
+    def test_stream_helper(self, pipe):
+        st = pipe.stream(use_timestamps=False, max_new=4,
+                         temperatures=(0.0,), no_speech_threshold=None)
+        assert st.window_samples == pipe.window_samples
+        st.feed(np.zeros(pipe.window_samples, np.float32))
+        st.finish()
+        assert isinstance(st.text, str)
+
+    def test_stream_helper_with_bias_and_context(self, pipe):
+        st = pipe.stream(bias_words=["aspirin"], bias_boost=2.0,
+                         context="clinical note", use_timestamps=False,
+                         max_new=4, temperatures=(0.0,),
+                         no_speech_threshold=None)
+        assert st.context  # encoded conditioning text present
+        st.finish()

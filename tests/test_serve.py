@@ -212,3 +212,39 @@ class TestServeLongFormWords:
         total = (N_SAMPLES + 16000) / 16000
         for w in results[0]["words"]:
             assert 0.0 <= w["start"] <= w["end"] <= total + 1e-6
+
+
+class TestAudioBytesRouting:
+    def test_wav_magic(self):
+        import io as _io
+        import wave as _wave
+
+        serve = _load_serve()
+        buf = _io.BytesIO()
+        with _wave.open(buf, "wb") as w:
+            w.setnchannels(1); w.setsampwidth(2); w.setframerate(16000)
+            w.writeframes(np.zeros(1600, np.int16).tobytes())
+        sig = serve.decode_audio_bytes(buf.getvalue())
+        assert sig.shape == (1600,)
+
+    def test_unknown_container_rejected(self):
+        serve = _load_serve()
+        with pytest.raises(ValueError, match="unsupported audio container"):
+            serve.decode_audio_bytes(b"\x00\x01\x02\x03" * 100)
+
+    def test_mp3_magic_routes_to_decoder(self, tmp_path):
+        serve = _load_serve()
+        from whisper_context_biasing_tpu.audio.mp3 import available
+
+        if not available():
+            pytest.skip("no mpg123 on this host")
+        from test_mp3 import _find_lame, lame_encode
+
+        if _find_lame() is None:
+            pytest.skip("no lame encoder to synthesize a fixture")
+        path = str(tmp_path / "t.mp3")
+        t = np.arange(16000) / 16000.0
+        lame_encode(path, (0.3 * np.sin(2 * np.pi * 440 * t)).astype(np.float32),
+                    16000)
+        sig = serve.decode_audio_bytes(open(path, "rb").read())
+        assert sig.ndim == 1 and len(sig) > 8000

@@ -206,6 +206,29 @@ class Pipeline:
         return detect_language(self.params, self.cfg, self.tokenizer, mel,
                                enc_out=enc_out)
 
+    def stream(self, **kwargs):
+        """A configured incremental transcriber sharing this pipeline's
+        model (see decode/streaming.StreamingTranscriber): ``feed()`` audio
+        chunks, ``finish()`` the tail. Session bias defaults apply unless
+        overridden."""
+        from .decode import StreamingTranscriber
+
+        if "bias_spans" not in kwargs:
+            spans = self._spans(kwargs.pop("bias_words", None), 1)
+            if spans is not None:
+                kwargs["bias_spans"] = spans
+                kwargs.setdefault("bias_boost", self.default_bias_boost)
+        ctx = kwargs.pop("context", None)
+        if isinstance(ctx, str):
+            kwargs["context"] = self.tokenizer.encode(
+                ctx.lower(), add_special_tokens=False)
+        elif ctx is not None:
+            kwargs["context"] = ctx
+        kwargs.setdefault("mel_fn", self._mel)
+        kwargs.setdefault("window_samples", self.window_samples)
+        return StreamingTranscriber(self.params, self.cfg, self.tokenizer,
+                                    **kwargs)
+
     def transcribe(
         self,
         audio,
