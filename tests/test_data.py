@@ -167,16 +167,24 @@ class TestPromptStrategies:
         assert text.endswith(ROWS[1]["description"].lower())
 
     def test_perturbation_train_only(self, corpus, tok):
-        # with random=True in a train phase, ~5% of draws use a random prompt
+        # with random=True in a train phase, ~5% of draws use a random
+        # prompt; draws are keyed on (seed, epoch_hint, idx) — deterministic
+        # under threaded loading, fresh per epoch (BatchLoader bumps the hint)
         ds = make_ds(corpus, tok, phase="train", prompt=True, random=True, seed=123)
         ds.data[0][2] = "a clearly different random prompt"  # ensure distinguishable
         own = tok.encode(ROWS[0]["description"].lower(), add_special_tokens=False)
         swapped = 0
-        for _ in range(400):
+        for epoch in range(400):
+            ds.epoch_hint = epoch
             ctx, _ = self._split(tok, ds.build_label_sequence(0))
             if ctx != own:
                 swapped += 1
         assert 2 <= swapped <= 60  # ~5% of 400 = 20
+        # same (seed, epoch, idx) -> identical draw, any thread order
+        ds.epoch_hint = 7
+        a = ds.build_label_sequence(0)
+        b = ds.build_label_sequence(0)
+        assert a == b
 
     def test_no_perturbation_in_test_phase(self, corpus, tok):
         ds = make_ds(corpus, tok, phase="test", prompt=True, random=True, seed=123)

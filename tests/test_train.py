@@ -275,3 +275,67 @@ class TestOptStateResume:
         assert len(orig_leaves) == len(rest_leaves)
         for a, b in zip(orig_leaves, rest_leaves):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestBestCheckpointSelection:
+    def test_own_metric_beats_poisoned_history(self, tmp_path):
+        """Regression: later checkpoints carry the full log_history, so
+        scanning it attributed the historical best wer to every later
+        checkpoint — retention could then delete the true best weights."""
+        import json
+        import os
+
+        from whisper_context_biasing_tpu.train.checkpoint import (
+            find_best_checkpoint,
+        )
+
+        hist = [{"step": 135, "eval_wer": 10.0}, {"step": 270, "eval_wer": 12.0}]
+        for step, wer, h in ((135, 10.0, hist[:1]), (270, 12.0, hist)):
+            d = tmp_path / f"checkpoint-{step}"
+            d.mkdir()
+            with open(d / "trainer_state.json", "w") as f:
+                json.dump({"step": step, "eval_wer": wer, "log_history": h}, f)
+        best = find_best_checkpoint(str(tmp_path))
+        assert os.path.basename(best) == "checkpoint-135"
+
+    def test_history_fallback_for_reference_style_checkpoints(self, tmp_path):
+        import json
+        import os
+
+        from whisper_context_biasing_tpu.train.checkpoint import (
+            find_best_checkpoint,
+        )
+
+        # no top-level eval_wer (HF-style): fall back to log_history
+        d = tmp_path / "checkpoint-10"
+        d.mkdir()
+        with open(d / "trainer_state.json", "w") as f:
+            json.dump({"log_history": [{"eval_wer": 42.0}]}, f)
+        best = find_best_checkpoint(str(tmp_path))
+        assert os.path.basename(best) == "checkpoint-10"
+
+
+class TestEmptySpanTrainGuard:
+    def test_all_pad_spans_equal_no_spans(self):
+        """An all-pad (B,1,1) span tensor (the sanitized replacement for the
+        collator's zeros fallback) must leave the loss identical to no spans
+        at all — the zeros fallback itself would upweight token id 0."""
+        import jax.numpy as jnp
+
+        from whisper_context_biasing_tpu.train.loss import weighted_ce_loss
+
+        rng = np.random.default_rng(0)
+        logits = jnp.asarray(rng.standard_normal((2, 6, 64)).astype(np.float32))
+        labels = jnp.asarray([[0, 5, 7, 0, 3, 63]] * 2, jnp.int32)
+        pad = 63  # tiny-vocab stand-in for eot/span-pad
+        base = weighted_ce_loss(logits, labels, None, 1.5, span_pad_id=pad,
+                                special_id_threshold=pad)
+        allpad = jnp.full((2, 1, 1), pad, jnp.int32)
+        same = weighted_ce_loss(logits, labels, allpad, 1.5, span_pad_id=pad,
+                                special_id_threshold=pad)
+        np.testing.assert_allclose(float(base), float(same), rtol=1e-6)
+        # the unsanitized zeros fallback upweights label positions of id 0
+        zeros = jnp.zeros((2, 1, 1), jnp.int32)
+        skewed = weighted_ce_loss(logits, labels, zeros, 1.5, span_pad_id=pad,
+                                  special_id_threshold=pad)
+        assert abs(float(skewed) - float(base)) > 1e-6

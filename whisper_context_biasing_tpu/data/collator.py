@@ -79,7 +79,9 @@ class SpeechSeq2SeqCollator:
         if self.pad_to_multiple:
             padded_len = _ceil_to(padded_len, self.pad_to_multiple)
         if self.max_target_length:
-            padded_len = max(padded_len, self.max_target_length)
+            # HARD static shape: every batch pads to exactly this length
+            # (ceil-to-multiple must not push a longest==max batch past it)
+            padded_len = self.max_target_length
 
         padded = np.full((len(label_seqs), padded_len), self.pad_token_id, dtype=np.int64)
         mask = np.zeros((len(label_seqs), padded_len), dtype=np.int64)

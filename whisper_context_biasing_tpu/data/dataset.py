@@ -89,6 +89,13 @@ class PromptWhisperDataset:
             lambda audio: log_mel_spectrogram_np(audio)
         )
         self.return_audio = return_audio
+        # load-time draws (per-sample random prompt) use one seeded stream;
+        # per-__getitem__ draws derive from (seed, epoch_hint, idx) so
+        # threaded loading stays deterministic AND each epoch re-draws the
+        # 5% perturbation (reference semantics: fresh torch.rand per access,
+        # data_loader.py:190). BatchLoader bumps epoch_hint per epoch.
+        self._seed = seed or 0
+        self.epoch_hint = 0
         self.rng = _random.Random(seed)
 
         rows = read_jsonl(os.path.join(jsonl_data, f"{phase}.jsonl"))
@@ -143,11 +150,18 @@ class PromptWhisperDataset:
 
     # -- prompt construction ----------------------------------------------------
 
-    def _select_prompt_text(self, description: str, random_prompt: str) -> str:
+    def _item_rng(self, idx: int) -> _random.Random:
+        """Deterministic per-(seed, epoch, index) RNG: immune to thread
+        scheduling in BatchLoader, reproducible across resumed runs."""
+        return _random.Random(
+            (self._seed * 1_000_003 + self.epoch_hint) * 2_654_435_761 + idx)
+
+    def _select_prompt_text(self, description: str, random_prompt: str,
+                            rng: _random.Random) -> str:
         """5% context perturbation, train phase only (data_loader.py:187-193)."""
         if not self.random_prompt or "train" not in self.phase:
             return description
-        return random_prompt if self.rng.random() < 0.05 else description
+        return random_prompt if rng.random() < 0.05 else description
 
     def _encode_prompt(self, text: str, max_len: int, idx) -> list[int]:
         if not text:
@@ -156,8 +170,11 @@ class PromptWhisperDataset:
         ids = self.tokenizer.encode(text.lower(), add_special_tokens=False)
         return ids[:max_len]
 
-    def _build_bias_word_list(self, bias_words: Sequence[str], idx) -> list[str]:
-        """Own bias words + random pool fill up to bias_nums (data_loader.py:209-231)."""
+    def _build_bias_word_list(self, bias_words: Sequence[str], idx,
+                              rng: _random.Random) -> list[str]:
+        """Own bias words + random pool fill up to bias_nums
+        (data_loader.py:209-231). The single sample() either fills the list
+        or exhausts the pool, so no retry loop is needed."""
         if not self.bias_pool:
             raise ValueError(f"bias_pool is empty for sample {idx}")
         words = [w.lower() for w in bias_words]
@@ -165,12 +182,7 @@ class PromptWhisperDataset:
         if remaining > 0:
             available = sorted(self.bias_pool - set(words))
             if available:
-                words.extend(self.rng.sample(available, min(remaining, len(available))))
-        while len(words) < self.bias_nums and self.bias_pool:
-            available = sorted(self.bias_pool - set(words))
-            if not available:
-                break
-            words.append(self.rng.choice(available))
+                words.extend(rng.sample(available, min(remaining, len(available))))
         return words[: self.bias_nums]
 
     def _encode_bias_sequence(self, words: Sequence[str], idx) -> list[int]:
@@ -193,18 +205,19 @@ class PromptWhisperDataset:
         if not (self.prompt or use_bias):
             return list(label)
 
+        rng = self._item_rng(idx)
         sop = self.tokenizer.convert_tokens_to_ids("<|startofprev|>")
         if self.prompt and not use_bias:  # strategy 1
-            ptxt = self._select_prompt_text(description, random_prompt)
+            ptxt = self._select_prompt_text(description, random_prompt, rng)
             return [sop] + self._encode_prompt(ptxt, 190, idx) + list(label)
         if not self.prompt and use_bias:  # strategy 2
-            words = self._build_bias_word_list(bias_words, idx)
+            words = self._build_bias_word_list(bias_words, idx, rng)
             return [sop] + self._encode_bias_sequence(words, idx) + list(label)
         # strategies 3 & 4
-        ptxt = self._select_prompt_text(description, random_prompt)
+        ptxt = self._select_prompt_text(description, random_prompt, rng)
         enc_prompt = self._encode_prompt(ptxt, 150, idx)
         relate = self.tokenizer.encode("Relate terms: ", add_special_tokens=False)
-        words = self._build_bias_word_list(bias_words, idx)
+        words = self._build_bias_word_list(bias_words, idx, rng)
         enc_bias = self._encode_bias_sequence(words, idx)
         if not self.bias_desc:  # strategy 3
             return [sop] + enc_prompt + relate + enc_bias + list(label)

@@ -62,6 +62,7 @@ class BatchLoader:
         self.drop_last = drop_last
         self.num_workers = max(1, num_workers)
         self._epoch = 0  # advanced per __iter__ so shuffles differ per epoch
+        self.skip_first = 0  # resume: drop N leading chunks (ONE iteration)
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -70,6 +71,10 @@ class BatchLoader:
         return (n + self.batch_size - 1) // self.batch_size
 
     def __iter__(self) -> Iterator[dict]:
+        if hasattr(self.dataset, "epoch_hint"):
+            # per-epoch RNG keying for datasets with item-level randomness
+            # (PromptWhisperDataset 5% perturbation / bias fills)
+            self.dataset.epoch_hint = self._epoch
         chunks = list(
             batched_indices(
                 len(self.dataset), self.batch_size,
@@ -77,6 +82,12 @@ class BatchLoader:
                 drop_last=self.drop_last,
             )
         )
+        if self.skip_first:
+            # resume fast-forward: the permutation is deterministic from
+            # (seed, epoch), so dropping chunks here skips exactly the
+            # already-trained batches without preparing them
+            chunks = chunks[self.skip_first:]
+            self.skip_first = 0
         self._epoch += 1
         with ThreadPoolExecutor(self.num_workers) as pool:
             # submit item fetches for a sliding window of batches

@@ -122,24 +122,28 @@ def latest_checkpoint(output_dir: str) -> str | None:
 
 
 def find_best_checkpoint(output_dir: str, metric_key: str = "eval_wer") -> str | None:
-    """Lowest recorded eval metric across checkpoints' trainer_state.json
-    (scripts/evaluation.py:75-94: scans log_history for eval_wer)."""
+    """Checkpoint whose OWN eval metric is lowest.
+
+    Native checkpoints record the metric at save time as a top-level key and
+    are judged by it alone; scanning log_history (the reference's method,
+    scripts/evaluation.py:75-94) would attribute the historical best value
+    to EVERY later checkpoint — retention could then delete the checkpoint
+    that actually achieved it. The log_history scan remains only as a
+    fallback for reference-style checkpoints lacking the top-level key."""
     best, best_val = None, float("inf")
-    for c in list_checkpoints(output_dir):
+    for c in sorted(list_checkpoints(output_dir), key=checkpoint_step):
         state_file = os.path.join(c, "trainer_state.json")
         if not os.path.isfile(state_file):
             continue
         with open(state_file) as f:
             meta = json.load(f)
-        candidates = []
         if metric_key in meta:
-            candidates.append(meta[metric_key])
-        for entry in meta.get("log_history", []):
-            if metric_key in entry:
-                candidates.append(entry[metric_key])
-        for v in candidates:
-            if v < best_val:
-                best_val, best = v, c
+            val = meta[metric_key]
+        else:
+            val = min((e[metric_key] for e in meta.get("log_history", [])
+                       if metric_key in e), default=None)
+        if val is not None and val < best_val:
+            best_val, best = val, c
     return best
 
 

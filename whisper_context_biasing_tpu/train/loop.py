@@ -73,14 +73,6 @@ class TrainingConfig:
     wandb_project: str | None = None
 
 
-def _batched_indices(n: int, batch: int, rng: np.random.Generator | None):
-    idx = np.arange(n)
-    if rng is not None:
-        rng.shuffle(idx)
-    for i in range(0, n, batch):
-        yield idx[i : i + batch]
-
-
 def evaluate_wer(
     params,
     model_cfg: WhisperConfig,
@@ -107,6 +99,13 @@ def evaluate_wer(
 
     ``mesh``: shards each decode batch over the mesh's "data" axis (params
     should already be sharded with ``parallel.shard_params``)."""
+    import copy
+
+    # shallow-copy the collator: mid-training evals run while the training
+    # BatchLoader threads still collate with the shared instance — mutating
+    # span_pad_multiple on it would change train batch shapes mid-flight
+    collator = copy.copy(collator)
+
     all_preds: list[list[int]] = []
     all_labels: list[list[int]] = []
 
@@ -123,7 +122,6 @@ def evaluate_wer(
         batch["_prefixes"] = prefixes
         return batch
 
-    old_span_mult = collator.span_pad_multiple
     if collator.max_spans is None and collator.span_pad_multiple is None:
         collator.span_pad_multiple = 4
     decode_fn = beam_decode if num_beams > 1 else greedy_decode
@@ -132,14 +130,11 @@ def evaluate_wer(
     except Exception:  # noqa: BLE001 — diagnostic only
         programs_before = None
     loader = BatchLoader(dataset, collate, batch_size, num_workers=num_workers)
-    try:
-        for batch in loader:
-            _eval_decode_batch(
-                batch, all_preds, all_labels, params, model_cfg, tokenizer,
-                collator, batch_size, max_new, bias_boost, num_beams, mesh,
-            )
-    finally:
-        collator.span_pad_multiple = old_span_mult
+    for batch in loader:
+        _eval_decode_batch(
+            batch, all_preds, all_labels, params, model_cfg, tokenizer,
+            collator, batch_size, max_new, bias_boost, num_beams, mesh,
+        )
     result = score_predictions(all_preds, all_labels, tokenizer, refs_pred_file)
     if programs_before is not None:
         # static-shape discipline diagnostic: one eval pass should compile
@@ -269,6 +264,9 @@ def train_and_evaluate(
         state = TrainState(state.params, state.opt_state, jnp.int32(start_step))
 
     best_wer = min((e["eval_wer"] for e in log_history if "eval_wer" in e), default=float("inf"))
+    # latest eval at (re)start; updated in the eval branch thereafter
+    last_wer = next(
+        (e["eval_wer"] for e in reversed(log_history) if "eval_wer" in e), None)
     bad_evals = 0
     step = start_step
     t0 = time.time()
@@ -278,6 +276,12 @@ def train_and_evaluate(
 
     def prep(items):
         batch = collator(items)
+        if "bias_spans" in batch and sanitize_bias_spans(batch["bias_spans"]) is None:
+            # all-empty fallback: replace with an all-pad span (span_len 0,
+            # weights stay 1.0) instead of the zeros quirk the loss would
+            # read as a real span of token id 0
+            batch["bias_spans"] = np.full_like(
+                np.asarray(batch["bias_spans"]), collator.bias_span_pad_id)
         if accum > 1:
             batch = {
                 k: v.reshape((accum, tcfg.per_device_train_batch_size) + v.shape[1:])
@@ -295,15 +299,14 @@ def train_and_evaluate(
     # resumed run continues with the epoch permutation it would have had,
     # and skip the batches of the partial epoch that were already trained
     loader._epoch = start_step // steps_per_epoch
-    skip_batches = start_step % steps_per_epoch
+    # fast-forward the partial epoch by dropping its index chunks BEFORE
+    # preparation (decoding audio just to discard the batch wastes minutes)
+    loader.skip_first = start_step % steps_per_epoch
 
     for epoch in range(int(np.ceil(tcfg.num_train_epochs))):
         if stop or step >= total_steps:
             break
         for batch in prefetch_to_device(loader, size=2, put_fn=shard_fn):
-            if skip_batches > 0:
-                skip_batches -= 1
-                continue
             if stop or step >= total_steps:
                 break
             state, metrics = step_fn(state, batch)
@@ -321,10 +324,6 @@ def train_and_evaluate(
                 log_history.append(entry)
                 logger.log(entry)
 
-            last_wer = next(
-                (e["eval_wer"] for e in reversed(log_history) if "eval_wer" in e),
-                None,
-            )
             if step % tcfg.eval_steps == 0:
                 last_wer = evaluate_wer(
                     state.params, model_cfg, tokenizer, data_eval, collator,
