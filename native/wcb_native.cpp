@@ -55,6 +55,10 @@ bool parse_wav(const uint8_t* data, size_t len, Wave* out, std::string* err) {
       channels = rd_u16(body + 2);
       rate = rd_u32(body + 4);
       bits = rd_u16(body + 14);
+      // WAVE_FORMAT_EXTENSIBLE: the real format is the first two bytes of
+      // the SubFormat GUID in the fmt extension (pro-audio tools emit this
+      // container for plain PCM/float data)
+      if (fmt == 0xFFFE && chunk_len >= 40) fmt = rd_u16(body + 24);
     } else if (memcmp(hdr, "data", 4) == 0) {
       pcm = body;
       pcm_len = chunk_len;
@@ -137,17 +141,14 @@ std::vector<float> resample_sinc(const std::vector<float>& in, int sr_in,
     const double center = j / ratio;
     const long lo = std::max(0L, long(std::ceil(center - support)));
     const long hi = std::min(long(in.size()) - 1, long(std::floor(center + support)));
-    double acc = 0.0, wsum = 0.0;
+    double acc = 0.0;
     for (long i = lo; i <= hi; ++i) {
       const double x = (i - center) * cutoff;
       double sinc = (std::abs(x) < 1e-9) ? 1.0 : std::sin(kPi * x) / (kPi * x);
       const double w = 0.5 * (1.0 + std::cos(kPi * (i - center) / support));
-      const double coef = sinc * w;
-      acc += in[size_t(i)] * coef;
-      wsum += coef;
+      acc += in[size_t(i)] * sinc * w;
     }
     out[j] = float(cutoff * acc);
-    (void)wsum;
   }
   return out;
 }

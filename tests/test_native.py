@@ -109,3 +109,49 @@ class TestBatch:
         with pytest.raises(RuntimeError, match="missing.wav"):
             native.decode_batch([str(good), str(tmp_path / "missing.wav")],
                                 fixed_len=4000)
+
+
+class TestReviewRegressions:
+    def test_extensible_wav_decodes(self, tmp_path):
+        """WAVE_FORMAT_EXTENSIBLE (fmt tag 0xFFFE) wrapping plain PCM16 —
+        the container pro-audio tools emit — must decode natively."""
+        import struct
+
+        from whisper_context_biasing_tpu.audio import native
+
+        if not native.available():
+            pytest.skip("no native lib")
+        sr, n = 16000, 1600
+        pcm = (np.sin(2 * np.pi * 440 * np.arange(n) / sr) * 20000).astype("<i2")
+        # 40-byte extensible fmt chunk: tag 0xFFFE, cbSize 22, PCM SubFormat
+        pcm_guid = (b"\x01\x00\x00\x00\x00\x00\x10\x00"
+                    b"\x80\x00\x00\xaa\x00\x38\x9b\x71")
+        fmt = struct.pack("<HHIIHHHHI", 0xFFFE, 1, sr, sr * 2, 2, 16,
+                          22, 16, 0x1) + pcm_guid
+        data = pcm.tobytes()
+        riff = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt \
+            + b"data" + struct.pack("<I", len(data)) + data
+        path = tmp_path / "ext.wav"
+        path.write_bytes(b"RIFF" + struct.pack("<I", len(riff)) + riff)
+        sig = native.decode_audio(str(path), sr)
+        assert len(sig) == n
+        np.testing.assert_allclose(sig, pcm.astype(np.float32) / 32768.0,
+                                   atol=1e-4)
+
+    def test_over_capacity_raises_and_load_audio_falls_back(self, tmp_path):
+        import wave as _wave
+
+        from whisper_context_biasing_tpu.audio import load_audio, native
+
+        if not native.available():
+            pytest.skip("no native lib")
+        path = str(tmp_path / "long.wav")
+        n = 16000 * 4
+        with _wave.open(path, "wb") as w:
+            w.setnchannels(1); w.setsampwidth(2); w.setframerate(16000)
+            w.writeframes(np.ones(n, np.int16).tobytes())
+        with pytest.raises(RuntimeError, match="capacity"):
+            native.decode_audio(path, 16000, max_len=16000)
+        # the io-level entry point falls back to the Python decoder
+        sig = load_audio(path, prefer_native=True)
+        assert len(sig) == n

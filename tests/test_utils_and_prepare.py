@@ -205,3 +205,31 @@ class TestMelOnDeviceTraining:
         finally:
             mk.log_mel_spectrogram_fused = orig
         assert np.isfinite(float(m["loss"]))
+
+
+class TestFiniteCheckBf16:
+    def test_bf16_nan_detected(self):
+        """Regression: numpy classifies ml_dtypes bfloat16 as kind 'V', so
+        np.issubdtype silently skipped the default compute dtype."""
+        import jax.numpy as jnp
+
+        from whisper_context_biasing_tpu.utils.debug import finite_check
+
+        bad = {"x": jnp.asarray([1.0, float("nan")], jnp.bfloat16)}
+        with pytest.raises(FloatingPointError, match="x"):
+            finite_check(bad, "params")
+        finite_check({"x": jnp.asarray([1.0, 2.0], jnp.bfloat16)}, "params")
+
+
+class TestLoadPretrainedOverrides:
+    def test_overrides_apply_to_checkpoint_paths(self, tmp_path):
+        from whisper_context_biasing_tpu.models import (
+            init_params, load_pretrained, save_safetensors, tiny_test_config,
+        )
+
+        cfg = tiny_test_config()
+        save_safetensors(init_params(cfg, 0), cfg, str(tmp_path))
+        _, loaded = load_pretrained(str(tmp_path / "model.safetensors"),
+                                    dtype="float32", quantize_cross_kv=True)
+        assert loaded.dtype == "float32"
+        assert loaded.quantize_cross_kv is True

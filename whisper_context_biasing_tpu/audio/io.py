@@ -64,7 +64,13 @@ def load_audio(path: str, sample_rate: int = 16000, prefer_native: bool = False)
         from . import native
 
         if native.available():
-            return native.decode_audio(path, sample_rate)
+            try:
+                return native.decode_audio(path, sample_rate)
+            except RuntimeError as e:
+                # e.g. WAVE_FORMAT_EXTENSIBLE or over-capacity audio: the
+                # stdlib path below handles both — never be strictly worse
+                # than the fallback we claim to accelerate
+                print(f"[native] decode failed ({e}); using Python decoder")
     if ext in EXTRA_DECODERS:
         data, sr = EXTRA_DECODERS[ext](path)
     elif ext in (".wav", ".wave"):

@@ -132,21 +132,42 @@ def decode_mp3(path: str) -> tuple[np.ndarray, int]:
         if rc != _MPG123_OK:
             raise RuntimeError(f"mpg123_getformat failed: rc={rc}")
 
-        chunks: list[bytes] = []
+        # segments split on MPG123_NEW_FORMAT: a stitched stream (44.1 kHz
+        # intro + 48 kHz body) must not be interpreted at one rate — each
+        # segment is converted with ITS format and resampled to the first
+        segments: list[tuple[list[bytes], int, int]] = [([], int(rate.value),
+                                                         int(channels.value))]
         buf = ctypes.create_string_buffer(1 << 18)
         done = ctypes.c_size_t(0)
         while True:
             rc = lib.mpg123_read(h, buf, len(buf), ctypes.byref(done))
+            if rc == _MPG123_NEW_FORMAT:
+                lib.mpg123_getformat(h, ctypes.byref(rate),
+                                     ctypes.byref(channels), ctypes.byref(enc))
+                segments.append(([], int(rate.value), int(channels.value)))
             if done.value:
-                chunks.append(buf.raw[: done.value])
+                segments[-1][0].append(buf.raw[: done.value])
             if rc == _MPG123_DONE:
                 break
             if rc not in (_MPG123_OK, _MPG123_NEW_FORMAT):
                 raise RuntimeError(f"mpg123_read failed: rc={rc}")
-        data = np.frombuffer(b"".join(chunks), dtype=np.float32)
-        if channels.value > 1:
-            data = data.reshape(-1, channels.value).T
-        return data, int(rate.value)
+
+        base_rate = segments[0][1]
+        parts: list[np.ndarray] = []
+        for raw, seg_rate, seg_ch in segments:
+            if not raw:
+                continue
+            seg = np.frombuffer(b"".join(raw), dtype=np.float32)
+            if seg_ch > 1:
+                seg = seg.reshape(-1, seg_ch).mean(axis=1)  # downmix per segment
+            if seg_rate != base_rate:
+                from .io import resample
+
+                seg = resample(seg, seg_rate, base_rate)
+            parts.append(seg.astype(np.float32))
+        if not parts:
+            return np.zeros(0, np.float32), base_rate
+        return np.concatenate(parts), base_rate
     finally:
         lib.mpg123_close(h)
         lib.mpg123_delete(h)

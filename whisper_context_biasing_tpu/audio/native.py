@@ -43,27 +43,38 @@ def load_library():
             return _lib
         if _build_failed:
             return None
-        if not os.path.isfile(_SO_PATH) and not _build():
+        src = os.path.join(os.path.dirname(_SO_PATH), "wcb_native.cpp")
+        stale = (os.path.isfile(_SO_PATH) and os.path.isfile(src)
+                 and os.path.getmtime(src) > os.path.getmtime(_SO_PATH))
+        if not os.path.isfile(_SO_PATH) or stale:
+            if not _build() and not os.path.isfile(_SO_PATH):
+                _build_failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(_SO_PATH)
+            lib.wcb_decode_audio.restype = ctypes.c_long
+            lib.wcb_decode_audio.argtypes = [
+                ctypes.c_char_p, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_float), ctypes.c_long,
+                ctypes.POINTER(ctypes.c_long),
+            ]
+            lib.wcb_decode_batch.restype = ctypes.c_long
+            lib.wcb_decode_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p), ctypes.c_long, ctypes.c_int,
+                ctypes.c_long, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+            ]
+            lib.wcb_resample.restype = ctypes.c_long
+            lib.wcb_resample.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_long, ctypes.c_int,
+                ctypes.c_int, ctypes.POINTER(ctypes.c_float), ctypes.c_long,
+            ]
+            lib.wcb_last_error.restype = ctypes.c_char_p
+        except (OSError, AttributeError) as e:
+            # truncated/incompatible binary: degrade to the Python decoders
+            # instead of raising through available()
+            print(f"[native] unusable {_SO_PATH}: {e}; using Python decoders")
             _build_failed = True
             return None
-        lib = ctypes.CDLL(_SO_PATH)
-        lib.wcb_decode_audio.restype = ctypes.c_long
-        lib.wcb_decode_audio.argtypes = [
-            ctypes.c_char_p, ctypes.c_int,
-            ctypes.POINTER(ctypes.c_float), ctypes.c_long,
-            ctypes.POINTER(ctypes.c_long),
-        ]
-        lib.wcb_decode_batch.restype = ctypes.c_long
-        lib.wcb_decode_batch.argtypes = [
-            ctypes.POINTER(ctypes.c_char_p), ctypes.c_long, ctypes.c_int,
-            ctypes.c_long, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
-        ]
-        lib.wcb_resample.restype = ctypes.c_long
-        lib.wcb_resample.argtypes = [
-            ctypes.POINTER(ctypes.c_float), ctypes.c_long, ctypes.c_int,
-            ctypes.c_int, ctypes.POINTER(ctypes.c_float), ctypes.c_long,
-        ]
-        lib.wcb_last_error.restype = ctypes.c_char_p
         _lib = lib
         return _lib
 
@@ -87,6 +98,12 @@ def decode_audio(path: str, sample_rate: int = 16000, max_len: int = 30 * 16000 
     )
     if n < 0:
         raise RuntimeError(lib.wcb_last_error().decode())
+    if actual.value > max_len:
+        # longer than the native buffer: let the caller fall back to the
+        # Python decoder rather than silently truncating
+        raise RuntimeError(
+            f"audio exceeds native decode capacity ({actual.value} > {max_len} "
+            f"samples)")
     return buf[:n].copy()
 
 

@@ -134,8 +134,10 @@ def alignment_matrix(
         h = h + _proj(ca, blk["ca"]["wo"], blk["ca"]["bo"])
 
         m = layer_norm(h, blk["mlp_ln"]["scale"], blk["mlp_ln"]["bias"])
+        # same gelu variant as the serving forward pass: the alignment must
+        # be a teacher-forced pass of the SAME network that decoded
         h = h + _mlp(m, blk["mlp"]["w1"], blk["mlp"]["b1"],
-                     blk["mlp"]["w2"], blk["mlp"]["b2"])
+                     blk["mlp"]["w2"], blk["mlp"]["b2"], cfg.gelu_approx)
 
         # alignment contribution: standardize each (head, frame) column over
         # valid token rows, median-filter over frames, mask-sum over heads

@@ -67,6 +67,11 @@ def config_from_state_dict(sd: dict) -> WhisperConfig:
         n_mels=n_mels, d_model=d, n_heads=max(1, d // head_dim),
         n_audio_layers=n_audio_layers, n_text_layers=n_text_layers,
         n_vocab=vocab, multilingual=vocab != 51864,
+        # context windows come from the positional tables, not defaults —
+        # a non-standard fine-tune (e.g. longer decoder context) would
+        # otherwise be silently truncated at generation time
+        n_audio_ctx=sd["encoder.embed_positions.weight"].shape[0],
+        n_text_ctx=sd["decoder.embed_positions.weight"].shape[0],
     )
 
 
@@ -270,9 +275,15 @@ def load_checkpoint_or_safetensors(path: str, cfg: WhisperConfig | None = None):
 
 def load_pretrained(name_or_path: str, **overrides) -> tuple[Params, WhisperConfig]:
     """Entry point: a model name resolves to a config with random init unless
-    a local checkpoint path is given (offline-first; no hub download)."""
+    a local checkpoint path is given (offline-first; no hub download).
+    ``overrides`` (dtype, kernel flags, ...) apply in both branches."""
     if os.path.exists(name_or_path):
-        return load_safetensors(name_or_path)
+        params, cfg = load_safetensors(name_or_path)
+        if overrides:
+            from dataclasses import replace
+
+            cfg = replace(cfg, **overrides)
+        return params, cfg
     from .whisper import init_params
 
     cfg = get_config(name_or_path.split("/")[-1].replace("whisper-", ""), **overrides)

@@ -17,7 +17,14 @@ def finite_check(tree: Any, name: str = "pytree") -> None:
 
     def visit(path, leaf):
         arr = np.asarray(leaf)
-        if np.issubdtype(arr.dtype, np.floating) and not np.isfinite(arr).all():
+        # jnp.issubdtype covers ml_dtypes floats too: numpy classifies
+        # bfloat16 as kind 'V', so np.issubdtype would silently skip the
+        # default compute dtype entirely
+        if not jnp.issubdtype(arr.dtype, jnp.floating):
+            return
+        if arr.dtype == jnp.bfloat16:
+            arr = arr.astype(np.float32)
+        if not np.isfinite(arr).all():
             bad.append(jax.tree_util.keystr(path))
 
     jax.tree_util.tree_map_with_path(visit, tree)
