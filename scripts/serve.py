@@ -401,14 +401,15 @@ class Engine:
             return rec
 
     def stream_feed(self, sid, audio):
-        st, lock, _ = self._stream(sid)
+        self._reap_streams()  # abandoned sessions die even if nobody
+        st, lock, _ = self._stream(sid)  # creates new streams
         with lock:
             n_words = len(st.words)
             segs = st.feed(audio)
             out = {"segments": [{"start": round(a, 3),
                                  "end": None if e is None else round(e, 3),
                                  "text": t.strip()} for a, e, t in segs],
-                   "buffered_seconds": round(len(st._buffer) / 16000, 2)}
+                   "buffered_seconds": round(st.buffered_samples / 16000, 2)}
             if st.word_timestamps:
                 out["words"] = [{"word": w.word.strip(), "start": w.start,
                                  "end": w.end} for w in st.words[n_words:]]
@@ -543,13 +544,29 @@ def _validate_opt(engine, opt) -> str | None:
     """Pre-batch request validation (language code, task name)."""
     lang = opt.get("language")
     tok = engine.tokenizer
-    if lang and lang != "auto" and tok.multilingual \
-            and tok.convert_tokens_to_ids(f"<|{lang}|>") is None:
-        return f"unknown language code: {lang}"
+    if lang and lang != "auto" and tok.multilingual:
+        from whisper_context_biasing_tpu.tokenizer.whisper_tokenizer import (
+            LANGUAGES,
+        )
+
+        if lang not in LANGUAGES[: tok.num_languages]:
+            return f"unknown language code: {lang}"
     task = opt.get("task")
     if task and task not in ("transcribe", "translate"):
         return f"unknown task: {task}"
     return None
+
+
+def _parse_opt_headers(headers) -> dict:
+    """Shared option-header parsing for /transcribe and /stream."""
+    opt = {}
+    if headers.get("X-Language"):
+        opt["language"] = headers["X-Language"].strip()
+    if headers.get("X-Task"):
+        opt["task"] = headers["X-Task"].strip()
+    if (headers.get("X-Word-Timestamps") or "").strip() in ("1", "true", "yes"):
+        opt["words"] = True
+    return opt
 
 
 def make_handler(engine: Engine):
@@ -586,14 +603,7 @@ def make_handler(engine: Engine):
                 ctx = self.headers.get("X-Context")
                 words = self.headers.get("X-Bias-Words")
                 words = [w for w in words.split(",")] if words else None
-                opt = {}
-                if self.headers.get("X-Language"):
-                    opt["language"] = self.headers["X-Language"].strip()
-                if self.headers.get("X-Task"):
-                    opt["task"] = self.headers["X-Task"].strip()
-                if (self.headers.get("X-Word-Timestamps") or "").strip() \
-                        in ("1", "true", "yes"):
-                    opt["words"] = True
+                opt = _parse_opt_headers(self.headers)
                 # reject bad options HERE: a ValueError inside the worker
                 # would fail every request sharing the micro-batch
                 err = _validate_opt(engine, opt)
@@ -615,14 +625,7 @@ def make_handler(engine: Engine):
                 parts = [p for p in self.path.split("/") if p]
                 body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
                 if parts == ["stream"]:  # create session
-                    opt = {}
-                    if self.headers.get("X-Language"):
-                        opt["language"] = self.headers["X-Language"].strip()
-                    if self.headers.get("X-Task"):
-                        opt["task"] = self.headers["X-Task"].strip()
-                    if (self.headers.get("X-Word-Timestamps") or "").strip() \
-                            in ("1", "true", "yes"):
-                        opt["words"] = True
+                    opt = _parse_opt_headers(self.headers)
                     err = _validate_opt(engine, opt)
                     if err:
                         self._json(400, {"error": err})

@@ -97,14 +97,15 @@ def parse_args():
     return p.parse_args()
 
 
-def build_starts(args, tokenizer, params, cfg, mel):
+def build_starts(args, tokenizer, params, cfg, n, mel_thunk):
     """Per-file decode start sequences from --language/--task via
-    decode.resolve_start_tokens. Returns (starts | None, langs)."""
+    decode.resolve_start_tokens. ``mel_thunk`` computes the detection mel
+    lazily — the common no-language invocation never pays for it.
+    Returns (starts | None, langs)."""
     from whisper_context_biasing_tpu.decode import (
         detect_language, resolve_start_tokens,
     )
 
-    n = mel.shape[0]
     if not tokenizer.multilingual:
         if args.language or args.task == "translate":
             print("warning: --language/--task need a multilingual model; "
@@ -112,7 +113,7 @@ def build_starts(args, tokenizer, params, cfg, mel):
         return None, [None] * n
 
     def detect():
-        detected = detect_language(params, cfg, tokenizer, mel)
+        detected = detect_language(params, cfg, tokenizer, mel_thunk())
         print("detected: " + ", ".join(f"{l} ({p:.2f})" for l, p in detected),
               file=sys.stderr)
         return detected
@@ -122,6 +123,18 @@ def build_starts(args, tokenizer, params, cfg, mel):
                                     task=args.task, detect=detect)
     except ValueError as e:
         raise SystemExit(str(e))
+
+
+def parse_alignment_heads(spec):
+    if not spec:
+        return None
+    try:
+        return [tuple(int(x) for x in pair.split(":"))
+                for pair in spec.split(",")]
+    except ValueError:
+        raise SystemExit(
+            f"--alignment_heads must be comma-separated layer:head pairs, "
+            f"got {spec!r}")
 
 
 def emit(args, fmt, path, text, segments, words, language=None):
@@ -235,9 +248,10 @@ def main():
                         for w in args.bias_words]
             spans = coll.pad_bias_spans([word_ids] * len(raw))
 
-        # language detection reads the first 30 s window of each file
-        first = np.stack([pad_or_trim(a) for a in raw])
-        starts, langs = build_starts(args, tokenizer, params, cfg, make_mel(first))
+        # language detection (lazy) reads the first 30 s window of each file
+        starts, langs = build_starts(
+            args, tokenizer, params, cfg, len(raw),
+            lambda: make_mel(np.stack([pad_or_trim(a) for a in raw])))
 
         lp_thresh = args.logprob_threshold
         if lp_thresh is not None and lp_thresh != lp_thresh:  # nan disables
@@ -245,10 +259,7 @@ def main():
         ns_thresh = args.no_speech_threshold
         if ns_thresh is not None and ns_thresh != ns_thresh:  # nan disables
             ns_thresh = None
-        heads = None
-        if args.alignment_heads:
-            heads = [tuple(int(x) for x in pair.split(":"))
-                     for pair in args.alignment_heads.split(",")]
+        heads = parse_alignment_heads(args.alignment_heads)
         out = transcribe_long_batch(
             params, cfg, tokenizer, raw, mel_fn=make_mel,
             max_new=args.max_tokens, contexts=contexts,
@@ -311,7 +322,8 @@ def main():
                for w in args.bias_words]
         spans = coll.pad_bias_spans([raw] * len(args.audio))
 
-    starts, langs = build_starts(args, tokenizer, params, cfg, mel)
+    starts, langs = build_starts(args, tokenizer, params, cfg,
+                                 mel.shape[0], lambda: mel)
 
     kwargs = dict(contexts=contexts, max_new=args.max_tokens,
                   bias_spans=spans, bias_boost=args.bias_boost)
@@ -331,10 +343,7 @@ def main():
     if want_words:
         from whisper_context_biasing_tpu.decode import find_word_timestamps
 
-        heads = None
-        if args.alignment_heads:
-            heads = [tuple(int(x) for x in pair.split(":"))
-                     for pair in args.alignment_heads.split(",")]
+        heads = parse_alignment_heads(args.alignment_heads)
         nf = [n // 320 for n in true_lengths]  # content frames per clip
         word_timings = find_word_timestamps(
             params, cfg, tokenizer, mel, hyps,

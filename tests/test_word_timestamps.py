@@ -219,3 +219,32 @@ class TestMergePunctuations:
         words, word_tokens = split_words(tok, ids)
         assert "".join(words) == ' he said "yes" loudly'
         assert [t for wt in word_tokens for t in wt] == ids
+
+
+class TestDTWTieBreaking:
+    def test_optimal_on_tie_heavy_matrix(self):
+        """Regression: the openai-style traceback fell through to 'left' on
+        ties even when strictly worse — this matrix has optimum 2.0 but the
+        old traceback returned a 3.0 path."""
+        cost = np.array([[0, 1, 1, 1, 1],
+                         [1, 1, 0, 0, 1],
+                         [0, 0, 1, 0, 1],
+                         [0, 0, 1, 1, 0],
+                         [1, 1, 1, 0, 1]], float)
+        ti, fi = dtw_path(cost)
+        assert sum(cost[a, b] for a, b in zip(ti, fi)) == 2.0
+
+    def test_fuzz_paths_are_optimal(self):
+        rng = np.random.default_rng(7)
+        for _ in range(200):
+            cost = rng.integers(0, 2, (5, 6)).astype(float)  # tie-heavy
+            n, m = cost.shape
+            ref = np.full((n + 1, m + 1), np.inf)
+            ref[0, 0] = 0.0
+            for i in range(1, n + 1):
+                for j in range(1, m + 1):
+                    ref[i, j] = cost[i - 1, j - 1] + min(
+                        ref[i - 1, j - 1], ref[i - 1, j], ref[i, j - 1])
+            ti, fi = dtw_path(cost)
+            got = sum(cost[a, b] for a, b in zip(ti, fi))
+            assert np.isclose(got, ref[n, m]), (cost, got, ref[n, m])

@@ -74,9 +74,13 @@ def resolve_start_tokens(
         return None, [None] * n
     task_id = tokenizer.translate if task == "translate" else tokenizer.transcribe
     if language and language != "auto":
-        lid = tokenizer.convert_tokens_to_ids(f"<|{language}|>")
-        if lid is None:
+        from ..tokenizer.whisper_tokenizer import LANGUAGES
+
+        # validate against the language list, not the special-token map —
+        # every special ("transcribe", "0.00", ...) has a <|...|> token
+        if language not in LANGUAGES[: tokenizer.num_languages]:
             raise ValueError(f"unknown language code: {language}")
+        lid = tokenizer.convert_tokens_to_ids(f"<|{language}|>")
         return [[tokenizer.sot, lid, task_id]] * n, [language] * n
     if detect is None:
         raise ValueError(

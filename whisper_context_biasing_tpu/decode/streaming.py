@@ -129,6 +129,8 @@ class StreamingTranscriber:
         self.alignment_heads = alignment_heads
         self._max_new = max_new
         self._buffer = np.zeros(0, np.float32)
+        self._chunks: list[np.ndarray] = []   # fed, not yet materialized
+        self._pending = 0                     # samples across _chunks
         self._consumed = 0          # absolute samples already seeked past
         self._started = False       # zero-length streams still get 1 window
         self._history: list[int] = []
@@ -231,11 +233,16 @@ class StreamingTranscriber:
         stream that never had audio still decodes one silent window."""
         out = []
         while True:
-            avail = len(self._buffer)
+            avail = len(self._buffer) + self._pending
             if not flush and avail < self.window_samples:
                 break
             if flush and avail == 0 and self._started:
                 break
+            if self._chunks:
+                # one concatenate per consumed window, not per fed chunk
+                # (per-chunk np.concatenate is O(n^2) for realtime feeds)
+                self._buffer = np.concatenate([self._buffer] + self._chunks)
+                self._chunks, self._pending = [], 0
             chunk = self._buffer[: self.window_samples]
             window_audio_len = len(chunk)
             if len(chunk) < self.window_samples:
@@ -269,7 +276,8 @@ class StreamingTranscriber:
         if self._finished:
             raise RuntimeError("stream already finished")
         samples = np.asarray(samples, np.float32).reshape(-1)
-        self._buffer = np.concatenate([self._buffer, samples])
+        self._chunks.append(samples)
+        self._pending += len(samples)
         return self._drain(flush=False)
 
     def finish(self) -> list[tuple[float, float | None, str]]:
@@ -279,6 +287,10 @@ class StreamingTranscriber:
             return []
         self._finished = True
         return self._drain(flush=True)
+
+    @property
+    def buffered_samples(self) -> int:
+        return len(self._buffer) + self._pending
 
     @property
     def text(self) -> str:

@@ -18,13 +18,24 @@ capability. Frame rate: one encoder state per 0.02 s (two 10 ms mel hops).
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 SECONDS_PER_FRAME = 0.02
 SAMPLES_PER_FRAME = 320  # 16 kHz * 0.02 s
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _encode(params, cfg, mel):
+    # compiled encoder for callers without precomputed states (long-form /
+    # streaming alignment): eager op-by-op dispatch is far slower
+    from ..models.whisper import encode_audio
+
+    return encode_audio(params, cfg, mel)
 
 
 @dataclass
@@ -56,22 +67,25 @@ def dtw_path(cost: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         shifted = np.concatenate(([0.0], s[:-1]))
         best = np.minimum.accumulate(a - shifted)
         table[i, 1:] = s + best
-    # traceback replicating the standard tie order: diagonal only when
-    # strictly smallest, then up, else left
+    # traceback: ALWAYS step to a minimum-cost predecessor (diagonal
+    # preferred on ties, then up). The openai-style if/elif/else falls
+    # through to 'left' whenever nothing is strictly smallest, which picks
+    # a provably worse predecessor on exact ties — systematic in plateau
+    # regions (silence/padding frames with identical columns)
     i, j = n, m
     text_idx, time_idx = [], []
     while i > 1 or j > 1:
         text_idx.append(i - 1)
         time_idx.append(j - 1)
-        c_diag = table[i - 1, j - 1]
-        c_up = table[i - 1, j]
-        c_left = table[i, j - 1]
-        if c_diag < c_up and c_diag < c_left:
+        moves = ((table[i - 1, j - 1], 0), (table[i - 1, j], 1),
+                 (table[i, j - 1], 2))
+        _, pick = min(moves, key=lambda t: (t[0], t[1]))
+        if pick == 0:
             i, j = i - 1, j - 1
-        elif c_up < c_diag and c_up < c_left:
-            i = i - 1
+        elif pick == 1:
+            i -= 1
         else:
-            j = j - 1
+            j -= 1
     text_idx.append(0)
     time_idx.append(0)
     return np.asarray(text_idx[::-1]), np.asarray(time_idx[::-1])
@@ -177,7 +191,6 @@ def find_word_timestamps(
         default_alignment_mask,
         heads_to_mask,
     )
-    from ..models.whisper import encode_audio
 
     b = mel.shape[0]
     if starts is None:
@@ -199,7 +212,7 @@ def find_word_timestamps(
         toks[i, : len(s)] = s
         tok_mask[i, : len(s)] = 1.0
 
-    enc = enc_out if enc_out is not None else encode_audio(params, cfg, jnp.asarray(mel))
+    enc = enc_out if enc_out is not None else _encode(params, cfg, jnp.asarray(mel))
     total_frames = enc.shape[1]
     if num_frames is None:
         frames = [total_frames] * b
