@@ -152,3 +152,27 @@ class TestLanguageDetection:
                                  jnp.asarray([[tok.sot, de, tok.transcribe]]),
                                  enc_out=enc)
         assert float(jnp.max(jnp.abs(lg_fr[:, -1] - lg_de[:, -1]))) > 1e-4
+
+
+@pytest.mark.slow
+class TestLanguageCodeValidation:
+    def test_special_token_names_rejected(self, setup):
+        """Regression: any special ("transcribe", "0.00") has a <|...|>
+        token, so convert_tokens_to_ids-based validation accepted them as
+        language codes and forced non-language tokens into the start."""
+        from whisper_context_biasing_tpu.decode import resolve_start_tokens
+
+        tok, _, _ = setup
+        for bogus in ("transcribe", "0.00", "startofprev", "zz"):
+            with pytest.raises(ValueError, match="unknown language"):
+                resolve_start_tokens(tok, 1, language=bogus)
+
+    def test_real_codes_accepted(self, setup):
+        from whisper_context_biasing_tpu.decode import resolve_start_tokens
+
+        tok, _, _ = setup
+        starts, langs = resolve_start_tokens(tok, 2, language="fr",
+                                             task="translate")
+        assert langs == ["fr", "fr"]
+        assert starts[0] == [tok.sot, tok.convert_tokens_to_ids("<|fr|>"),
+                             tok.translate]
