@@ -137,11 +137,16 @@ class Engine:
         import jax
 
         self.mesh = None
-        n_dev = len(jax.devices())
-        if n_dev > 1 or args.model_parallelism > 1:
+        # auto-mesh over devices of the effective platform only (same rule
+        # as Pipeline: a CPU-pinned session on a TPU host must not shard
+        # weights onto the TPU mesh)
+        dev = jax.config.jax_default_device or jax.devices()[0]
+        platform_devices = jax.devices(getattr(dev, "platform", None))
+        if len(platform_devices) > 1 or args.model_parallelism > 1:
             from whisper_context_biasing_tpu.parallel import make_mesh, shard_params
 
-            self.mesh = make_mesh(model_parallelism=args.model_parallelism)
+            self.mesh = make_mesh(devices=platform_devices,
+                                  model_parallelism=args.model_parallelism)
             self.params = shard_params(self.params, self.mesh)
             print(f"mesh: {dict(self.mesh.shape)}", file=sys.stderr)
 
