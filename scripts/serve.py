@@ -17,7 +17,7 @@ POST /transcribe accepts a WAV or MP3 body; optional headers:
     X-Bias-Words:      comma-separated bias words (per-request shallow fusion)
     X-Language:        language code or "auto" (multilingual models)
     X-Task:            "translate" for speech -> English (multilingual models)
-    X-Word-Timestamps: "1" adds per-word start/end times (short-form requests)
+    X-Word-Timestamps: "1" adds per-word start/end times (any length)
 
 Streaming (incremental) sessions — decode/streaming.py:
     POST /stream            -> {"session": id}   (same option headers)
