@@ -132,10 +132,16 @@ def run_train_bench():
     import subprocess
 
     try:
+        env = dict(os.environ)
+        for k in ("BENCH_MODEL", "BENCH_BATCH", "BENCH_ITERS", "BENCH_TOKENS",
+                  "BENCH_SECONDS"):
+            # decode-bench knobs have different meanings/defaults in the
+            # train benchmark; keep its documented reference recipe
+            env.pop(k, None)
         r = subprocess.run(
             [sys.executable,
              os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_train.py")],
-            capture_output=True, text=True, timeout=1800,
+            capture_output=True, text=True, timeout=1800, env=env,
         )
         for ln in r.stdout.splitlines():
             if ln.startswith("{"):

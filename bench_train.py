@@ -51,7 +51,7 @@ def main():
     params = init_params(cfg, 0)
     rng = np.random.default_rng(0)
 
-    def mk(a, dtype=np.float32):
+    def mk(a):
         return jnp.asarray(np.stack([a] * ACCUM)) if ACCUM > 1 else jnp.asarray(a)
 
     mel = (rng.standard_normal((BATCH, cfg.n_mels, 3000)) * 0.4).astype(np.float32)

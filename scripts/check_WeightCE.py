@@ -12,7 +12,14 @@ import numpy as np
 
 sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
 
-import jax.numpy as jnp
+import jax
+
+# the out-of-tree TPU plugin wins the backend election even under
+# JAX_PLATFORMS=cpu (see tests/conftest.py); this host-side harness must
+# pin CPU or its tiny checks dispatch through the tunnel and crawl
+jax.config.update("jax_default_device", jax.devices("cpu")[0])
+
+import jax.numpy as jnp  # noqa: E402
 
 from whisper_context_biasing_tpu.tokenizer import load_tokenizer
 from whisper_context_biasing_tpu.train import bias_span_weights, weighted_ce_loss

@@ -70,8 +70,12 @@ def main():
         n = len(before)
         assert dec[: n - 1] == before[:-1], "decoder_input_ids != labels[:-1]"
         sot_at = before.index(tok.sot)
-        assert all(x == -100 for x in after[: sot_at - 1]), "prompt not masked"
-        assert after[sot_at - 1 : n - 1] == before[sot_at:], "transcript corrupted"
+        # sot at position 0 (unprompted) has no prompt region: a raw
+        # `after[: sot_at - 1]` would wrap to after[:-1] and fail spuriously
+        prompt_end = max(sot_at - 1, 0)
+        assert all(x == -100 for x in after[:prompt_end]), "prompt not masked"
+        assert after[prompt_end : n - 1] == before[prompt_end + 1:], \
+            "transcript corrupted"
         assert all(x == -100 for x in after[n - 1 :]), "padding not masked"
     print("\nOK: shift/mask contract holds for all samples.")
 

@@ -27,7 +27,11 @@ def parse_args():
     p.add_argument("--bias_list", action="store_true")
     p.add_argument("--bias_nums", type=int, default=0)
     p.add_argument("--bias_desc", action="store_true")
-    p.add_argument("--random", action="store_true", default=True)
+    p.add_argument("--random", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="5%% train-phase prompt perturbation (reference "
+                        "check forces it on, check_data_loader.py:48; "
+                        "--no-random disables)")
     p.add_argument("--vocab", default=None)
     p.add_argument("--merges", default=None)
     return p.parse_args()
@@ -83,7 +87,12 @@ def main():
                 in_pool = sum(1 for w in words if w in ds.bias_pool)
                 print(f"bias section: {len(words)} words, {own}/{len(bias_words)} own bias "
                       f"words present, {100 * in_pool / max(1, len(words)):.0f}% from bias pool")
-                assert own == len([w for w in bias_words if w]), "own bias word missing"
+                # the dataset truncates to bias_nums: own words beyond the
+                # cap are legitimately absent
+                expected = min(len([w for w in bias_words if w]),
+                               ds.bias_nums or 0) if ds.bias_nums else \
+                    len([w for w in bias_words if w])
+                assert own >= expected, "own bias word missing"
     print("\nOK: prompt construction invariants hold.")
 
 

@@ -56,19 +56,29 @@ def make_llm(model):
 
 def main():
     args = parse_args()
+    if not os.path.isdir(args.source):
+        raise SystemExit(f"--source directory not found: {args.source}")
     rows = build_manifest(args.source)
     print(f"manifest: {len(rows)} rows")
+    if not rows:
+        raise SystemExit(f"no transcript rows found under {args.source}")
     if args.n_train + args.n_dev <= len(rows):
         train, dev = split_train_dev(rows, args.n_train, args.n_dev, args.seed)
     else:
-        cut = int(len(rows) * 0.85)
-        train, dev = rows[:cut], rows[cut:]
+        # seeded shuffle so the fallback split is representative and
+        # reproducible (a head/tail cut of walk order groups by prefix)
+        import random as _random
+
+        shuffled = list(rows)
+        _random.Random(args.seed).shuffle(shuffled)
+        cut = int(len(shuffled) * 0.85)
+        train, dev = shuffled[:cut], shuffled[cut:]
         print(f"requested split too large; using {len(train)}/{len(dev)}")
 
-    llm = make_llm(args.llm_model) if args.labeler == "llm" else None
-    lexicon = lexicon_from_labeled(args.lexicon) if args.labeler == "lexicon" else None
     if args.labeler == "lexicon" and not args.lexicon:
         raise SystemExit("--labeler lexicon requires --lexicon")
+    llm = make_llm(args.llm_model) if args.labeler == "llm" else None
+    lexicon = lexicon_from_labeled(args.lexicon) if args.labeler == "lexicon" else None
 
     splits = {"train": train, "dev": dev}
     if args.test_source:
