@@ -66,29 +66,34 @@ def parse_args():
     p.add_argument("--bias_boost", type=float, default=0.0)
     p.add_argument("--num_beams", type=int, default=1)
     p.add_argument("--model_parallelism", type=int, default=1,
-                   help="tensor-parallel degree; with >1 device a "
-                        "(data, model) mesh shards eval decode batches over "
-                        "'data' and the weights over 'model'")
+                   help="tensor-parallel degree over a (data, model) mesh "
+                        "(decode batches sharded over 'data', weights over "
+                        "'model'); 1 (default) = pure data parallel over "
+                        "all visible same-platform devices, 0 = single "
+                        "device")
     return p.parse_args()
 
 
 def load_model(args, model_cfg, path):
+    from whisper_context_biasing_tpu.utils import warn_missing_assets
+    warn_missing_assets(args.vocab, path, "evaluation")
     if path and os.path.isdir(path) and os.path.isfile(os.path.join(path, "params.npz")):
         params, _, _ = load_checkpoint(path)
         return params, model_cfg
     if path:
         return load_safetensors(path, model_cfg)
-    print("no model path: random init (offline environment)")
     return init_params(model_cfg, 0), model_cfg
 
 
 def run_eval(args, params, model_cfg, tokenizer, data_test, collator, bias_spans, model_name):
     refs_pred_file = args.refs_pred_file or os.path.join(args.output, "refs_and_pred.txt")
-    mesh = None
-    if args.model_parallelism > 1:
-        from whisper_context_biasing_tpu.parallel import make_mesh, shard_params
+    # Auto-mesh: pure dp over all same-platform devices by default,
+    # dp × tp when --model_parallelism > 1, single-device with 0.
+    from whisper_context_biasing_tpu.parallel import auto_mesh, shard_params
 
-        mesh = make_mesh(model_parallelism=args.model_parallelism)
+    mesh = auto_mesh(args.model_parallelism)
+    if mesh is not None:
+        print(f"mesh: data={mesh.shape['data']} x model={mesh.shape['model']}")
         params = shard_params(params, mesh)
     result = evaluate_wer(
         params, model_cfg, tokenizer, data_test, collator, args.batch, 224,

@@ -120,11 +120,12 @@ class Engine:
         self.cfg = get_config(args.model, dtype="bfloat16", flash_attention=True,
                               flash_block_q=1536, quantize_cross_kv=True,
                               fused_quant_cross=True, gelu_approx=True)
+        from whisper_context_biasing_tpu.utils import warn_missing_assets
+        warn_missing_assets(args.vocab, args.init_checkpoint, "serve")
         if args.init_checkpoint:
             self.params, self.cfg = load_checkpoint_or_safetensors(
                 args.init_checkpoint, self.cfg)
         else:
-            print("warning: random weights (no --init_checkpoint)", file=sys.stderr)
             self.params = init_params(self.cfg, 0)
         self.collator = SpeechSeq2SeqCollator(
             pad_token_id=self.tokenizer.pad_token_id,
@@ -133,20 +134,13 @@ class Engine:
         )
 
         # multi-chip serving: shard the weights once over a (data, model)
-        # mesh; decode batches are sharded per request in _run
-        import jax
+        # mesh; decode batches are sharded per request in _run. Shared
+        # semantics with Pipeline and the CLIs (parallel.mesh.auto_mesh):
+        # effective-platform devices only, pure dp by default, 0 opts out.
+        from whisper_context_biasing_tpu.parallel import auto_mesh, shard_params
 
-        self.mesh = None
-        # auto-mesh over devices of the effective platform only (same rule
-        # as Pipeline: a CPU-pinned session on a TPU host must not shard
-        # weights onto the TPU mesh)
-        dev = jax.config.jax_default_device or jax.devices()[0]
-        platform_devices = jax.devices(getattr(dev, "platform", None))
-        if len(platform_devices) > 1 or args.model_parallelism > 1:
-            from whisper_context_biasing_tpu.parallel import make_mesh, shard_params
-
-            self.mesh = make_mesh(devices=platform_devices,
-                                  model_parallelism=args.model_parallelism)
+        self.mesh = auto_mesh(args.model_parallelism)
+        if self.mesh is not None:
             self.params = shard_params(self.params, self.mesh)
             print(f"mesh: {dict(self.mesh.shape)}", file=sys.stderr)
 

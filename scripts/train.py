@@ -33,7 +33,7 @@ from whisper_context_biasing_tpu.train import (
     load_checkpoint,
     train_and_evaluate,
 )
-from whisper_context_biasing_tpu.parallel import make_mesh, shard_batch, shard_params
+from whisper_context_biasing_tpu.parallel import auto_mesh, shard_batch, shard_params
 
 DEFAULT_DATA_DIR = "data/medical-united-syn-med-test"
 DEFAULT_JSONL = "data/medical-united-syn-med-test-jsonl"
@@ -66,9 +66,13 @@ def parse_args():
     p.add_argument("--merges", type=str, default=None)
     p.add_argument("--init_checkpoint", type=str, default=None,
                    help="HF model.safetensors or native checkpoint-N dir")
-    p.add_argument("--model_parallelism", type=int, default=1)
+    p.add_argument("--model_parallelism", type=int, default=1,
+                   help="tensor-parallel degree over a (data, model) mesh; "
+                        "1 (default) = pure data parallel over all visible "
+                        "same-platform devices, 0 = single device")
     p.add_argument("--eval_steps", type=int, default=135)
     p.add_argument("--save_steps", type=int, default=135)
+    p.add_argument("--logging_steps", type=int, default=50)
     p.add_argument("--eval_batch", type=int, default=2)
     p.add_argument("--grad_accum", type=int, default=4)
     p.add_argument("--prompt_generation", action="store_true",
@@ -91,6 +95,8 @@ def parse_args():
 def main():
     args = parse_args()
     print(f"Arguments: {vars(args)}")
+    from whisper_context_biasing_tpu.utils import warn_missing_assets
+    warn_missing_assets(args.vocab, args.init_checkpoint, "train")
 
     tokenizer = load_tokenizer(args.vocab, args.merges,
                                multilingual=not args.model.endswith(".en"))
@@ -144,10 +150,13 @@ def main():
         print("no init checkpoint given: random init (offline environment)")
         params = init_params(model_cfg, args.seed)
 
+    # Auto-mesh: pure dp over all same-platform devices by default (the
+    # reference trains single-GPU; TPU-native default is every chip of the
+    # host), dp × tp when --model_parallelism > 1, single-device with 0.
     shard_fn = None
-    mesh = None
-    if args.model_parallelism > 1:
-        mesh = make_mesh(model_parallelism=args.model_parallelism)
+    mesh = auto_mesh(args.model_parallelism, batch_divisor=args.batch)
+    if mesh is not None:
+        print(f"mesh: data={mesh.shape['data']} x model={mesh.shape['model']}")
         params = shard_params(params, mesh)
         shard_fn = lambda b: shard_batch(  # noqa: E731
             b, mesh, extra_leading_axes=1 if args.grad_accum > 1 else 0
@@ -162,11 +171,14 @@ def main():
         num_train_epochs=args.epoch,
         eval_steps=args.eval_steps,
         save_steps=args.save_steps,
+        logging_steps=args.logging_steps,
         bias_weight=args.bias_weight,
         freeze_encoder=args.freeze_encoder,
         prompt_generation=args.prompt_generation,
         bias_boost=args.bias_boost,
         seed=args.seed,
+        hub_model_id=args.hub_model_id,
+        hub_token=args.hf_token,
     )
     print("Starting training...")
     params, log_history = train_and_evaluate(

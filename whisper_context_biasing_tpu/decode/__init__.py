@@ -8,6 +8,7 @@ from .bias_processor import (
     bias_score_adjust,
     init_bias_state,
     sanitize_bias_spans,
+    seed_bias_state_from_prefix,
 )
 from .greedy import GreedyResult, decode_batch, greedy_decode, pack_prefixes
 from .beam import BeamResult, beam_decode, beam_decode_batch
@@ -22,6 +23,7 @@ __all__ = [
     "bias_bonus",
     "bias_score_adjust",
     "sanitize_bias_spans",
+    "seed_bias_state_from_prefix",
     "advance_bias_state",
     "GreedyResult",
     "greedy_decode",

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.config import WhisperConfig
+from ..utils.compile_count import counted_jit
 from ..models.whisper import (
     decode_tokens,
     encode_audio,
@@ -33,6 +34,7 @@ from .bias_processor import (
     advance_bias_state,
     bias_score_adjust,
     init_bias_state,
+    seed_bias_state_from_prefix,
     sanitize_bias_spans,
 )
 
@@ -47,7 +49,7 @@ class BeamResult(NamedTuple):
 
 
 @functools.partial(
-    jax.jit,
+    counted_jit,
     static_argnames=("cfg", "num_beams", "max_new", "eot_id", "bias_boost",
                      "length_penalty", "span_pad_id", "early_stopping"),
 )
@@ -126,7 +128,13 @@ def beam_decode(
     spans_tiled = jnp.repeat(bias_spans, k, axis=0)  # (B*K, N, Ks)
     bias_state = init_bias_state(spans_tiled, span_pad_id)
     if use_bias:
-        bias_state = advance_bias_state(bias_state, spans_tiled, prefix_tiled[:, -1])
+        # warm-start from the context tail (see seed_bias_state_from_prefix).
+        # Seeded credit is deliberate: a span begun in the conditioning
+        # context nets boost*(len - seeded) when completed, and abandoning
+        # it retracts seeded*boost — preferring completion of a
+        # context-dangling bias word.
+        bias_state = seed_bias_state_from_prefix(
+            bias_state, spans_tiled, prefix_tiled, mask_tiled)
 
     def reorder(cache, state, pos, beam_idx):
         """Gather beam-major tensors after top-k selection."""

@@ -120,6 +120,33 @@ def bias_score_adjust(
     return relief - pending[:, None]
 
 
+def seed_bias_state_from_prefix(
+    state: BiasTrieState,
+    bias_spans: jax.Array,   # (B, N, K)
+    prefix_ids: jax.Array,   # (B, P) left-padded conditioning prefix
+    prefix_mask: jax.Array | None = None,  # (B, P) False = pad
+) -> BiasTrieState:
+    """Warm-start the trie from the conditioning context's tail.
+
+    Folds the last ``K`` (= max span length) real prefix tokens through
+    ``advance_bias_state`` so a context that ends mid-bias-word (e.g. a
+    description ending with the drug name the first transcript token
+    completes) gets the completion bonus from step 1 instead of starting
+    the trie cold. Pad positions are skipped (no restart/reset); the loop
+    is static (K and P are compile-time shapes)."""
+    p = prefix_ids.shape[1]
+    w = min(bias_spans.shape[-1], p)
+    for j in range(p - w, p):
+        new = advance_bias_state(state, bias_spans, prefix_ids[:, j])
+        if prefix_mask is not None:
+            real = prefix_mask[:, j, None]
+            new = BiasTrieState(
+                jnp.where(real, new.matched, state.matched), state.span_len
+            )
+        state = new
+    return state
+
+
 def advance_bias_state(
     state: BiasTrieState,
     bias_spans: jax.Array,  # (B, N, K)

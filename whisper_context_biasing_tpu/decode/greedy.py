@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.config import WhisperConfig
+from ..utils.compile_count import counted_jit
 from ..models.whisper import (
     decode_tokens,
     encode_audio,
@@ -34,6 +35,7 @@ from .bias_processor import (
     advance_bias_state,
     bias_bonus,
     init_bias_state,
+    seed_bias_state_from_prefix,
     sanitize_bias_spans,
 )
 
@@ -70,7 +72,7 @@ def pack_prefixes(
 
 
 @functools.partial(
-    jax.jit,
+    counted_jit,
     static_argnames=("cfg", "max_new", "eot_id", "bias_boost", "vocab_size",
                      "span_pad_id", "temperature", "suppress_tokens",
                      "no_speech_id"),
@@ -151,8 +153,10 @@ def greedy_decode(
         bias_spans = jnp.zeros((b, 1, 1), jnp.int32)
     bias_state = init_bias_state(bias_spans, span_pad_id)
     if use_bias:
-        # the prefix's last real token may already start a span
-        bias_state = advance_bias_state(bias_state, bias_spans, prefix_ids[:, -1])
+        # the conditioning context may end mid-bias-word: warm-start the
+        # trie from the prefix tail so the completion bonus fires on step 1
+        bias_state = seed_bias_state_from_prefix(
+            bias_state, bias_spans, prefix_ids, prefix_mask)
 
     if temperature > 0.0 and rng_key is None:
         rng_key = jax.random.PRNGKey(0)

@@ -1,6 +1,14 @@
 """Parallelism layer: device mesh + GSPMD partition specs."""
 
-from .mesh import DATA_AXIS, MODEL_AXIS, data_sharding, make_mesh, replicated
+from .mesh import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    auto_mesh,
+    data_sharding,
+    effective_platform_devices,
+    make_mesh,
+    replicated,
+)
 from .sharding import (
     param_specs,
     shard_batch,
@@ -13,6 +21,8 @@ from .multihost import host_local_batch_slice, initialize_multihost
 __all__ = [
     "DATA_AXIS",
     "MODEL_AXIS",
+    "auto_mesh",
+    "effective_platform_devices",
     "make_mesh",
     "replicated",
     "data_sharding",

@@ -113,21 +113,14 @@ class Pipeline:
             bias_span_pad_id=self.tokenizer.eot,
         )
 
-        self.mesh = None
-        import jax
+        # auto-mesh only over devices of the EFFECTIVE platform (a session
+        # pinned to CPU on a TPU host must not shard onto the TPU mesh);
+        # model_parallelism=0 disables. Shared semantics with the CLIs —
+        # see parallel.mesh.auto_mesh.
+        from .parallel import auto_mesh, shard_params
 
-        # auto-mesh only over devices of the EFFECTIVE platform: a session
-        # pinned to CPU (jax_default_device) on a TPU host must not shard
-        # its weights onto the TPU mesh. model_parallelism=0 disables.
-        dev = jax.config.jax_default_device or jax.devices()[0]
-        platform_devices = jax.devices(getattr(dev, "platform", None))
-        if model_parallelism and (
-            model_parallelism > 1 or len(platform_devices) > 1
-        ):
-            from .parallel import make_mesh, shard_params
-
-            self.mesh = make_mesh(devices=platform_devices,
-                                  model_parallelism=max(model_parallelism, 1))
+        self.mesh = auto_mesh(model_parallelism)
+        if self.mesh is not None:
             self.params = shard_params(self.params, self.mesh)
 
     # -- helpers ----------------------------------------------------------

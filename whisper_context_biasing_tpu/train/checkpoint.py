@@ -124,27 +124,35 @@ def latest_checkpoint(output_dir: str) -> str | None:
 def find_best_checkpoint(output_dir: str, metric_key: str = "eval_wer") -> str | None:
     """Checkpoint whose OWN eval metric is lowest.
 
-    Native checkpoints record the metric at save time as a top-level key and
-    are judged by it alone; scanning log_history (the reference's method,
-    scripts/evaluation.py:75-94) would attribute the historical best value
-    to EVERY later checkpoint — retention could then delete the checkpoint
-    that actually achieved it. The log_history scan remains only as a
-    fallback for reference-style checkpoints lacking the top-level key."""
-    best, best_val = None, float("inf")
+    Attribution rule: the save path stamps the latest eval value plus the
+    step it was measured at (``eval_step``). The stamp counts as the
+    checkpoint's own metric only when ``eval_step`` equals the checkpoint's
+    step — when save_steps is not a multiple of eval_steps the stamped value
+    was produced by an EARLIER step's params, and judging by it could retain
+    a checkpoint that never achieved it. Checkpoints with same-step stamps
+    are preferred outright; only if none exist does selection fall back to
+    stale stamps / scanning log_history (the reference's method,
+    scripts/evaluation.py:75-94, kept for reference-style checkpoints)."""
+    attributed, attributed_val = None, float("inf")
+    fallback, fallback_val = None, float("inf")
     for c in sorted(list_checkpoints(output_dir), key=checkpoint_step):
         state_file = os.path.join(c, "trainer_state.json")
         if not os.path.isfile(state_file):
             continue
         with open(state_file) as f:
             meta = json.load(f)
+        if metric_key in meta and meta.get("eval_step") == checkpoint_step(c):
+            if meta[metric_key] < attributed_val:
+                attributed_val, attributed = meta[metric_key], c
+            continue
         if metric_key in meta:
-            val = meta[metric_key]
+            val = meta[metric_key]  # stale or legacy (no eval_step) stamp
         else:
             val = min((e[metric_key] for e in meta.get("log_history", [])
                        if metric_key in e), default=None)
-        if val is not None and val < best_val:
-            best_val, best = val, c
-    return best
+        if val is not None and val < fallback_val:
+            fallback_val, fallback = val, c
+    return attributed if attributed is not None else fallback
 
 
 def load_checkpoint(path: str, opt_state_template: Any = None):

@@ -71,6 +71,11 @@ class TrainingConfig:
     mel_on_device: bool = False  # dataset must be built with return_audio=True
     use_wandb: bool = False
     wandb_project: str | None = None
+    # resume fallback: when no local checkpoint exists, pull a repo snapshot
+    # from the Hub first (reference scripts/train.py:169-189); offline the
+    # sync degrades to a no-op with a warning (utils/hub.py)
+    hub_model_id: str | None = None
+    hub_token: str | None = None
 
 
 def evaluate_wer(
@@ -125,10 +130,8 @@ def evaluate_wer(
     if collator.max_spans is None and collator.span_pad_multiple is None:
         collator.span_pad_multiple = 4
     decode_fn = beam_decode if num_beams > 1 else greedy_decode
-    try:
-        programs_before = decode_fn._cache_size()
-    except Exception:  # noqa: BLE001 — diagnostic only
-        programs_before = None
+    # public signature-count diagnostic (utils.compile_count.CountedJit)
+    programs_before = decode_fn.cache_size()
     loader = BatchLoader(dataset, collate, batch_size, num_workers=num_workers)
     for batch in loader:
         _eval_decode_batch(
@@ -136,14 +139,13 @@ def evaluate_wer(
             collator, batch_size, max_new, bias_boost, num_beams, mesh,
         )
     result = score_predictions(all_preds, all_labels, tokenizer, refs_pred_file)
-    if programs_before is not None:
-        # static-shape discipline diagnostic: one eval pass should compile
-        # only a handful of decode programs (prefix-length buckets). Logged,
-        # not returned — the result dict is the reference's test_results.json
-        # artifact and must stay format-compatible.
-        new_programs = decode_fn._cache_size() - programs_before
-        if new_programs:
-            print(f"evaluate_wer: compiled {new_programs} decode program(s)")
+    # static-shape discipline diagnostic: one eval pass should compile
+    # only a handful of decode programs (prefix-length buckets). Logged,
+    # not returned — the result dict is the reference's test_results.json
+    # artifact and must stay format-compatible.
+    new_programs = decode_fn.cache_size() - programs_before
+    if new_programs:
+        print(f"evaluate_wer: compiled {new_programs} decode program(s)")
     return result
 
 
@@ -245,6 +247,16 @@ def train_and_evaluate(
     resumed_opt_state = None
     if resume:
         ckpt = latest_checkpoint(tcfg.output_dir)
+        if ckpt is None and tcfg.hub_model_id:
+            # no local checkpoint: fall back to a Hub snapshot (reference
+            # scripts/train.py:169-189), gated like every other hub call
+            from ..utils import hub
+
+            print(f"no local checkpoint; trying hub snapshot "
+                  f"{tcfg.hub_model_id}")
+            if hub.sync_from_hub(tcfg.hub_model_id, tcfg.output_dir,
+                                 tcfg.hub_token):
+                ckpt = latest_checkpoint(tcfg.output_dir)
         if ckpt:
             # restore optimizer moments + schedule count too: re-initializing
             # them would silently re-warm the LR and zero the Adam moments
@@ -264,9 +276,11 @@ def train_and_evaluate(
         state = TrainState(state.params, state.opt_state, jnp.int32(start_step))
 
     best_wer = min((e["eval_wer"] for e in log_history if "eval_wer" in e), default=float("inf"))
-    # latest eval at (re)start; updated in the eval branch thereafter
-    last_wer = next(
-        (e["eval_wer"] for e in reversed(log_history) if "eval_wer" in e), None)
+    # latest eval (value + the step whose params produced it) at (re)start;
+    # updated in the eval branch thereafter
+    last_wer, last_eval_step = next(
+        ((e["eval_wer"], e["step"]) for e in reversed(log_history)
+         if "eval_wer" in e), (None, None))
     bad_evals = 0
     step = start_step
     t0 = time.time()
@@ -295,13 +309,10 @@ def train_and_evaluate(
         data_train, prep, chunk, shuffle=True, seed=tcfg.seed, drop_last=True,
         num_workers=tcfg.dataloader_num_workers,
     )
-    # resumable data order: fast-forward the per-epoch shuffle seed so a
-    # resumed run continues with the epoch permutation it would have had,
-    # and skip the batches of the partial epoch that were already trained
-    loader._epoch = start_step // steps_per_epoch
-    # fast-forward the partial epoch by dropping its index chunks BEFORE
-    # preparation (decoding audio just to discard the batch wastes minutes)
-    loader.skip_first = start_step % steps_per_epoch
+    # resumable data order: continue with the epoch permutation the run
+    # would have had, skipping the already-trained batches of the partial
+    # epoch (BatchLoader.resume docstring)
+    loader.resume(start_step // steps_per_epoch, start_step % steps_per_epoch)
 
     for epoch in range(int(np.ceil(tcfg.num_train_epochs))):
         if stop or step >= total_steps:
@@ -334,6 +345,7 @@ def train_and_evaluate(
                     bias_boost=tcfg.bias_boost, mesh=mesh,
                 )["wer"]
                 entry = {"step": step, "eval_wer": last_wer}
+                last_eval_step = step
                 log_history.append(entry)
                 logger.log(entry)
                 if last_wer < best_wer:
@@ -346,13 +358,16 @@ def train_and_evaluate(
                     stop = True
 
             # saving is independent of evaluation (save_steps need not be a
-            # multiple of eval_steps); the metadata carries the latest wer.
+            # multiple of eval_steps); the metadata carries the latest wer
+            # plus the step it was measured at, so find_best_checkpoint can
+            # attribute the metric only to the params that achieved it.
             # The write runs on a background thread (params are fetched to
             # host first) so the step loop never blocks on disk.
             if step % tcfg.save_steps == 0 or stop:
                 meta = {"log_history": list(log_history)}
                 if last_wer is not None:
                     meta["eval_wer"] = last_wer
+                    meta["eval_step"] = last_eval_step
                 if save_thread is not None:
                     save_thread.join()
                 host_params = jax.tree.map(np.asarray, state.params)
