@@ -251,7 +251,11 @@ def run_decode_config(num, model, args, tok, *, phase, jsonl_rel, prompt,
         "num_beams": num_beams, "prompt": prompt, "bias_list": bias_list,
         "n_utts": len(rows), "wer": result["wer"], "bias_wer": bias["bias_wer"],
         "audio_s": round(audio_s, 2), "wall_s": round(wall, 2),
+        # wall includes XLA compile; meaningful RTF needs a full corpus (or
+        # the warmed bench.py measurement) — flagged so small offline runs
+        # aren't read as throughput numbers
         "rtf": round(audio_s / wall, 2) if wall else None,
+        "rtf_includes_compile": True,
         "real_weights": bool(weights), "real_audio": real_audio,
         "real_tokenizer": bool(args.vocab), "artifact": rp, "asserts": [],
     }
@@ -298,8 +302,13 @@ def run_train_config(num, model, args, tok, limit):
         pad_token_id=tok.pad_token_id, decoder_start_token_id=tok.sot,
         decoder_prev_token_id=tok.sop, pad_to_multiple=32,
         bias_span_pad_id=tok.eot)
+    # train_dev_5000_suffer.jsonl carries neither descriptions nor bias
+    # words (SURVEY.md §2.2) — prompting strategies would draw from empty
+    # pools. Prompt only when the corpus actually has bias annotations.
+    has_bias = any(r.get("bias_words") for r in rows)
     mk = dict(base_path=base, jsonl_data=jsonl_dir, tokenizer=tok,
-              prompt=True, bias_list=True, bias_nums=5)
+              prompt=has_bias, bias_list=has_bias,
+              bias_nums=5 if has_bias else 0)
     train_ds = PromptWhisperDataset(phase="train", **mk)
     dev_ds = PromptWhisperDataset(phase="dev", **mk)
     bsz = min(args.batch, max(1, len(train_ds) // 2))

@@ -157,7 +157,7 @@ class TestEndToEnd:
         tcfg = TrainingConfig(
             output_dir=out, per_device_train_batch_size=2,
             per_device_eval_batch_size=2, gradient_accumulation_steps=1,
-            num_train_epochs=2, eval_steps=2, save_steps=2, logging_steps=1,
+            num_train_epochs=1, eval_steps=2, save_steps=2, logging_steps=1,
             warmup_steps=0, generation_max_length=6, early_stopping_patience=50,
             load_best_model_at_end=False,
         )
@@ -165,7 +165,7 @@ class TestEndToEnd:
         first = {os.path.basename(c) for c in list_checkpoints(out)}
         assert first
         # resume continues past the previous step count
-        tcfg2 = TrainingConfig(**{**tcfg.__dict__, "num_train_epochs": 4})
+        tcfg2 = TrainingConfig(**{**tcfg.__dict__, "num_train_epochs": 2})
         _, hist = train_and_evaluate(
             cfg, params, tok, train_ds, dev_ds, collator, tcfg2, resume=True
         )
