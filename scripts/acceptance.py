@@ -231,7 +231,8 @@ def run_decode_config(num, model, args, tok, *, phase, jsonl_rel, prompt,
             bias_span_pad_id=tok.eot)
         ds = PromptWhisperDataset(
             base_path=base, jsonl_data=jsonl_dir, phase=phase, tokenizer=tok,
-            prompt=prompt, bias_list=bias_list, bias_nums=bias_nums)
+            prompt=prompt, bias_list=bias_list, bias_nums=bias_nums,
+            n_mels=cfg.n_mels)
         rp = os.path.join(out_dir, "refs_and_pred.txt")
         t0 = time.monotonic()
         result = evaluate_wer(
@@ -308,7 +309,7 @@ def run_train_config(num, model, args, tok, limit):
     has_bias = any(r.get("bias_words") for r in rows)
     mk = dict(base_path=base, jsonl_data=jsonl_dir, tokenizer=tok,
               prompt=has_bias, bias_list=has_bias,
-              bias_nums=5 if has_bias else 0)
+              bias_nums=5 if has_bias else 0, n_mels=cfg.n_mels)
     train_ds = PromptWhisperDataset(phase="train", **mk)
     dev_ds = PromptWhisperDataset(phase="dev", **mk)
     bsz = min(args.batch, max(1, len(train_ds) // 2))

@@ -135,6 +135,7 @@ def main():
         base_path=os.path.join(args.data_root, args.data_dir),
         jsonl_data=args.jsonl_data, phase="test", tokenizer=tokenizer,
         prompt=args.prompt, random=args.random,
+        n_mels=model_cfg.n_mels,  # 128 for large-v3
     )
     if len(data_test) == 0:
         raise ValueError("Test dataset is empty")

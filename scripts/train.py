@@ -127,6 +127,7 @@ def main():
         jsonl_data=args.jsonl_data, tokenizer=tokenizer,
         prompt=args.prompt, random=args.random, bias_list=args.bias_list,
         bias_nums=args.bias_nums, bias_desc=args.bias_desc, seed=args.seed,
+        n_mels=model_cfg.n_mels,  # 128 for large-v3
     )
     data_train = PromptWhisperDataset(phase="train", **ds_kwargs)
     data_eval = PromptWhisperDataset(phase="dev", **ds_kwargs)

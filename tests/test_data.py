@@ -219,6 +219,12 @@ class TestGetItem:
         item = ds[0]
         assert "audio" in item and item["audio"].shape == (16000,)
 
+    def test_n_mels_large_v3(self, corpus, tok):
+        """Regression: large-v3 expects 128-mel features; the CLIs pass
+        cfg.n_mels through so the default extractor matches the model."""
+        ds = make_ds(corpus, tok, n_mels=128)
+        assert ds[0]["input_features"].shape == (128, 3000)
+
 
 class TestCollator:
     def _items(self, corpus, tok, **kw):

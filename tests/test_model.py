@@ -61,6 +61,21 @@ class TestConfigs:
         assert cfg.pad_token_id == 50256
         assert cfg.max_target_positions == 448
 
+    def test_large_v3_turbo(self):
+        cfg = get_config("large-v3-turbo")
+        assert (cfg.n_audio_layers, cfg.n_text_layers) == (32, 4)
+        assert cfg.n_mels == 128 and cfg.n_vocab == 51866 and cfg.multilingual
+        with pytest.raises(ValueError):
+            get_config("large-v3.en")  # no English-only large variants
+
+    def test_asymmetric_layers_forward(self):
+        cfg = tiny_test_config(n_audio_layers=3, n_text_layers=1)
+        params = init_params(cfg, 0)
+        out = forward(params, cfg, jnp.asarray(_mel()),
+                      jnp.asarray([[50257, 5]], jnp.int32))
+        assert out.shape == (1, 2, cfg.n_vocab)
+        assert np.isfinite(np.asarray(out)).all()
+
 
 class TestEncoder:
     def test_shape(self, tiny):

@@ -72,6 +72,7 @@ class PromptWhisperDataset:
         bias_desc: bool = False,
         seed: int | None = 0,
         return_audio: bool = False,
+        n_mels: int = 80,  # 128 for large-v3; used by the default extractor
     ):
         if tokenizer is None:
             raise ValueError("tokenizer is required")
@@ -86,7 +87,7 @@ class PromptWhisperDataset:
         self.bias_desc = bias_desc
         self.tokenizer = tokenizer
         self.feature_extractor = feature_extractor or (
-            lambda audio: log_mel_spectrogram_np(audio)
+            lambda audio: log_mel_spectrogram_np(audio, n_mels=n_mels)
         )
         self.return_audio = return_audio
         # load-time draws (per-sample random prompt) use one seeded stream;

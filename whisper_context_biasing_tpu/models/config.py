@@ -95,14 +95,17 @@ class WhisperConfig:
 
 
 _FAMILY = {
-    # name: (d_model, n_heads, n_layers)
-    "tiny": (384, 6, 4),
-    "base": (512, 8, 6),
-    "small": (768, 12, 12),
-    "medium": (1024, 16, 24),
-    "large": (1280, 20, 32),
-    "large-v2": (1280, 20, 32),
-    "large-v3": (1280, 20, 32),
+    # name: (d_model, n_heads, n_audio_layers, n_text_layers)
+    "tiny": (384, 6, 4, 4),
+    "base": (512, 8, 6, 6),
+    "small": (768, 12, 12, 12),
+    "medium": (1024, 16, 24, 24),
+    "large": (1280, 20, 32, 32),
+    "large-v2": (1280, 20, 32, 32),
+    "large-v3": (1280, 20, 32, 32),
+    # turbo: large-v3 encoder with a pruned-and-distilled 4-layer decoder
+    # (openai/whisper-large-v3-turbo) — 8x fewer decode-step weight reads
+    "large-v3-turbo": (1280, 20, 32, 4),
 }
 
 
@@ -114,19 +117,21 @@ def get_config(name: str, **overrides) -> WhisperConfig:
         base = name[: -len(".en")]
     if base not in _FAMILY:
         raise ValueError(f"unknown whisper model: {name!r} (know {sorted(_FAMILY)})")
-    d, h, layers = _FAMILY[base]
+    if english and base.startswith("large"):
+        raise ValueError(f"no English-only variant of {base!r}")
+    d, h, audio_layers, text_layers = _FAMILY[base]
     if english:
         vocab = 51864
-    elif base == "large-v3":
+    elif base.startswith("large-v3"):
         vocab = 51866
     else:
         vocab = 51865
     cfg = WhisperConfig(
-        n_mels=128 if base == "large-v3" else 80,
+        n_mels=128 if base.startswith("large-v3") else 80,
         d_model=d,
         n_heads=h,
-        n_audio_layers=layers,
-        n_text_layers=layers,
+        n_audio_layers=audio_layers,
+        n_text_layers=text_layers,
         n_vocab=vocab,
         multilingual=not english,
     )
