@@ -262,7 +262,9 @@ def run_decode_config(num, model, args, tok, *, phase, jsonl_rel, prompt,
     }
     if baseline_key:
         b = BASELINES[baseline_key]
-        if weights and real_audio and args.vocab:
+        if weights and real_audio and args.vocab and not limit:
+            # arms only on the FULL corpus: a --limit-truncated subset's WER
+            # is not comparable to the full-corpus baseline numbers
             delta = abs(result["wer"] - b["wer"]) / b["wer"]
             row["asserts"].append({
                 "assert": f"model_parity:{baseline_key}",
@@ -272,6 +274,8 @@ def run_decode_config(num, model, args, tok, *, phase, jsonl_rel, prompt,
         else:
             missing = [n for n, v in (("weights", weights), ("audio", real_audio),
                                       ("tokenizer", args.vocab)) if not v]
+            if limit:
+                missing.append(f"full corpus (truncated to {limit} by --limit)")
             row["asserts"].append({
                 "assert": f"model_parity:{baseline_key}", "status": "skipped",
                 "reason": f"needs real {'+'.join(missing)}"})
@@ -290,7 +294,10 @@ def run_train_config(num, model, args, tok, limit):
                  bias_words=r.get("bias_words", [])) for r in rows]
     base, jsonl_dir, audio_s, real_audio = stage_corpus(
         out_dir, "train", rows, args.data_root, "")
-    stage_corpus(out_dir, "dev", rows[: max(2, len(rows) // 4)], args.data_root, "")
+    # dev may stage to a different base than train (e.g. real train audio
+    # but synthesized dev) — keep each phase's resolved base
+    dev_base, _, _, _ = stage_corpus(
+        out_dir, "dev", rows[: max(2, len(rows) // 4)], args.data_root, "")
 
     cfg = get_config(model)
     weights = resolve_weights(args.weights_dir, model)
@@ -307,11 +314,11 @@ def run_train_config(num, model, args, tok, limit):
     # words (SURVEY.md §2.2) — prompting strategies would draw from empty
     # pools. Prompt only when the corpus actually has bias annotations.
     has_bias = any(r.get("bias_words") for r in rows)
-    mk = dict(base_path=base, jsonl_data=jsonl_dir, tokenizer=tok,
+    mk = dict(jsonl_data=jsonl_dir, tokenizer=tok,
               prompt=has_bias, bias_list=has_bias,
               bias_nums=5 if has_bias else 0, n_mels=cfg.n_mels)
-    train_ds = PromptWhisperDataset(phase="train", **mk)
-    dev_ds = PromptWhisperDataset(phase="dev", **mk)
+    train_ds = PromptWhisperDataset(phase="train", base_path=base, **mk)
+    dev_ds = PromptWhisperDataset(phase="dev", base_path=dev_base, **mk)
     bsz = min(args.batch, max(1, len(train_ds) // 2))
     tcfg = TrainingConfig(
         output_dir=out_dir, per_device_train_batch_size=bsz,

@@ -95,8 +95,12 @@ def parse_args():
 def main():
     args = parse_args()
     print(f"Arguments: {vars(args)}")
+    from whisper_context_biasing_tpu.train import latest_checkpoint
     from whisper_context_biasing_tpu.utils import warn_missing_assets
-    warn_missing_assets(args.vocab, args.init_checkpoint, "train")
+    # --resume with an existing checkpoint restores real weights; don't
+    # tell the operator the run is random-init in that case
+    resumable = args.resume and latest_checkpoint(args.output)
+    warn_missing_assets(args.vocab, args.init_checkpoint or resumable, "train")
 
     tokenizer = load_tokenizer(args.vocab, args.merges,
                                multilingual=not args.model.endswith(".en"))

@@ -192,6 +192,12 @@ class TestAutoMesh:
         m = auto_mesh(2, devices=cpu_devices(), batch_divisor=3)
         assert m.shape == {"data": 3, "model": 2}
         assert auto_mesh(1, devices=cpu_devices(), batch_divisor=1) is None
+        # an explicit tensor-parallel request that can't be honored must
+        # raise, never silently shrink or run single-device
+        with pytest.raises(ValueError):
+            auto_mesh(3, devices=cpu_devices())
+        with pytest.raises(ValueError):
+            auto_mesh(4, devices=cpu_devices()[:2])
 
     @pytest.mark.slow
     def test_train_cli_dp_matches_single_device(self, tmp_path, monkeypatch):

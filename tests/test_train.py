@@ -329,6 +329,35 @@ class TestBestCheckpointSelection:
         best = find_best_checkpoint(str(tmp_path))
         assert os.path.basename(best) == "checkpoint-270"
 
+    def test_legacy_stamp_with_matching_history_stays_attributed(self, tmp_path):
+        """Checkpoints written before the eval_step key existed are still
+        first-class when log_history PROVES the stamp is their own (an eval
+        at exactly the save step) — a better legacy metric must beat a
+        worse same-step-stamped one."""
+        import json
+        import os
+
+        from whisper_context_biasing_tpu.train.checkpoint import (
+            find_best_checkpoint,
+        )
+
+        metas = {
+            # legacy (no eval_step), aligned cadence: history proves it
+            135: {"step": 135, "eval_wer": 8.0,
+                  "log_history": [{"step": 135, "eval_wer": 8.0}]},
+            # new-style attributed, but worse
+            270: {"step": 270, "eval_wer": 12.0, "eval_step": 270,
+                  "log_history": [{"step": 135, "eval_wer": 8.0},
+                                  {"step": 270, "eval_wer": 12.0}]},
+        }
+        for step, meta in metas.items():
+            d = tmp_path / f"checkpoint-{step}"
+            d.mkdir()
+            with open(d / "trainer_state.json", "w") as f:
+                json.dump(meta, f)
+        assert os.path.basename(
+            find_best_checkpoint(str(tmp_path))) == "checkpoint-135"
+
     def test_stale_stamps_only_fall_back_to_best_stamp(self, tmp_path):
         """When NO checkpoint has a same-step eval, selection degrades to
         the reference's behavior (lowest known value)."""

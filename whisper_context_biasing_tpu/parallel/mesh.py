@@ -74,6 +74,12 @@ def auto_mesh(
         return None
     devices = devices if devices is not None else effective_platform_devices()
     mp = max(model_parallelism, 1)
+    if mp > 1 and len(devices) % mp != 0:
+        # an EXPLICIT tensor-parallel request must fail loudly, not be
+        # silently shrunk or dropped (make_mesh's divisibility contract)
+        raise ValueError(
+            f"{len(devices)} devices not divisible by "
+            f"model_parallelism={mp}")
     dp = len(devices) // mp
     if batch_divisor is not None:
         while dp > 1 and batch_divisor % dp != 0:
@@ -81,6 +87,9 @@ def auto_mesh(
     n = dp * mp
     if n <= 1:
         return None
+    if n < len(devices):
+        print(f"auto_mesh: using {n}/{len(devices)} devices so the data "
+              f"axis ({dp}) divides the batch ({batch_divisor})")
     return make_mesh(model_parallelism=mp, devices=devices[:n])
 
 

@@ -141,7 +141,18 @@ def find_best_checkpoint(output_dir: str, metric_key: str = "eval_wer") -> str |
             continue
         with open(state_file) as f:
             meta = json.load(f)
-        if metric_key in meta and meta.get("eval_step") == checkpoint_step(c):
+        step = checkpoint_step(c)
+        # a stamp is the checkpoint's OWN metric when eval_step matches, or
+        # (legacy stamps without eval_step) when log_history shows an eval
+        # at exactly this step with this value — verifiable attribution for
+        # checkpoints written before the eval_step key existed
+        own = metric_key in meta and (
+            meta.get("eval_step") == step
+            or ("eval_step" not in meta and any(
+                e.get("step") == step and e.get(metric_key) == meta[metric_key]
+                for e in meta.get("log_history", [])))
+        )
+        if own:
             if meta[metric_key] < attributed_val:
                 attributed_val, attributed = meta[metric_key], c
             continue

@@ -35,8 +35,11 @@ class CountedJit:
         return (str(treedef), tuple(sig))
 
     def __call__(self, *args, **kwargs):
+        out = self._jitted(*args, **kwargs)
+        # record only after a successful dispatch: a call that fails during
+        # tracing compiled nothing and must not inflate the diagnostic
         self._signatures.add(self._key(args, kwargs))
-        return self._jitted(*args, **kwargs)
+        return out
 
     def cache_size(self) -> int:
         """Distinct call signatures seen (>= distinct XLA programs)."""
