@@ -35,7 +35,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
-BATCH = int(os.environ.get("BENCH_BATCH", "64"))
+BATCH = int(os.environ.get("BENCH_BATCH", "128"))  # round-3 sweep winner (docs/PERF.md)
 DECODE_TOKENS = int(os.environ.get("BENCH_TOKENS", "32"))
 MODEL = os.environ.get("BENCH_MODEL", "small")
 ITERS = int(os.environ.get("BENCH_ITERS", "5"))

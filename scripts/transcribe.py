@@ -39,6 +39,13 @@ def parse_args():
     p.add_argument("--bias_words", nargs="*", default=None)
     p.add_argument("--bias_boost", type=float, default=0.0)
     p.add_argument("--num_beams", type=int, default=1)
+    p.add_argument("--draft_model", default=None,
+                   help="speculative decoding: small draft model family "
+                        "(e.g. tiny.en; large-v3-turbo for large-v3). "
+                        "Greedy only; output is exactly the target model's")
+    p.add_argument("--draft_checkpoint", default=None)
+    p.add_argument("--spec_k", type=int, default=4,
+                   help="draft tokens proposed per verification round")
     p.add_argument("--beam_early_stopping",
                    choices=["off", "true", "false", "never"], default="off",
                    help="off = frozen-beam pool (fastest); true/false/never "
@@ -331,10 +338,31 @@ def main():
     if starts is not None:
         kwargs["starts"] = starts
     if args.num_beams > 1:
+        if args.draft_model:
+            print("warning: --draft_model is greedy-only; ignored with "
+                  "--num_beams > 1", file=sys.stderr)
         hyps = beam_decode_batch(params, cfg, tokenizer, mel,
                                  num_beams=args.num_beams,
                                  early_stopping=args.beam_early_stopping,
                                  **kwargs)
+    elif args.draft_model:
+        from whisper_context_biasing_tpu.decode import speculative_decode_batch
+
+        dcfg = get_config(args.draft_model, dtype="bfloat16", gelu_approx=fast)
+        if args.draft_checkpoint:
+            dparams, dcfg = load_checkpoint_or_safetensors(args.draft_checkpoint, dcfg)
+        else:
+            print("warning: random draft weights (no --draft_checkpoint): "
+                  "acceptance ~0, speculative decode will be SLOWER",
+                  file=sys.stderr)
+            dparams = init_params(dcfg, 0)
+        mel_d = None
+        if dcfg.n_mels != cfg.n_mels:
+            mel_d = np.asarray(log_mel_spectrogram_fused(
+                jnp.asarray(audio), n_mels=dcfg.n_mels))
+        hyps = speculative_decode_batch(
+            dparams, dcfg, params, cfg, tokenizer, mel, k=args.spec_k,
+            input_features_draft=mel_d, **kwargs)
     else:
         hyps = decode_batch(params, cfg, tokenizer, mel, **kwargs)
 

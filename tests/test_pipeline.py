@@ -31,6 +31,42 @@ def ml_pipe():
 
 
 @pytest.mark.slow
+class TestSpeculativePipeline:
+    def test_draft_pipeline_matches_plain(self):
+        """Pipeline(draft_config=...) must return the exact transcripts of
+        the plain target pipeline (speculative decode is output-invariant)."""
+        cfg = tiny_test_config()
+        params = init_params(cfg, 0)
+        tok = load_tokenizer()
+        dcfg = tiny_test_config(n_audio_layers=1, n_text_layers=1,
+                                d_model=32, n_heads=2)
+        plain = Pipeline("tiny.en", config=cfg, params=params, tokenizer=tok)
+        spec = Pipeline("tiny.en", config=cfg, params=params, tokenizer=tok,
+                        draft_config=dcfg, draft_params=init_params(dcfg, 9),
+                        speculative_k=3)
+        rng = np.random.default_rng(1)
+        clips = [rng.standard_normal(16000).astype(np.float32) * 0.1
+                 for _ in range(2)]
+        ref = plain.transcribe(clips, max_tokens=6)
+        got = spec.transcribe(clips, max_tokens=6)
+        assert [r.tokens for r in got] == [r.tokens for r in ref]
+        # bias fusion composes
+        ref_b = plain.transcribe(clips, bias_words=["aspirin"], bias_boost=2.0,
+                                 max_tokens=6)
+        got_b = spec.transcribe(clips, bias_words=["aspirin"], bias_boost=2.0,
+                                max_tokens=6)
+        assert [r.tokens for r in got_b] == [r.tokens for r in ref_b]
+
+    def test_vocab_mismatch_rejected(self):
+        cfg = tiny_test_config()
+        dcfg = tiny_test_config(n_vocab=51865, multilingual=True)
+        with pytest.raises(ValueError):
+            Pipeline("tiny.en", config=cfg, params=init_params(cfg, 0),
+                     tokenizer=load_tokenizer(),
+                     draft_config=dcfg, draft_params=init_params(dcfg, 1))
+
+
+@pytest.mark.slow
 class TestPipeline:
     def test_single_clip_returns_single_result(self, pipe):
         res = pipe.transcribe(np.zeros(8000, np.float32), max_tokens=4)

@@ -1,0 +1,116 @@
+"""Speculative decoding tests: the emitted sequence must BIT-MATCH the
+target model's greedy decode for ANY draft model and acceptance rate —
+including ragged prompts and bias-boosted decoding."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from whisper_context_biasing_tpu.decode import greedy_decode, pack_prefixes
+from whisper_context_biasing_tpu.decode.speculative import speculative_greedy_decode
+from whisper_context_biasing_tpu.models import init_params, tiny_test_config
+
+EOT = 50256
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg_t = tiny_test_config()
+    cfg_d = tiny_test_config(n_audio_layers=1, n_text_layers=1, d_model=32,
+                             n_heads=2)
+    params_t = init_params(cfg_t, 0)
+    params_d = init_params(cfg_d, 7)
+    rng = np.random.default_rng(0)
+    mel = (rng.standard_normal((3, 80, 128)) * 0.5).astype(np.float32)
+    return cfg_t, params_t, cfg_d, params_d, jnp.asarray(mel)
+
+
+def _greedy_ref(params_t, cfg_t, mel, ids, mask, max_new, **kw):
+    res = greedy_decode(params_t, cfg_t, mel, jnp.asarray(ids),
+                        jnp.asarray(mask), max_new=max_new, **kw)
+    return np.asarray(res.tokens), np.asarray(res.lengths)
+
+
+@pytest.mark.slow
+class TestSpeculativeExactness:
+    @pytest.mark.parametrize("k", [1, 3, 5])
+    def test_random_draft_bit_matches_target_greedy(self, setup, k):
+        """Acceptance ~0 (independent random draft): output must STILL be
+        the target's greedy sequence exactly."""
+        cfg_t, params_t, cfg_d, params_d, mel = setup
+        ids, mask = pack_prefixes([[50257]] * 3, EOT)
+        ref_toks, ref_lens = _greedy_ref(params_t, cfg_t, mel, ids, mask, 10)
+        res = speculative_greedy_decode(
+            params_d, cfg_d, params_t, cfg_t, mel,
+            jnp.asarray(ids), jnp.asarray(mask), k=k, max_new=10)
+        np.testing.assert_array_equal(np.asarray(res.tokens), ref_toks)
+        np.testing.assert_array_equal(np.asarray(res.lengths), ref_lens)
+
+    def test_self_draft_full_acceptance(self, setup):
+        """Draft == target: every round accepts all k drafts; output is
+        unchanged."""
+        cfg_t, params_t, _, _, mel = setup
+        ids, mask = pack_prefixes([[50257]] * 3, EOT)
+        ref_toks, ref_lens = _greedy_ref(params_t, cfg_t, mel, ids, mask, 12)
+        res = speculative_greedy_decode(
+            params_t, cfg_t, params_t, cfg_t, mel,
+            jnp.asarray(ids), jnp.asarray(mask), k=4, max_new=12)
+        np.testing.assert_array_equal(np.asarray(res.tokens), ref_toks)
+        np.testing.assert_array_equal(np.asarray(res.lengths), ref_lens)
+
+    def test_ragged_prompts(self, setup):
+        cfg_t, params_t, cfg_d, params_d, mel = setup
+        ids, mask = pack_prefixes(
+            [[50360, 11, 22, 50257], [50257], [50360, 5, 50257]], EOT)
+        ref_toks, ref_lens = _greedy_ref(params_t, cfg_t, mel, ids, mask, 8)
+        res = speculative_greedy_decode(
+            params_d, cfg_d, params_t, cfg_t, mel,
+            jnp.asarray(ids), jnp.asarray(mask), k=3, max_new=8)
+        np.testing.assert_array_equal(np.asarray(res.tokens), ref_toks)
+        np.testing.assert_array_equal(np.asarray(res.lengths), ref_lens)
+
+    def test_bias_boost_exactness(self, setup):
+        """Bias-trie shallow fusion composes: speculative output equals
+        bias-boosted greedy, including the context-tail trie seeding."""
+        cfg_t, params_t, cfg_d, params_d, mel = setup
+        span = np.full((3, 2, 3), EOT, np.int32)
+        span[0, 0] = [123, 456, 789]
+        span[2, 0, :2] = [77, 88]
+        spans = jnp.asarray(span)
+        ids, mask = pack_prefixes([[50360, 123, 50257], [50257], [50257]], EOT)
+        ref = greedy_decode(params_t, cfg_t, mel, jnp.asarray(ids),
+                            jnp.asarray(mask), max_new=8,
+                            bias_spans=spans, bias_boost=3.0)
+        res = speculative_greedy_decode(
+            params_d, cfg_d, params_t, cfg_t, mel,
+            jnp.asarray(ids), jnp.asarray(mask), k=3, max_new=8,
+            bias_spans=spans, bias_boost=3.0)
+        np.testing.assert_array_equal(np.asarray(res.tokens),
+                                      np.asarray(ref.tokens))
+
+    def test_eot_termination_matches(self, setup):
+        """Rows that hit <|eot|> freeze exactly like greedy (eot-padded
+        tokens, lengths exclude the eot)."""
+        cfg_t, params_t, cfg_d, params_d, mel = setup
+        # force an early eot on row 0 via an overwhelming single-token span
+        span = np.full((3, 1, 1), EOT, np.int32)
+        spans = jnp.asarray(span)  # span == pad -> no-op; rely on natural eot
+        ids, mask = pack_prefixes([[50257]] * 3, EOT)
+        ref = greedy_decode(params_t, cfg_t, mel, jnp.asarray(ids),
+                            jnp.asarray(mask), max_new=20)
+        res = speculative_greedy_decode(
+            params_d, cfg_d, params_t, cfg_t, mel,
+            jnp.asarray(ids), jnp.asarray(mask), k=4, max_new=20)
+        np.testing.assert_array_equal(np.asarray(res.tokens),
+                                      np.asarray(ref.tokens))
+        np.testing.assert_array_equal(np.asarray(res.lengths),
+                                      np.asarray(ref.lengths))
+
+    def test_max_new_one(self, setup):
+        cfg_t, params_t, cfg_d, params_d, mel = setup
+        ids, mask = pack_prefixes([[50257]] * 3, EOT)
+        ref_toks, _ = _greedy_ref(params_t, cfg_t, mel, ids, mask, 1)
+        res = speculative_greedy_decode(
+            params_d, cfg_d, params_t, cfg_t, mel,
+            jnp.asarray(ids), jnp.asarray(mask), k=2, max_new=1)
+        np.testing.assert_array_equal(np.asarray(res.tokens), ref_toks)

@@ -380,7 +380,10 @@ def decode_tokens(
     enc_out: jax.Array | None = None,   # (B, T_audio, D); or pass cross_kv
     cross_kv=None,              # precomputed (k, v), each (L, B, T_audio, D)
     cache=None,                 # KV cache dict or None (plain full-sequence mode)
-    pos_offset: int | jax.Array = 0,    # write/read position of tokens[:, 0]
+    pos_offset: int | jax.Array = 0,    # write/read position of tokens[:, 0];
+                                        # scalar, or (B,) for per-row offsets
+                                        # (speculative decode: rows advance
+                                        # at different rates)
     token_positions: jax.Array | None = None,  # (B, S) explicit positions (left-pad support)
     self_mask: jax.Array | None = None,  # extra key-side mask (B, T_cache) True=attend
 ):
@@ -395,8 +398,12 @@ def decode_tokens(
     dt = cfg.compute_dtype
     b, s = tokens.shape
 
+    per_row_offset = getattr(pos_offset, "ndim", 0) == 1
     if token_positions is None:
-        token_positions = pos_offset + jnp.arange(s, dtype=jnp.int32)[None, :]
+        if per_row_offset:
+            token_positions = pos_offset[:, None] + jnp.arange(s, dtype=jnp.int32)[None, :]
+        else:
+            token_positions = pos_offset + jnp.arange(s, dtype=jnp.int32)[None, :]
     emb = dec["token_emb"]
     if isinstance(emb, dict):  # int8 rows, per-row scale
         tok_e = emb["q"][tokens].astype(jnp.float32) * emb["s"][tokens]
@@ -468,8 +475,12 @@ def decode_tokens(
         # sequence; position ids may lag slots under left-padding, so the
         # mask must compare slots, not positions)
         key_slot = jnp.arange(t_cache, dtype=jnp.int32)
-        query_slot = pos_offset + jnp.arange(s, dtype=jnp.int32)
-        attn_mask = key_slot[None, None, :] <= query_slot[None, :, None]  # (1, S, T)
+        if per_row_offset:
+            query_slot = pos_offset[:, None] + jnp.arange(s, dtype=jnp.int32)[None, :]
+            attn_mask = key_slot[None, None, :] <= query_slot[:, :, None]  # (B, S, T)
+        else:
+            query_slot = pos_offset + jnp.arange(s, dtype=jnp.int32)
+            attn_mask = key_slot[None, None, :] <= query_slot[None, :, None]  # (1, S, T)
         if self_mask is not None:
             attn_mask = attn_mask & self_mask[:, None, :]
         else:
@@ -486,12 +497,22 @@ def decode_tokens(
             # pos_offset is int32; bare 0 literals would become int64)
             zero = jnp.int32(0)
             off = jnp.asarray(pos_offset, jnp.int32)
-            ck_upd = jax.lax.dynamic_update_slice(
-                blk["cache_k"], k_new.astype(blk["cache_k"].dtype), (zero, off, zero)
-            )
-            cv_upd = jax.lax.dynamic_update_slice(
-                blk["cache_v"], v_new.astype(blk["cache_v"].dtype), (zero, off, zero)
-            )
+            if per_row_offset:
+                # rows write at independent slots (speculative decode)
+                def _row_upd(c, new, o):
+                    return jax.lax.dynamic_update_slice(c, new, (o, zero))
+
+                ck_upd = jax.vmap(_row_upd)(
+                    blk["cache_k"], k_new.astype(blk["cache_k"].dtype), off)
+                cv_upd = jax.vmap(_row_upd)(
+                    blk["cache_v"], v_new.astype(blk["cache_v"].dtype), off)
+            else:
+                ck_upd = jax.lax.dynamic_update_slice(
+                    blk["cache_k"], k_new.astype(blk["cache_k"].dtype), (zero, off, zero)
+                )
+                cv_upd = jax.lax.dynamic_update_slice(
+                    blk["cache_v"], v_new.astype(blk["cache_v"].dtype), (zero, off, zero)
+                )
             h = h + _proj(
                 attention(q, ck_upd.astype(dt), cv_upd.astype(dt), cfg.n_heads, attn_mask),
                 blk["sa"]["wo"], blk["sa"]["bo"],

@@ -73,6 +73,11 @@ class Pipeline:
         params=None,
         config=None,
         tokenizer=None,
+        draft_model: str | None = None,
+        draft_checkpoint: str | None = None,
+        speculative_k: int = 4,
+        draft_config=None,
+        draft_params=None,
     ):
         from .data.collator import SpeechSeq2SeqCollator
         from .models import get_config, init_params, load_checkpoint_or_safetensors
@@ -123,6 +128,29 @@ class Pipeline:
         if self.mesh is not None:
             self.params = shard_params(self.params, self.mesh)
 
+        # optional speculative decoding: a small draft model accelerates
+        # the greedy path with EXACT output equivalence (decode/speculative)
+        self.draft_params = self.draft_cfg = None
+        self.speculative_k = speculative_k
+        if draft_model or draft_config is not None:
+            self.draft_cfg = draft_config if draft_config is not None else get_config(
+                draft_model, dtype=dtype,
+                **{km: vv for km, vv in (config_overrides or {}).items()
+                   if km in ("flash_attention", "gelu_approx")})
+            if self.draft_cfg.n_vocab != self.cfg.n_vocab:
+                raise ValueError(
+                    f"draft {draft_model} vocab {self.draft_cfg.n_vocab} != "
+                    f"target vocab {self.cfg.n_vocab}")
+            if draft_params is not None:
+                self.draft_params = draft_params
+            elif draft_checkpoint:
+                self.draft_params, self.draft_cfg = (
+                    load_checkpoint_or_safetensors(draft_checkpoint, self.draft_cfg))
+            else:
+                self.draft_params = init_params(self.draft_cfg, 0)
+            if self.mesh is not None:
+                self.draft_params = shard_params(self.draft_params, self.mesh)
+
     # -- helpers ----------------------------------------------------------
 
     @property
@@ -139,10 +167,11 @@ class Pipeline:
             return load_audio(audio)
         return np.asarray(audio, np.float32)
 
-    def _mel(self, chunk: np.ndarray):
+    def _mel(self, chunk: np.ndarray, n_mels: int | None = None):
         import jax
         import jax.numpy as jnp
 
+        n_mels = n_mels or self.cfg.n_mels
         # the effective dispatch device, not the backend election winner
         # (tests pin jax_default_device to CPU while a TPU plugin is present)
         dev = jax.config.jax_default_device or jax.devices()[0]
@@ -150,12 +179,12 @@ class Pipeline:
             from .ops.mel_kernel import log_mel_spectrogram_fused
 
             return np.asarray(log_mel_spectrogram_fused(
-                jnp.asarray(chunk), n_mels=self.cfg.n_mels))
+                jnp.asarray(chunk), n_mels=n_mels))
         # CPU/GPU fallback: the pure-jnp frontend (bit-diffed vs the kernel)
         from .audio.mel import log_mel_spectrogram
 
         return np.asarray(log_mel_spectrogram(
-            jnp.asarray(chunk), n_mels=self.cfg.n_mels))
+            jnp.asarray(chunk), n_mels=n_mels))
 
     def _encode(self, mel):
         import jax
@@ -317,6 +346,23 @@ class Pipeline:
                 self.params, self.cfg, self.tokenizer, mel,
                 num_beams=num_beams, early_stopping=beam_early_stopping,
                 **kwargs)
+        elif self.draft_params is not None and self.mesh is None:
+            # speculative greedy: exact same tokens, fewer target-weight
+            # reads per emitted token (decode/speculative.py). Mesh-sharded
+            # decode keeps the plain path (per-row cache offsets under
+            # GSPMD are not validated).
+            from .decode import speculative_decode_batch
+
+            kwargs.pop("mesh", None)
+            mel_d = None
+            if self.draft_cfg.n_mels != self.cfg.n_mels:
+                mel_d = self._mel(
+                    np.stack([pad_or_trim(c, win) for c in clips]),
+                    n_mels=self.draft_cfg.n_mels)
+            hyps = speculative_decode_batch(
+                self.draft_params, self.draft_cfg, self.params, self.cfg,
+                self.tokenizer, mel, k=self.speculative_k,
+                pad_to_multiple=32, input_features_draft=mel_d, **kwargs)
         else:
             hyps = decode_batch(self.params, self.cfg, self.tokenizer, mel,
                                 pad_to_multiple=32, **kwargs)
