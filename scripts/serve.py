@@ -58,6 +58,11 @@ def parse_args():
                    help="max queueing delay before a partial batch is flushed")
     p.add_argument("--max_tokens", type=int, default=128)
     p.add_argument("--num_beams", type=int, default=1)
+    p.add_argument("--draft_model", default=None,
+                   help="speculative decoding draft family (greedy path; "
+                        "output exactly matches the target model)")
+    p.add_argument("--draft_checkpoint", default=None)
+    p.add_argument("--spec_k", type=int, default=4)
     p.add_argument("--bias_words", nargs="*", default=None,
                    help="server-wide default bias words")
     p.add_argument("--bias_boost", type=float, default=0.0)
@@ -127,6 +132,19 @@ class Engine:
                 args.init_checkpoint, self.cfg)
         else:
             self.params = init_params(self.cfg, 0)
+        # optional speculative decoding (greedy path, exact output —
+        # decode/speculative.py); mesh decode keeps the plain path
+        self.draft_params = self.draft_cfg = None
+        if args.draft_model:
+            self.draft_cfg = get_config(args.draft_model, dtype="bfloat16",
+                                        gelu_approx=True)
+            if args.draft_checkpoint:
+                self.draft_params, self.draft_cfg = load_checkpoint_or_safetensors(
+                    args.draft_checkpoint, self.draft_cfg)
+            else:
+                print("warning: random draft weights — speculative decode "
+                      "will be slower than plain greedy", file=sys.stderr)
+                self.draft_params = init_params(self.draft_cfg, 0)
         self.collator = SpeechSeq2SeqCollator(
             pad_token_id=self.tokenizer.pad_token_id,
             decoder_start_token_id=self.tokenizer.sot,
@@ -244,6 +262,18 @@ class Engine:
         if self.args.num_beams > 1:
             hyps = self.beam_decode_batch(self.params, self.cfg, tok, mel,
                                           num_beams=self.args.num_beams, **kwargs)
+        elif self.draft_params is not None and self.mesh is None:
+            from whisper_context_biasing_tpu.decode import speculative_decode_batch
+
+            kwargs.pop("mesh", None)
+            mel_d = None
+            if self.draft_cfg.n_mels != self.cfg.n_mels:
+                mel_d = np.asarray(self.mel_fn(self.jnp.asarray(audio),
+                                               n_mels=self.draft_cfg.n_mels))
+            hyps = speculative_decode_batch(
+                self.draft_params, self.draft_cfg, self.params, self.cfg,
+                tok, mel, k=self.args.spec_k, pad_to_multiple=32,
+                input_features_draft=mel_d, **kwargs)
         else:
             # prefix lengths bucketed to multiples of 32 so new context
             # lengths reuse a handful of compiled programs

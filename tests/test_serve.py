@@ -55,6 +55,7 @@ def _make_engine(multilingual=False):
         bias_span_pad_id=eng.tokenizer.eot,
     )
     eng.mesh = None
+    eng.draft_params = eng.draft_cfg = None
     eng.pad_or_trim = pad_or_trim
     import threading
 
@@ -83,6 +84,24 @@ def engine():
 @pytest.fixture(scope="module")
 def ml_engine():
     return _make_engine(multilingual=True)
+
+
+class TestServeSpeculative:
+    @pytest.mark.slow
+    def test_run_with_draft_matches_plain(self):
+        """Engine._run with a draft model returns exactly the plain greedy
+        texts (speculative decode is output-invariant)."""
+        plain = _make_engine()
+        spec = _make_engine()
+        spec.draft_cfg = tiny_test_config(
+            n_audio_layers=1, n_text_layers=1, d_model=32, n_heads=2)
+        spec.draft_params = init_params(spec.draft_cfg, 5)
+        spec.args.spec_k = 3
+        audios = [np.ones(8000, np.float32) * 0.1,
+                  np.ones(16000, np.float32) * 0.2]
+        ref = plain._run(audios, [None, None], [None, None])
+        got = spec._run(audios, [None, None], [None, None])
+        assert [r["text"] for r in got] == [r["text"] for r in ref]
 
 
 class TestServeLongForm:
