@@ -239,6 +239,22 @@ def main():
         if args.num_beams > 1:
             print("warning: --long mode decodes greedily; --num_beams ignored",
                   file=sys.stderr)
+        draft = None
+        if args.draft_model:
+            dcfg = get_config(args.draft_model, dtype="bfloat16",
+                              gelu_approx=fast)
+            if dcfg.n_mels != cfg.n_mels:
+                print("warning: --draft_model n_mels mismatch; speculative "
+                      "long-form disabled", file=sys.stderr)
+            else:
+                if args.draft_checkpoint:
+                    dparams, dcfg = load_checkpoint_or_safetensors(
+                        args.draft_checkpoint, dcfg)
+                else:
+                    print("warning: random draft weights (no "
+                          "--draft_checkpoint): acceptance ~0", file=sys.stderr)
+                    dparams = init_params(dcfg, 0)
+                draft = (dparams, dcfg, args.spec_k)
 
         raw = [load_audio(p) for p in args.audio]
         contexts = None
@@ -277,7 +293,8 @@ def main():
             compression_ratio_threshold=args.compression_ratio_threshold,
             logprob_threshold=lp_thresh, no_speech_threshold=ns_thresh,
             start_tokens=starts, return_segments=True,
-            word_timestamps=args.word_timestamps, alignment_heads=heads)
+            word_timestamps=args.word_timestamps, alignment_heads=heads,
+            draft=draft)
         if args.word_timestamps:
             hyps, segments, long_words = out
         else:

@@ -33,7 +33,7 @@ def _greedy_ref(params_t, cfg_t, mel, ids, mask, max_new, **kw):
 
 @pytest.mark.slow
 class TestSpeculativeExactness:
-    @pytest.mark.parametrize("k", [1, 3, 5])
+    @pytest.mark.parametrize("k", [1, 4])  # two compiles (slow-lane budget)
     def test_random_draft_bit_matches_target_greedy(self, setup, k):
         """Acceptance ~0 (independent random draft): output must STILL be
         the target's greedy sequence exactly."""
@@ -106,6 +106,26 @@ class TestSpeculativeExactness:
         np.testing.assert_array_equal(np.asarray(res.lengths),
                                       np.asarray(ref.lengths))
 
+    def test_sum_logprob_and_no_speech_parity(self, setup):
+        """The long-form quality signals (summed target logprob, no-speech
+        probability) must match greedy's values for the same sequence."""
+        cfg_t, params_t, cfg_d, params_d, mel = setup
+        ids, mask = pack_prefixes([[50257]] * 3, EOT)
+        ref = greedy_decode(params_t, cfg_t, mel, jnp.asarray(ids),
+                            jnp.asarray(mask), max_new=8, no_speech_id=50361)
+        res = speculative_greedy_decode(
+            params_d, cfg_d, params_t, cfg_t, mel,
+            jnp.asarray(ids), jnp.asarray(mask), k=3, max_new=8,
+            no_speech_id=50361)
+        np.testing.assert_array_equal(np.asarray(res.tokens),
+                                      np.asarray(ref.tokens))
+        np.testing.assert_allclose(np.asarray(res.sum_logprob),
+                                   np.asarray(ref.sum_logprob),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(res.no_speech_prob),
+                                   np.asarray(ref.no_speech_prob),
+                                   rtol=1e-4, atol=1e-5)
+
     def test_max_new_one(self, setup):
         cfg_t, params_t, cfg_d, params_d, mel = setup
         ids, mask = pack_prefixes([[50257]] * 3, EOT)
@@ -114,3 +134,32 @@ class TestSpeculativeExactness:
             params_d, cfg_d, params_t, cfg_t, mel,
             jnp.asarray(ids), jnp.asarray(mask), k=2, max_new=1)
         np.testing.assert_array_equal(np.asarray(res.tokens), ref_toks)
+
+
+@pytest.mark.slow
+class TestSpeculativeLongForm:
+    def test_long_form_draft_matches_plain(self, setup):
+        """transcribe_long_batch(draft=...) emits the same tokens as the
+        plain long-form loop (speculative t=0 pass is output-invariant)."""
+        from whisper_context_biasing_tpu.decode import transcribe_long_batch
+        from whisper_context_biasing_tpu.tokenizer import load_tokenizer
+
+        cfg_t, params_t, cfg_d, params_d, _ = setup
+        tok = load_tokenizer()
+        rng = np.random.default_rng(3)
+        win = cfg_t.n_audio_ctx * 320  # reduced test window
+        audios = [rng.standard_normal(int(win * 1.5)).astype(np.float32) * 0.1,
+                  rng.standard_normal(win // 2).astype(np.float32) * 0.1]
+
+        def mel_fn(batch):
+            from whisper_context_biasing_tpu.audio.mel import log_mel_spectrogram_np
+            return np.stack([log_mel_spectrogram_np(a)[:, :2 * cfg_t.n_audio_ctx]
+                             for a in batch])
+
+        kw = dict(mel_fn=mel_fn, max_new=6, temperatures=(0.0,),
+                  no_speech_threshold=None, logprob_threshold=None,
+                  compression_ratio_threshold=None, window_samples=win)
+        ref = transcribe_long_batch(params_t, cfg_t, tok, audios, **kw)
+        got = transcribe_long_batch(params_t, cfg_t, tok, audios,
+                                    draft=(params_d, cfg_d, 3), **kw)
+        assert got == ref

@@ -133,6 +133,9 @@ def transcribe_long_batch(
     alignment_heads: list[tuple[int, int]] | None = None,
     start_tokens: list[list[int]] | None = None,  # per-file decode starts
     window_samples: int = N_SAMPLES,  # 30 s for the standard configs
+    draft: tuple | None = None,  # (params_draft, cfg_draft, k): speculative
+                                 # decoding for the temperature-0 pass
+                                 # (decode/speculative.py; exact output)
 ) -> list[list[int]]:
     """Returns per-file token lists (concatenated over windows; timestamp
     tokens are kept when ``use_timestamps`` so callers can segment with
@@ -170,15 +173,32 @@ def transcribe_long_batch(
         sot_off = (jnp.asarray([len(st) for st in start_tokens], jnp.int32)
                    if start_tokens else 1)
 
+        if draft is not None and draft[1].n_mels != cfg.n_mels:
+            raise ValueError("long-form speculative decoding needs a draft "
+                             "with the target's n_mels (mel_fn is shared)")
+
         def decode_fn(mel, ids, mask, temperature, key):
+            ns_id = (tokenizer.no_speech
+                     if no_speech_threshold is not None else None)
+            if draft is not None and temperature == 0.0:
+                from .speculative import speculative_greedy_decode
+
+                dparams, dcfg, dk = draft
+                return speculative_greedy_decode(
+                    dparams, dcfg, params, cfg, jnp.asarray(mel),
+                    jnp.asarray(ids), jnp.asarray(mask), k=dk,
+                    max_new=max_new, eot_id=tokenizer.eot,
+                    bias_spans=spans, bias_boost=bias_boost,
+                    span_pad_id=tokenizer.eot,
+                    no_speech_id=ns_id, sot_offset=sot_off,
+                )
             return greedy_decode(
                 params, cfg, jnp.asarray(mel), jnp.asarray(ids), jnp.asarray(mask),
                 max_new=max_new, eot_id=tokenizer.eot,
                 bias_spans=spans, bias_boost=bias_boost,
                 span_pad_id=tokenizer.eot,
                 temperature=temperature, rng_key=key,
-                no_speech_id=(tokenizer.no_speech
-                              if no_speech_threshold is not None else None),
+                no_speech_id=ns_id,
                 sot_offset=sot_off,
             )
     if rng_key is None:

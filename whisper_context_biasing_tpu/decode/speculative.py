@@ -69,12 +69,15 @@ def speculative_greedy_decode(
     span_pad_id: int = 50256,
     input_features_draft: jax.Array | None = None,  # if the draft uses
                                                     # different n_mels
+    no_speech_id: int | None = None,
+    sot_offset=1,
 ) -> GreedyResult:
     """Batched speculative greedy decode (see module docstring).
 
     Returns a ``GreedyResult`` whose ``tokens``/``lengths`` bit-match
-    ``greedy_decode(params_target, cfg_target, ...)``. ``sum_logprob`` /
-    ``no_speech_prob`` are not computed (serving fast path)."""
+    ``greedy_decode(params_target, cfg_target, ...)``; ``sum_logprob`` and
+    ``no_speech_prob`` (when ``no_speech_id`` is given) carry the same
+    semantics, so the long-form fallback ladder composes."""
     if cfg_draft.n_vocab != cfg_target.n_vocab:
         raise ValueError("draft and target must share the vocabulary")
     b, p = prefix_ids.shape
@@ -107,6 +110,12 @@ def speculative_greedy_decode(
         params_target, cfg_target, input_features)
     _, cache_d, cross_d, _, _ = prefill(params_draft, cfg_draft, feats_d)
 
+    no_speech_prob = None
+    if no_speech_id is not None:
+        off = jnp.broadcast_to(jnp.asarray(sot_offset, jnp.int32), (b,))
+        sot_lg = lg_t[jnp.arange(b), p - off].astype(jnp.float32)
+        no_speech_prob = jax.nn.softmax(sot_lg, axis=-1)[:, no_speech_id]
+
     use_bias = bias_spans is not None and bias_boost != 0.0
     if bias_spans is None:
         bias_spans = jnp.zeros((b, 1, 1), jnp.int32)
@@ -123,7 +132,10 @@ def speculative_greedy_decode(
 
     # first emitted token: target's (biased) greedy pick on the prefill
     # logits — identical to greedy_decode's first_tok
-    cur0 = jnp.argmax(bonused(lg_t[:, -1], bias_state0), axis=-1).astype(jnp.int32)
+    lg0 = bonused(lg_t[:, -1], bias_state0)
+    cur0 = jnp.argmax(lg0, axis=-1).astype(jnp.int32)
+    sum_lp0 = jnp.take_along_axis(
+        jax.nn.log_softmax(lg0, axis=-1), cur0[:, None], axis=1)[:, 0]
     state_after_cur0 = (
         advance_bias_state(bias_state0, bias_spans, cur0) if use_bias else bias_state0
     )
@@ -142,6 +154,7 @@ def speculative_greedy_decode(
         out: jax.Array        # (B, max_new+1)
         finished: jax.Array   # (B,)
         bias_state: BiasTrieState  # advanced through all emitted tokens
+        sum_lp: jax.Array     # (B,) f32 — greedy-parity logprob accumulator
 
     def round_step(c: Carry) -> Carry:
         slot_cur = p + c.n - 1  # (B,) cache slot of cur
@@ -180,16 +193,20 @@ def speculative_greedy_decode(
         # prefix under which t_j would be used)
         def verify_scan(state, xs):
             lg_j, d_j = xs  # (B, V), (B,) the chunk token at this position
-            t_j = jnp.argmax(bonused(lg_j, state), axis=-1).astype(jnp.int32)
+            blg = bonused(lg_j, state)
+            t_j = jnp.argmax(blg, axis=-1).astype(jnp.int32)
+            lp_j = jnp.take_along_axis(
+                jax.nn.log_softmax(blg, axis=-1), t_j[:, None], axis=1)[:, 0]
             state = (advance_bias_state(state, bias_spans, d_j)
                      if use_bias else state)
-            return state, t_j
+            return state, (t_j, lp_j)
 
         # scan over positions: xs leading axis = k+1
-        _, t_seq = jax.lax.scan(
+        _, (t_seq, lp_seq) = jax.lax.scan(
             verify_scan, c.bias_state,
             (jnp.swapaxes(lg.astype(jnp.float32), 0, 1), jnp.swapaxes(drafted_pad(ds, k), 0, 1)))
-        t_seq = jnp.swapaxes(t_seq, 0, 1)  # (B, k+1): t_0..t_k
+        t_seq = jnp.swapaxes(t_seq, 0, 1)    # (B, k+1): t_0..t_k
+        lp_seq = jnp.swapaxes(lp_seq, 0, 1)  # (B, k+1)
 
         # acceptance: d_{j+1} accepted while it equals t_j (greedy target)
         match = drafted == t_seq[:, :k]                      # (B, k)
@@ -220,6 +237,9 @@ def speculative_greedy_decode(
 
         emitted = jnp.sum(valid, axis=1)                      # (B,)
         n = c.n + emitted
+        # every emitted token's (biased) target logprob — the emitted token
+        # at chunk position j IS t_seq[j] (accepted draft == target argmax)
+        sum_lp = c.sum_lp + jnp.sum(jnp.where(valid, lp_seq, 0.0), axis=1)
         finished = c.finished | jnp.any(is_eot & valid, axis=1) | (n >= max_new)
         cur = jnp.where(c.finished, c.cur, correction)
         pos_cur = c.pos_cur + emitted
@@ -240,20 +260,22 @@ def speculative_greedy_decode(
         else:
             bias_state = c.bias_state
 
-        return Carry(n, cur, pos_cur, cache_d, cache_t, out, finished, bias_state)
+        return Carry(n, cur, pos_cur, cache_d, cache_t, out, finished,
+                     bias_state, sum_lp)
 
     def cond(c: Carry):
         return jnp.any(~c.finished)
 
     init = Carry(jnp.ones((b,), jnp.int32), cur0, pos_cur0, cache_d, cache_t,
-                 out0, finished0, state_after_cur0)
+                 out0, finished0, state_after_cur0, sum_lp0)
     final = jax.lax.while_loop(cond, round_step, init)
 
     tokens = final.out[:, :max_new]
     is_eot = tokens == eot_id
     any_eot = jnp.any(is_eot, axis=1)
     lengths = jnp.where(any_eot, jnp.argmax(is_eot, axis=1), max_new).astype(jnp.int32)
-    return GreedyResult(tokens=tokens, lengths=lengths)
+    return GreedyResult(tokens=tokens, lengths=lengths,
+                        sum_logprob=final.sum_lp, no_speech_prob=no_speech_prob)
 
 
 def speculative_decode_batch(
