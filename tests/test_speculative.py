@@ -126,6 +126,23 @@ class TestSpeculativeExactness:
                                    np.asarray(ref.no_speech_prob),
                                    rtol=1e-4, atol=1e-5)
 
+    def test_spec_rounds_reflect_acceptance(self, setup):
+        """Self-draft (full acceptance) finishes in ~max_new/(k+1) rounds;
+        an independent random draft needs ~1 round per token."""
+        cfg_t, params_t, cfg_d, params_d, mel = setup
+        ids, mask = pack_prefixes([[50257]] * 3, EOT)
+        fast = speculative_greedy_decode(
+            params_t, cfg_t, params_t, cfg_t, mel,
+            jnp.asarray(ids), jnp.asarray(mask), k=4, max_new=12)
+        slow = speculative_greedy_decode(
+            params_d, cfg_d, params_t, cfg_t, mel,
+            jnp.asarray(ids), jnp.asarray(mask), k=4, max_new=12)
+        max_len = int(np.asarray(fast.lengths).max())
+        if max_len > 4:  # enough tokens for acceptance to matter
+            assert int(fast.spec_rounds) < int(slow.spec_rounds)
+        # full acceptance: ceil((tokens-1)/(k+1)) rounds
+        assert int(fast.spec_rounds) <= -(-11 // 5) + 1
+
     def test_max_new_one(self, setup):
         cfg_t, params_t, cfg_d, params_d, mel = setup
         ids, mask = pack_prefixes([[50257]] * 3, EOT)

@@ -51,6 +51,10 @@ class GreedyResult(NamedTuple):
     no_speech_prob: jax.Array | None = None  # (B,) f32 — P(<|nospeech|>) in the
                             # distribution at the <|sot|> input position
                             # (OpenAI's silence detector; needs no_speech_id)
+    spec_rounds: jax.Array | None = None  # scalar int32 — verification rounds
+                            # used by speculative decoding (None for plain
+                            # greedy); mean accepted run length per round =
+                            # max(lengths)/rounds, the k-tuning signal
 
 
 def pack_prefixes(

@@ -155,6 +155,7 @@ def speculative_greedy_decode(
         finished: jax.Array   # (B,)
         bias_state: BiasTrieState  # advanced through all emitted tokens
         sum_lp: jax.Array     # (B,) f32 — greedy-parity logprob accumulator
+        rounds: jax.Array     # scalar int32 — verification rounds so far
 
     def round_step(c: Carry) -> Carry:
         slot_cur = p + c.n - 1  # (B,) cache slot of cur
@@ -261,13 +262,14 @@ def speculative_greedy_decode(
             bias_state = c.bias_state
 
         return Carry(n, cur, pos_cur, cache_d, cache_t, out, finished,
-                     bias_state, sum_lp)
+                     bias_state, sum_lp, c.rounds + 1)
 
     def cond(c: Carry):
         return jnp.any(~c.finished)
 
     init = Carry(jnp.ones((b,), jnp.int32), cur0, pos_cur0, cache_d, cache_t,
-                 out0, finished0, state_after_cur0, sum_lp0)
+                 out0, finished0, state_after_cur0, sum_lp0,
+                 jnp.int32(0))
     final = jax.lax.while_loop(cond, round_step, init)
 
     tokens = final.out[:, :max_new]
@@ -275,7 +277,8 @@ def speculative_greedy_decode(
     any_eot = jnp.any(is_eot, axis=1)
     lengths = jnp.where(any_eot, jnp.argmax(is_eot, axis=1), max_new).astype(jnp.int32)
     return GreedyResult(tokens=tokens, lengths=lengths,
-                        sum_logprob=final.sum_lp, no_speech_prob=no_speech_prob)
+                        sum_logprob=final.sum_lp, no_speech_prob=no_speech_prob,
+                        spec_rounds=final.rounds)
 
 
 def speculative_decode_batch(
