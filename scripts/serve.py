@@ -132,19 +132,6 @@ class Engine:
                 args.init_checkpoint, self.cfg)
         else:
             self.params = init_params(self.cfg, 0)
-        # optional speculative decoding (greedy path, exact output —
-        # decode/speculative.py); mesh decode keeps the plain path
-        self.draft_params = self.draft_cfg = None
-        if args.draft_model:
-            self.draft_cfg = get_config(args.draft_model, dtype="bfloat16",
-                                        gelu_approx=True)
-            if args.draft_checkpoint:
-                self.draft_params, self.draft_cfg = load_checkpoint_or_safetensors(
-                    args.draft_checkpoint, self.draft_cfg)
-            else:
-                print("warning: random draft weights — speculative decode "
-                      "will be slower than plain greedy", file=sys.stderr)
-                self.draft_params = init_params(self.draft_cfg, 0)
         self.collator = SpeechSeq2SeqCollator(
             pad_token_id=self.tokenizer.pad_token_id,
             decoder_start_token_id=self.tokenizer.sot,
@@ -161,6 +148,26 @@ class Engine:
         if self.mesh is not None:
             self.params = shard_params(self.params, self.mesh)
             print(f"mesh: {dict(self.mesh.shape)}", file=sys.stderr)
+
+        # optional speculative decoding (greedy path, exact output —
+        # decode/speculative.py). The draft inherits the fast serving
+        # overrides so it runs the same kernel family as the target;
+        # mesh decode keeps the plain path, so skip the load there.
+        self.draft_params = self.draft_cfg = None
+        if args.draft_model:
+            if self.mesh is not None:
+                print("warning: --draft_model ignored under a device mesh "
+                      "(speculative decoding is single-mesh only)",
+                      file=sys.stderr)
+            else:
+                from whisper_context_biasing_tpu.decode import load_draft
+
+                self.draft_params, self.draft_cfg = load_draft(
+                    args.draft_model, args.draft_checkpoint,
+                    overrides=dict(flash_attention=True, flash_block_q=1536,
+                                   quantize_cross_kv=True,
+                                   fused_quant_cross=True, gelu_approx=True),
+                    target_cfg=self.cfg)
 
         self.q: queue.Queue = queue.Queue()
         self.streams: dict = {}
@@ -329,8 +336,14 @@ class Engine:
             start_tokens, langs = self._starts_for(mel_fn(first), opts)
 
         want_words = any(o.get("words") for o in opts[:n])
+        # speculative decoding composes with the seek loop's temperature-0
+        # pass (long_form.py draft=); needs the target's mel layout
+        draft = None
+        if (self.draft_params is not None
+                and self.draft_cfg.n_mels == self.cfg.n_mels):
+            draft = (self.draft_params, self.draft_cfg, self.args.spec_k)
         out = self.transcribe_long_batch(
-            self.params, self.cfg, tok, audios, mel_fn=mel_fn,
+            self.params, self.cfg, tok, audios, mel_fn=mel_fn, draft=draft,
             max_new=self.args.max_tokens,
             contexts=ctx if any(ctx) else None,
             bias_spans=spans, bias_boost=self.args.bias_boost,

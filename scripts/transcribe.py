@@ -216,11 +216,11 @@ def main():
 
     dev = jax.config.jax_default_device or jax.devices()[0]
     fast = getattr(dev, "platform", None) == "tpu" and not args.exact
-    cfg = get_config(args.model, dtype="bfloat16",
-                     # the serve.py fast path: Pallas kernels + int8 cross-KV
-                     flash_attention=fast, flash_block_q=1536 if fast else 256,
-                     quantize_cross_kv=fast, fused_quant_cross=fast,
-                     gelu_approx=fast)
+    fast_overrides = dict(
+        # the serve.py fast path: Pallas kernels + int8 cross-KV
+        flash_attention=fast, flash_block_q=1536 if fast else 256,
+        quantize_cross_kv=fast, fused_quant_cross=fast, gelu_approx=fast)
+    cfg = get_config(args.model, dtype="bfloat16", **fast_overrides)
     from whisper_context_biasing_tpu.utils import warn_missing_assets
     warn_missing_assets(args.vocab, args.init_checkpoint, "transcribe")
     if args.init_checkpoint:
@@ -241,19 +241,16 @@ def main():
                   file=sys.stderr)
         draft = None
         if args.draft_model:
-            dcfg = get_config(args.draft_model, dtype="bfloat16",
-                              gelu_approx=fast)
+            from whisper_context_biasing_tpu.decode import load_draft
+
+            dparams, dcfg = load_draft(args.draft_model,
+                                       args.draft_checkpoint,
+                                       overrides=fast_overrides,
+                                       target_cfg=cfg)
             if dcfg.n_mels != cfg.n_mels:
                 print("warning: --draft_model n_mels mismatch; speculative "
                       "long-form disabled", file=sys.stderr)
             else:
-                if args.draft_checkpoint:
-                    dparams, dcfg = load_checkpoint_or_safetensors(
-                        args.draft_checkpoint, dcfg)
-                else:
-                    print("warning: random draft weights (no "
-                          "--draft_checkpoint): acceptance ~0", file=sys.stderr)
-                    dparams = init_params(dcfg, 0)
                 draft = (dparams, dcfg, args.spec_k)
 
         raw = [load_audio(p) for p in args.audio]
@@ -365,14 +362,10 @@ def main():
     elif args.draft_model:
         from whisper_context_biasing_tpu.decode import speculative_decode_batch
 
-        dcfg = get_config(args.draft_model, dtype="bfloat16", gelu_approx=fast)
-        if args.draft_checkpoint:
-            dparams, dcfg = load_checkpoint_or_safetensors(args.draft_checkpoint, dcfg)
-        else:
-            print("warning: random draft weights (no --draft_checkpoint): "
-                  "acceptance ~0, speculative decode will be SLOWER",
-                  file=sys.stderr)
-            dparams = init_params(dcfg, 0)
+        from whisper_context_biasing_tpu.decode import load_draft
+
+        dparams, dcfg = load_draft(args.draft_model, args.draft_checkpoint,
+                                   overrides=fast_overrides, target_cfg=cfg)
         mel_d = None
         if dcfg.n_mels != cfg.n_mels:
             mel_d = np.asarray(log_mel_spectrogram_fused(

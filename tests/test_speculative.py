@@ -152,6 +152,56 @@ class TestSpeculativeExactness:
             jnp.asarray(ids), jnp.asarray(mask), k=2, max_new=1)
         np.testing.assert_array_equal(np.asarray(res.tokens), ref_toks)
 
+    def test_draft_with_smaller_text_ctx(self, setup):
+        """A draft whose decoder context is shorter than the target's must
+        not truncate the emitted sequence: draft positions saturate at its
+        table edge while the target decodes to its own budget."""
+        from whisper_context_biasing_tpu.models import (
+            init_params, tiny_test_config)
+
+        cfg_t, params_t, _, _, mel = setup
+        cfg_d = tiny_test_config(n_audio_layers=1, n_text_layers=1,
+                                 d_model=32, n_heads=2, n_text_ctx=8)
+        params_d = init_params(cfg_d, 11)
+        ids, mask = pack_prefixes([[50360, 11, 50257]] * 3, EOT)  # p=3
+        # p + max_new = 15 > draft ctx 8: the old clamp would cut to 5
+        ref_toks, ref_lens = _greedy_ref(params_t, cfg_t, mel, ids, mask, 12)
+        res = speculative_greedy_decode(
+            params_d, cfg_d, params_t, cfg_t, mel,
+            jnp.asarray(ids), jnp.asarray(mask), k=3, max_new=12)
+        np.testing.assert_array_equal(np.asarray(res.tokens), ref_toks)
+        np.testing.assert_array_equal(np.asarray(res.lengths), ref_lens)
+
+    def test_multilingual_span_pad_id_parity(self):
+        """Batch wrapper parity on a MULTILINGUAL tokenizer: bias spans are
+        padded with eot=50257 there, and the wrapper must thread
+        span_pad_id=tokenizer.eot exactly like greedy's decode_batch (a
+        50256 default would count pad slots as span tokens and boost eot)."""
+        from whisper_context_biasing_tpu.decode import (
+            decode_batch, speculative_decode_batch)
+        from whisper_context_biasing_tpu.models import (
+            init_params, tiny_test_config)
+        from whisper_context_biasing_tpu.tokenizer import load_tokenizer
+
+        tok = load_tokenizer(multilingual=True)
+        cfg_t = tiny_test_config(n_vocab=51866)
+        cfg_d = tiny_test_config(n_audio_layers=1, n_text_layers=1,
+                                 d_model=32, n_heads=2, n_vocab=51866)
+        params_t = init_params(cfg_t, 0)
+        params_d = init_params(cfg_d, 7)
+        rng = np.random.default_rng(1)
+        mel = (rng.standard_normal((2, 80, 128)) * 0.5).astype(np.float32)
+        # ragged spans: pad slots hold tok.eot == 50257
+        span = np.full((2, 2, 3), tok.eot, np.int32)
+        span[0, 0] = [123, 456, 789]
+        span[1, 0, :1] = [321]
+        ref = decode_batch(params_t, cfg_t, tok, mel, max_new=8,
+                           bias_spans=span, bias_boost=4.0)
+        got = speculative_decode_batch(
+            params_d, cfg_d, params_t, cfg_t, tok, mel, max_new=8,
+            bias_spans=span, bias_boost=4.0, k=3)
+        assert got == ref
+
 
 @pytest.mark.slow
 class TestSpeculativeLongForm:

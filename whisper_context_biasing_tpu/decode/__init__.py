@@ -11,7 +11,11 @@ from .bias_processor import (
     seed_bias_state_from_prefix,
 )
 from .greedy import GreedyResult, decode_batch, greedy_decode, pack_prefixes
-from .speculative import speculative_decode_batch, speculative_greedy_decode
+from .speculative import (
+    load_draft,
+    speculative_decode_batch,
+    speculative_greedy_decode,
+)
 from .beam import BeamResult, beam_decode, beam_decode_batch
 from .language import detect_language, resolve_start_tokens
 from .long_form import split_windows, transcribe_long, transcribe_long_batch
@@ -30,6 +34,7 @@ __all__ = [
     "greedy_decode",
     "speculative_greedy_decode",
     "speculative_decode_batch",
+    "load_draft",
     "decode_batch",
     "pack_prefixes",
     "BeamResult",

@@ -20,6 +20,15 @@ state is advanced along the chunk inside the verify scan. Tested against
 Throughput depends on the draft/target agreement rate: ~(a+1)x fewer target
 weight reads at acceptance a. With random weights acceptance is ~0 and this
 is strictly slower — the win needs real weights (docs/PERF.md round 3).
+
+Numerics caveat: "exact" means exact given bit-identical target logits. The
+verify forward scores k+1 positions in one call while plain greedy scores
+one, so on configs where the two sequence lengths take different kernels
+(e.g. the fused int8 single-step path vs the S>1 quantized-cross path) a
+near-tie between the top-2 logits can argmax-flip relative to plain greedy.
+The equivalence tests pin f32/bf16 configs where both paths share kernels;
+on the TPU fast serving config treat equivalence as quality-neutral rather
+than bitwise.
 """
 
 from __future__ import annotations
@@ -82,14 +91,21 @@ def speculative_greedy_decode(
         raise ValueError("draft and target must share the vocabulary")
     b, p = prefix_ids.shape
     v = cfg_target.n_vocab
-    max_new = min(max_new, cfg_target.n_text_ctx - p, cfg_draft.n_text_ctx - p)
+    # clamp by the TARGET context only (greedy parity); a draft with a
+    # smaller decoder context keeps proposing with its position ids
+    # saturated at its table edge — degraded proposals there just lower
+    # acceptance, never the emitted sequence
+    max_new = min(max_new, cfg_target.n_text_ctx - p)
     if max_new < 1:
         raise ValueError(f"prefix length {p} leaves no room to generate")
+
+    def dpos(pos):
+        return jnp.minimum(pos, cfg_draft.n_text_ctx - 1)
     cache_len = p + max_new + k + 1  # chunk overshoot margin
     feats_d = input_features if input_features_draft is None else input_features_draft
 
     # ---- prefill both models on the prefix (scalar offsets, like greedy) --
-    def prefill(params, cfg, feats):
+    def prefill(params, cfg, feats, pos_fn=lambda x: x):
         enc = encode_audio(params, cfg, feats)
         cross = precompute_cross_kv(params, cfg, enc)
         if cfg.quantize_cross_kv:
@@ -103,12 +119,14 @@ def speculative_greedy_decode(
             [prefix_mask, jnp.ones((b, cache_len - p), bool)], axis=1)
         logits, cache = decode_tokens(
             params, cfg, prefix_ids, cross_kv=cross, cache=cache,
-            pos_offset=0, token_positions=prefix_pos, self_mask=key_mask)
+            pos_offset=0, token_positions=pos_fn(prefix_pos),
+            self_mask=key_mask)
         return logits, cache, cross, key_mask, prefix_pos
 
     lg_t, cache_t, cross_t, key_mask, prefix_pos = prefill(
         params_target, cfg_target, input_features)
-    _, cache_d, cross_d, _, _ = prefill(params_draft, cfg_draft, feats_d)
+    _, cache_d, cross_d, _, _ = prefill(params_draft, cfg_draft, feats_d,
+                                        pos_fn=dpos)
 
     no_speech_prob = None
     if no_speech_id is not None:
@@ -167,7 +185,8 @@ def speculative_greedy_decode(
             lg, cache_d = decode_tokens(
                 params_draft, cfg_draft, x[:, None], cross_kv=cross_d,
                 cache=cache_d, pos_offset=slot_cur + j,
-                token_positions=(c.pos_cur + j)[:, None], self_mask=key_mask)
+                token_positions=dpos(c.pos_cur + j)[:, None],
+                self_mask=key_mask)
             nxt = jnp.argmax(bonused(lg[:, -1], dstate), axis=-1).astype(jnp.int32)
             dstate = (advance_bias_state(dstate, bias_spans, nxt)
                       if use_bias else dstate)
@@ -326,12 +345,56 @@ def speculative_decode_batch(
         jnp.asarray(input_features), jnp.asarray(ids), jnp.asarray(mask),
         k=k, max_new=max_new, eot_id=tokenizer.eot,
         bias_spans=None if spans is None else jnp.asarray(spans),
-        bias_boost=bias_boost,
+        bias_boost=bias_boost, span_pad_id=tokenizer.eot,
         input_features_draft=None if input_features_draft is None
         else jnp.asarray(input_features_draft))
     toks = np.asarray(res.tokens)
     lens = np.asarray(res.lengths)
     return [toks[i, : lens[i]].tolist() for i in range(b)]
+
+
+_DRAFT_OVERRIDE_KEYS = ("flash_attention", "flash_block_q",
+                        "quantize_cross_kv", "fused_quant_cross",
+                        "gelu_approx")
+
+
+def load_draft(
+    model: str,
+    checkpoint: str | None = None,
+    *,
+    dtype: str = "bfloat16",
+    overrides: dict | None = None,
+    target_cfg: WhisperConfig | None = None,
+    cfg: WhisperConfig | None = None,
+):
+    """Shared draft-model loader for Pipeline / serve.py / transcribe.py.
+
+    Builds the draft config from the family name, inheriting the caller's
+    serving overrides (kernel/quantization keys only, so the draft runs the
+    same fast path the target does), loads ``checkpoint`` or falls back to
+    random init with the standard stderr warning, and validates the shared
+    vocabulary against ``target_cfg``. Returns ``(params, cfg)``. A draft
+    whose ``n_mels`` differs from the target's is allowed here — short-form
+    decode feeds it a separate mel; long-form callers must check."""
+    import sys
+
+    from ..models import get_config, init_params, load_checkpoint_or_safetensors
+
+    if cfg is None:
+        ov = {km: vv for km, vv in (overrides or {}).items()
+              if km in _DRAFT_OVERRIDE_KEYS}
+        cfg = get_config(model, dtype=dtype, **ov)
+    if checkpoint:
+        params, cfg = load_checkpoint_or_safetensors(checkpoint, cfg)
+    else:
+        print("warning: random draft weights (no draft checkpoint): "
+              "acceptance ~0, speculative decode will be slower than plain "
+              "greedy", file=sys.stderr)
+        params = init_params(cfg, 0)
+    if target_cfg is not None and cfg.n_vocab != target_cfg.n_vocab:
+        raise ValueError(f"draft {model} vocab {cfg.n_vocab} != target "
+                         f"vocab {target_cfg.n_vocab}")
+    return params, cfg
 
 
 def drafted_pad(ds: jax.Array, k: int) -> jax.Array:

@@ -86,23 +86,23 @@ class Pipeline:
         self.model_name = model
         self.tokenizer = tokenizer or load_tokenizer(
             vocab, merges, multilingual=not model.endswith(".en"))
+        import jax
+
+        if fast is None:  # auto: serving approximations on real TPUs only
+            dev = jax.config.jax_default_device or jax.devices()[0]
+            fast = getattr(dev, "platform", None) == "tpu"
+        overrides = dict(config_overrides or {})
+        if fast:
+            # the serve.py fast path: Pallas kernels + int8 cross-KV +
+            # tanh gelu (errors below bf16 rounding, docs/PERF.md)
+            overrides.setdefault("flash_attention", True)
+            overrides.setdefault("flash_block_q", 1536)
+            overrides.setdefault("quantize_cross_kv", True)
+            overrides.setdefault("fused_quant_cross", True)
+            overrides.setdefault("gelu_approx", True)
         if config is not None:
             self.cfg = config
         else:
-            import jax
-
-            if fast is None:  # auto: serving approximations on real TPUs only
-                dev = jax.config.jax_default_device or jax.devices()[0]
-                fast = getattr(dev, "platform", None) == "tpu"
-            overrides = dict(config_overrides or {})
-            if fast:
-                # the serve.py fast path: Pallas kernels + int8 cross-KV +
-                # tanh gelu (errors below bf16 rounding, docs/PERF.md)
-                overrides.setdefault("flash_attention", True)
-                overrides.setdefault("flash_block_q", 1536)
-                overrides.setdefault("quantize_cross_kv", True)
-                overrides.setdefault("fused_quant_cross", True)
-                overrides.setdefault("gelu_approx", True)
             self.cfg = get_config(model, dtype=dtype, **overrides)
         if params is not None:
             self.params = params
@@ -129,27 +129,46 @@ class Pipeline:
             self.params = shard_params(self.params, self.mesh)
 
         # optional speculative decoding: a small draft model accelerates
-        # the greedy path with EXACT output equivalence (decode/speculative)
+        # the greedy path with EXACT output equivalence (decode/speculative).
+        # The draft inherits the target's fast-path overrides so it runs the
+        # same kernel family speculation is meant to amortize.
         self.draft_params = self.draft_cfg = None
         self.speculative_k = speculative_k
         if draft_model or draft_config is not None:
-            self.draft_cfg = draft_config if draft_config is not None else get_config(
-                draft_model, dtype=dtype,
-                **{km: vv for km, vv in (config_overrides or {}).items()
-                   if km in ("flash_attention", "gelu_approx")})
+            # build + validate the draft config up front (cheap), then skip
+            # the expensive weight load under a mesh — mesh-sharded decode
+            # keeps the plain path (per-row cache offsets under GSPMD are
+            # not validated), so the weights would only burn HBM
+            if draft_config is not None:
+                self.draft_cfg = draft_config
+            else:
+                ov = {km: vv for km, vv in overrides.items()
+                      if km in ("flash_attention", "flash_block_q",
+                                "quantize_cross_kv", "fused_quant_cross",
+                                "gelu_approx")}
+                self.draft_cfg = get_config(draft_model, dtype=dtype, **ov)
             if self.draft_cfg.n_vocab != self.cfg.n_vocab:
                 raise ValueError(
-                    f"draft {draft_model} vocab {self.draft_cfg.n_vocab} != "
-                    f"target vocab {self.cfg.n_vocab}")
-            if draft_params is not None:
+                    f"draft {draft_model} vocab {self.draft_cfg.n_vocab}"
+                    f" != target vocab {self.cfg.n_vocab}")
+            if self.mesh is not None:
+                import warnings
+
+                warnings.warn("draft_model is ignored under a device mesh: "
+                              "speculative decoding is single-mesh only; "
+                              "skipping draft load")
+                self.draft_cfg = None
+            elif draft_params is not None:
                 self.draft_params = draft_params
             elif draft_checkpoint:
                 self.draft_params, self.draft_cfg = (
-                    load_checkpoint_or_safetensors(draft_checkpoint, self.draft_cfg))
+                    load_checkpoint_or_safetensors(draft_checkpoint,
+                                                   self.draft_cfg))
             else:
-                self.draft_params = init_params(self.draft_cfg, 0)
-            if self.mesh is not None:
-                self.draft_params = shard_params(self.draft_params, self.mesh)
+                from .decode import load_draft
+
+                self.draft_params, self.draft_cfg = load_draft(
+                    draft_model, cfg=self.draft_cfg, target_cfg=self.cfg)
 
     # -- helpers ----------------------------------------------------------
 
@@ -294,8 +313,20 @@ class Pipeline:
             long_form == "auto" and any(len(c) > win for c in clips))
 
         if use_long:
+            import warnings
+
             from .decode import transcribe_long_batch
 
+            draft = None
+            if self.draft_params is not None:
+                if self.draft_cfg.n_mels == self.cfg.n_mels:
+                    draft = (self.draft_params, self.draft_cfg,
+                             self.speculative_k)
+                else:
+                    warnings.warn(
+                        "long-form speculative decoding needs a draft with "
+                        f"the target's n_mels ({self.cfg.n_mels}); draft has "
+                        f"{self.draft_cfg.n_mels} — decoding plain")
             first = self._mel(np.stack([pad_or_trim(c, win) for c in clips]))
             starts, langs = self._starts(first, language, task)
             out = transcribe_long_batch(
@@ -307,7 +338,7 @@ class Pipeline:
                 start_tokens=starts, return_segments=True,
                 word_timestamps=word_timestamps,
                 alignment_heads=alignment_heads,
-                prefix_pad_to_multiple=32, window_samples=win)
+                prefix_pad_to_multiple=32, window_samples=win, draft=draft)
             if word_timestamps:
                 hyps, segs, long_words = out
             else:
@@ -328,7 +359,8 @@ class Pipeline:
 
         from .decode import beam_decode_batch, decode_batch, find_word_timestamps
 
-        mel = self._mel(np.stack([pad_or_trim(c, win) for c in clips]))
+        stacked = np.stack([pad_or_trim(c, win) for c in clips])
+        mel = self._mel(stacked)
         # one shared encoder pass for language id + word alignment (decode
         # still encodes inside its own program)
         enc = None
@@ -356,9 +388,7 @@ class Pipeline:
             kwargs.pop("mesh", None)
             mel_d = None
             if self.draft_cfg.n_mels != self.cfg.n_mels:
-                mel_d = self._mel(
-                    np.stack([pad_or_trim(c, win) for c in clips]),
-                    n_mels=self.draft_cfg.n_mels)
+                mel_d = self._mel(stacked, n_mels=self.draft_cfg.n_mels)
             hyps = speculative_decode_batch(
                 self.draft_params, self.draft_cfg, self.params, self.cfg,
                 self.tokenizer, mel, k=self.speculative_k,
