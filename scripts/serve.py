@@ -151,23 +151,21 @@ class Engine:
 
         # optional speculative decoding (greedy path, exact output —
         # decode/speculative.py). The draft inherits the fast serving
-        # overrides so it runs the same kernel family as the target;
-        # mesh decode keeps the plain path, so skip the load there.
+        # overrides so it runs the same kernel family as the target.
         self.draft_params = self.draft_cfg = None
         if args.draft_model:
-            if self.mesh is not None:
-                print("warning: --draft_model ignored under a device mesh "
-                      "(speculative decoding is single-mesh only)",
-                      file=sys.stderr)
-            else:
-                from whisper_context_biasing_tpu.decode import load_draft
+            from whisper_context_biasing_tpu.decode import load_draft
 
-                self.draft_params, self.draft_cfg = load_draft(
-                    args.draft_model, args.draft_checkpoint,
-                    overrides=dict(flash_attention=True, flash_block_q=1536,
-                                   quantize_cross_kv=True,
-                                   fused_quant_cross=True, gelu_approx=True),
-                    target_cfg=self.cfg)
+            self.draft_params, self.draft_cfg = load_draft(
+                args.draft_model, args.draft_checkpoint,
+                overrides=dict(flash_attention=True, flash_block_q=1536,
+                               quantize_cross_kv=True,
+                               fused_quant_cross=True, gelu_approx=True),
+                target_cfg=self.cfg)
+            if self.mesh is not None:
+                # the draft shards like the target: params over "model",
+                # decode batches over "data" (speculative_decode_batch mesh=)
+                self.draft_params = shard_params(self.draft_params, self.mesh)
 
         self.q: queue.Queue = queue.Queue()
         self.streams: dict = {}
@@ -269,10 +267,9 @@ class Engine:
         if self.args.num_beams > 1:
             hyps = self.beam_decode_batch(self.params, self.cfg, tok, mel,
                                           num_beams=self.args.num_beams, **kwargs)
-        elif self.draft_params is not None and self.mesh is None:
+        elif self.draft_params is not None:
             from whisper_context_biasing_tpu.decode import speculative_decode_batch
 
-            kwargs.pop("mesh", None)
             mel_d = None
             if self.draft_cfg.n_mels != self.cfg.n_mels:
                 mel_d = np.asarray(self.mel_fn(self.jnp.asarray(audio),

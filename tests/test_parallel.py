@@ -156,6 +156,35 @@ class TestShardedDecode:
                            bias_spans=spans, bias_boost=0.5, mesh=mesh)
         assert out == ref
 
+    def test_speculative_decode_batch_mesh(self, setup):
+        """Speculative decode under a dp x tp mesh: the per-row cache
+        offsets (vmapped dynamic_update_slice + slot-causal masks) are
+        row-local, so batch sharding must reproduce the single-device
+        (= plain greedy) token lists exactly."""
+        from whisper_context_biasing_tpu.decode import (
+            decode_batch, speculative_decode_batch)
+        from whisper_context_biasing_tpu.models import tiny_test_config
+        from whisper_context_biasing_tpu.tokenizer import load_tokenizer
+
+        cfg, params, batch = setup
+        cfg_d = tiny_test_config(n_audio_layers=1, n_text_layers=1,
+                                 d_model=32, n_heads=2)
+        params_d = init_params(cfg_d, 7)
+        tok = load_tokenizer(multilingual=True)
+        mel = batch["input_features"][:5]  # 5 rows, dp=4 -> pads to 8
+        spans = np.full((5, 2, 3), tok.eot, np.int32)
+        spans[0, 0, :2] = [7, 8]
+        ref = decode_batch(params, cfg, tok, mel, max_new=6,
+                           bias_spans=spans, bias_boost=0.5)
+
+        mesh = make_mesh(model_parallelism=2, devices=cpu_devices())
+        p_sh = shard_params(params, mesh)
+        pd_sh = shard_params(params_d, mesh)
+        out = speculative_decode_batch(
+            pd_sh, cfg_d, p_sh, cfg, tok, mel, max_new=6, k=3,
+            bias_spans=spans, bias_boost=0.5, mesh=mesh)
+        assert out == ref
+
     def test_beam_decode_batch_mesh(self, setup):
         from whisper_context_biasing_tpu.decode import beam_decode_batch
         from whisper_context_biasing_tpu.tokenizer import load_tokenizer

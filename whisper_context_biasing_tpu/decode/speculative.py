@@ -316,11 +316,17 @@ def speculative_decode_batch(
     pad_to_multiple: int | None = None,
     starts: list[list[int]] | None = None,
     input_features_draft=None,
+    mesh=None,
 ) -> list[list[int]]:
     """Host-side convenience mirroring ``greedy.decode_batch``: build
     prefixes (optional ``<|sop|>+context`` conditioning, per-row ``starts``),
     run the jitted speculative loop, strip to finished token lists. Output
-    token lists are identical to ``decode_batch`` with the target model."""
+    token lists are identical to ``decode_batch`` with the target model.
+
+    ``mesh``: shard the decode batch axis over the mesh's "data" axis (and
+    both models' params over "model" when the caller sharded them), exactly
+    like ``decode_batch``. The per-row cache-offset machinery is row-local,
+    so batch sharding composes (tests/test_parallel.py)."""
     import numpy as np
 
     from .bias_processor import sanitize_bias_spans
@@ -340,14 +346,24 @@ def speculative_decode_batch(
     ids, mask = pack_prefixes(prefixes, tokenizer.eot,
                               pad_to_multiple=pad_to_multiple)
     spans = sanitize_bias_spans(bias_spans)
+    if mesh is not None:
+        from ..parallel import shard_decode_inputs
+
+        (feats, ids, mask, spans, feats_d), b = shard_decode_inputs(
+            mesh, input_features, ids, mask, spans, input_features_draft)
+    else:
+        feats = jnp.asarray(input_features)
+        ids, mask = jnp.asarray(ids), jnp.asarray(mask)
+        spans = None if spans is None else jnp.asarray(spans)
+        feats_d = (None if input_features_draft is None
+                   else jnp.asarray(input_features_draft))
     res = speculative_greedy_decode(
         params_draft, cfg_draft, params_target, cfg_target,
-        jnp.asarray(input_features), jnp.asarray(ids), jnp.asarray(mask),
+        feats, ids, mask,
         k=k, max_new=max_new, eot_id=tokenizer.eot,
-        bias_spans=None if spans is None else jnp.asarray(spans),
+        bias_spans=spans,
         bias_boost=bias_boost, span_pad_id=tokenizer.eot,
-        input_features_draft=None if input_features_draft is None
-        else jnp.asarray(input_features_draft))
+        input_features_draft=feats_d)
     toks = np.asarray(res.tokens)
     lens = np.asarray(res.lengths)
     return [toks[i, : lens[i]].tolist() for i in range(b)]

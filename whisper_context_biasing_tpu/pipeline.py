@@ -135,10 +135,8 @@ class Pipeline:
         self.draft_params = self.draft_cfg = None
         self.speculative_k = speculative_k
         if draft_model or draft_config is not None:
-            # build + validate the draft config up front (cheap), then skip
-            # the expensive weight load under a mesh — mesh-sharded decode
-            # keeps the plain path (per-row cache offsets under GSPMD are
-            # not validated), so the weights would only burn HBM
+            # build + validate the draft config up front (cheap), then load
+            # the weights
             if draft_config is not None:
                 self.draft_cfg = draft_config
             else:
@@ -151,14 +149,7 @@ class Pipeline:
                 raise ValueError(
                     f"draft {draft_model} vocab {self.draft_cfg.n_vocab}"
                     f" != target vocab {self.cfg.n_vocab}")
-            if self.mesh is not None:
-                import warnings
-
-                warnings.warn("draft_model is ignored under a device mesh: "
-                              "speculative decoding is single-mesh only; "
-                              "skipping draft load")
-                self.draft_cfg = None
-            elif draft_params is not None:
+            if draft_params is not None:
                 self.draft_params = draft_params
             elif draft_checkpoint:
                 self.draft_params, self.draft_cfg = (
@@ -169,6 +160,12 @@ class Pipeline:
 
                 self.draft_params, self.draft_cfg = load_draft(
                     draft_model, cfg=self.draft_cfg, target_cfg=self.cfg)
+            if self.mesh is not None:
+                # speculative decode composes with the mesh: the batch axis
+                # shards over "data" (per-row cache offsets are row-local,
+                # tests/test_parallel.py) and the draft's params over
+                # "model" like the target's
+                self.draft_params = shard_params(self.draft_params, self.mesh)
 
     # -- helpers ----------------------------------------------------------
 
@@ -378,14 +375,12 @@ class Pipeline:
                 self.params, self.cfg, self.tokenizer, mel,
                 num_beams=num_beams, early_stopping=beam_early_stopping,
                 **kwargs)
-        elif self.draft_params is not None and self.mesh is None:
+        elif self.draft_params is not None:
             # speculative greedy: exact same tokens, fewer target-weight
-            # reads per emitted token (decode/speculative.py). Mesh-sharded
-            # decode keeps the plain path (per-row cache offsets under
-            # GSPMD are not validated).
+            # reads per emitted token (decode/speculative.py); under a mesh
+            # the batch axis shards over "data" exactly like plain decode
             from .decode import speculative_decode_batch
 
-            kwargs.pop("mesh", None)
             mel_d = None
             if self.draft_cfg.n_mels != self.cfg.n_mels:
                 mel_d = self._mel(stacked, n_mels=self.draft_cfg.n_mels)
