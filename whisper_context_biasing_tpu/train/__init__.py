@@ -11,6 +11,13 @@ from .step import (
     make_train_step,
 )
 from .loop import TrainingConfig, evaluate_wer, train_and_evaluate
+from .distill import (
+    DistillConfig,
+    distill_and_evaluate,
+    make_agreement_step,
+    make_distill_loss_fn,
+    make_distill_step,
+)
 from .checkpoint import (
     find_best_checkpoint,
     latest_checkpoint,
@@ -37,4 +44,9 @@ __all__ = [
     "TrainingConfig",
     "train_and_evaluate",
     "evaluate_wer",
+    "DistillConfig",
+    "distill_and_evaluate",
+    "make_agreement_step",
+    "make_distill_loss_fn",
+    "make_distill_step",
 ]
