@@ -97,6 +97,32 @@ class TestDistributedTrainStep:
         _, m1 = step1(init_train_state(params, opt), jax.tree.map(jnp.asarray, batch))
         assert loss == pytest.approx(float(m1["loss"]), rel=1e-4)
 
+    def test_distill_step_sharded_matches_single_device(self, setup):
+        """Draft distillation under dp x tp: loss and agreement must match
+        the single-device step (teacher and student both mesh-sharded)."""
+        from whisper_context_biasing_tpu.train import make_distill_step
+
+        cfg, params, batch = setup
+        teacher = init_params(cfg, 3)
+        opt = make_optimizer(peak_lr=1e-4, warmup_steps=0, total_steps=10)
+        step = make_distill_step(cfg, cfg, opt, donate=False)
+        b = {k: batch[k] for k in ("input_features", "decoder_input_ids",
+                                   "labels")}
+        _, m1 = step(init_train_state(params, opt), teacher,
+                     jax.tree.map(jnp.asarray, b))
+
+        mesh = make_mesh(model_parallelism=2, devices=cpu_devices())
+        p_sh = shard_params(params, mesh)
+        t_sh = shard_params(teacher, mesh)
+        b_sh = shard_batch(b, mesh)
+        with mesh:
+            state = init_train_state(p_sh, opt)
+            state, m2 = step(state, t_sh, b_sh)
+            loss = float(m2["loss"])
+        assert loss == pytest.approx(float(m1["loss"]), rel=1e-4)
+        assert float(m2["agreement"]) == pytest.approx(
+            float(m1["agreement"]), abs=1e-6)
+
     def test_grad_accum_sharded(self, setup):
         cfg, params, batch = setup
         # data=4 so each microbatch of 4 shards evenly
