@@ -55,6 +55,12 @@ def parse_args():
     p.add_argument("--long", action="store_true",
                    help="long-form mode: sequential 30 s windows with history "
                         "conditioning (audio of any length)")
+    p.add_argument("--chunked", action="store_true",
+                   help="with --long: decode ALL windows in parallel with "
+                        "overlapping strides and merge (segment-core "
+                        "ownership with --timestamps, LCS token merge "
+                        "without) — the throughput mode for long audio; "
+                        "no history conditioning / --word_timestamps")
     p.add_argument("--timestamps", action="store_true",
                    help="long-form: timestamp-conditioned seeking (window "
                         "advances to the last closed segment; straddling "
@@ -281,21 +287,39 @@ def main():
         if ns_thresh is not None and ns_thresh != ns_thresh:  # nan disables
             ns_thresh = None
         heads = parse_alignment_heads(args.alignment_heads)
-        out = transcribe_long_batch(
-            params, cfg, tokenizer, raw, mel_fn=make_mel,
-            max_new=args.max_tokens, contexts=contexts,
-            bias_spans=spans, bias_boost=args.bias_boost,
-            use_timestamps=args.timestamps,
-            temperatures=tuple(args.temperatures),
-            compression_ratio_threshold=args.compression_ratio_threshold,
-            logprob_threshold=lp_thresh, no_speech_threshold=ns_thresh,
-            start_tokens=starts, return_segments=True,
-            word_timestamps=args.word_timestamps, alignment_heads=heads,
-            draft=draft)
-        if args.word_timestamps:
-            hyps, segments, long_words = out
+        if args.chunked:
+            if args.word_timestamps:
+                raise SystemExit("--chunked does not support "
+                                 "--word_timestamps (use sequential --long)")
+            from whisper_context_biasing_tpu.decode import transcribe_chunked
+
+            hyps, segments = transcribe_chunked(
+                params, cfg, tokenizer, raw, mel_fn=make_mel,
+                max_new=args.max_tokens, contexts=contexts,
+                bias_spans=spans, bias_boost=args.bias_boost,
+                use_timestamps=args.timestamps,
+                temperatures=tuple(args.temperatures),
+                compression_ratio_threshold=args.compression_ratio_threshold,
+                logprob_threshold=lp_thresh, no_speech_threshold=ns_thresh,
+                start_tokens=starts, return_segments=True,
+                prefix_pad_to_multiple=32, draft=draft)
+            long_words = None
         else:
-            (hyps, segments), long_words = out, None
+            out = transcribe_long_batch(
+                params, cfg, tokenizer, raw, mel_fn=make_mel,
+                max_new=args.max_tokens, contexts=contexts,
+                bias_spans=spans, bias_boost=args.bias_boost,
+                use_timestamps=args.timestamps,
+                temperatures=tuple(args.temperatures),
+                compression_ratio_threshold=args.compression_ratio_threshold,
+                logprob_threshold=lp_thresh, no_speech_threshold=ns_thresh,
+                start_tokens=starts, return_segments=True,
+                word_timestamps=args.word_timestamps, alignment_heads=heads,
+                draft=draft)
+            if args.word_timestamps:
+                hyps, segments, long_words = out
+            else:
+                (hyps, segments), long_words = out, None
         wall = time.time() - t0
         texts = [tokenizer.decode(h, skip_special_tokens=True).strip()
                  for h in hyps]

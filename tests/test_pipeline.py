@@ -107,6 +107,22 @@ class TestPipeline:
         assert len(res) == 1
         assert res[0].segments is not None  # long form always yields segments
 
+    def test_long_form_chunked(self, pipe):
+        """long_form='chunked' decodes multi-window audio in parallel and
+        returns the standard result contract; word_timestamps rejected."""
+        audio = np.zeros(2 * pipe.window_samples + 8000, np.float32)
+        res = pipe.transcribe([audio], max_tokens=4, long_form="chunked")
+        assert len(res) == 1
+        assert isinstance(res[0], TranscriptionResult)
+        assert res[0].segments is not None
+        # short audio also runs (single window degenerate case)
+        one = pipe.transcribe(np.zeros(4000, np.float32), max_tokens=4,
+                              long_form="chunked")
+        assert isinstance(one, TranscriptionResult)
+        with pytest.raises(ValueError, match="word_timestamps"):
+            pipe.transcribe([audio], long_form="chunked",
+                            word_timestamps=True)
+
     def test_srt_without_segments_raises(self, pipe):
         res = pipe.transcribe(np.zeros(8000, np.float32), max_tokens=4)
         with pytest.raises(ValueError, match="segments"):

@@ -18,6 +18,7 @@ from .speculative import (
 )
 from .beam import BeamResult, beam_decode, beam_decode_batch
 from .language import detect_language, resolve_start_tokens
+from .chunked import chunk_layout, merge_longest_common_sequence, transcribe_chunked
 from .long_form import split_windows, transcribe_long, transcribe_long_batch
 from .streaming import StreamingTranscriber
 from .word_timestamps import WordTiming, find_word_timestamps
@@ -44,6 +45,9 @@ __all__ = [
     "resolve_start_tokens",
     "split_windows",
     "transcribe_long",
+    "transcribe_chunked",
+    "chunk_layout",
+    "merge_longest_common_sequence",
     "transcribe_long_batch",
     "StreamingTranscriber",
     "WordTiming",

@@ -1,0 +1,340 @@
+"""Chunked long-form transcription: ALL windows of a file decode in one
+batch — the TPU-first throughput alternative to the sequential seek loop.
+
+``long_form.transcribe_long_batch`` (the quality-optimal path) conditions
+every window on the previous window's text, which makes windows inherently
+sequential: a 60-minute file is 120 dependent decode calls. This module
+trades that conditioning for parallelism: windows overlap by a stride,
+decode independently — so every window of every file lands in one (or a
+few) large decode batches that saturate the MXU — and the overlap regions
+resolve boundary artifacts at merge time:
+
+  * **timestamp mode** (default): windows decode with timestamp tokens; a
+    segment belongs to the window in whose *core* region (the part not
+    covered by a neighbour's core) its absolute start time falls. Each
+    segment is owned by exactly one window, so concatenating owned segments
+    in time order yields an artifact-free transcript.
+  * **token mode** (``use_timestamps=False``): consecutive windows' token
+    sequences are merged by a sliding longest-common-sequence alignment
+    over the overlap (the published merge of the HF chunked-ASR algorithm,
+    re-derived here), which needs no timestamps.
+
+The per-window robustness machinery of the sequential loop is preserved and
+stays batched: the temperature fallback ladder re-decodes only the failing
+windows (all of them in one call per rung), and OpenAI's no-speech rule
+drops silent windows. Bias spans / context prompts apply to every window of
+their file, so contextual biasing composes exactly as in short-form decode.
+
+Cost model: sequential decodes W windows in W dependent calls of batch B
+(the number of files); chunked decodes ceil(W_total / max_batch) calls of
+batch max_batch. For one long file on an idle chip that is ~W× more
+parallel work per call — wall-clock follows the decode batch-scaling curve
+(docs/PERF.md), an order of magnitude for typical podcast-length audio.
+
+No reference counterpart (the reference pads/trims to one window,
+data_utils/data_loader.py:60-75); the sequential twin is
+``decode/long_form.py``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..audio.mel import N_SAMPLES, SAMPLE_RATE, log_mel_spectrogram_np
+from ..models.config import WhisperConfig
+from .greedy import greedy_decode, pack_prefixes
+from .long_form import DEFAULT_TEMPERATURES, MAX_PROMPT_TOKENS, window_quality_ok
+
+
+def chunk_layout(
+    n_samples: int, window_samples: int = N_SAMPLES, stride_samples: int | None = None
+) -> list[tuple[int, int, int]]:
+    """Overlapping window layout: ``[(start, core_start, core_end), ...]``.
+
+    Windows advance by ``window - 2*stride`` so consecutive windows overlap
+    by ``2*stride``; each window owns the core ``[start+stride, start+window-stride)``
+    except the first (owns from 0) and the last (owns to the end). Cores
+    tile ``[0, n)`` exactly: every instant belongs to one window, and every
+    core boundary is at least ``stride`` away from its window's edge — the
+    region where boundary truncation artifacts live."""
+    if stride_samples is None:
+        stride_samples = window_samples // 6
+    step = window_samples - 2 * stride_samples
+    if step <= 0:
+        raise ValueError("stride too large: window must exceed 2*stride")
+    n = max(0, int(n_samples))
+    if n <= window_samples:
+        return [(0, 0, max(n, 1))]
+    starts = list(range(0, n - window_samples, step))
+    starts.append(n - window_samples)  # final window is right-aligned
+    out = []
+    for k, s in enumerate(starts):
+        first, last = k == 0, k == len(starts) - 1
+        core_start = 0 if first else s + stride_samples
+        core_end = n if last else s + window_samples - stride_samples
+        # right-aligning the last window can pull its core start before the
+        # previous core's end; the earlier window wins the disputed region
+        if not first:
+            prev_end = out[-1][2]
+            core_start = max(core_start, prev_end)
+        out.append((s, core_start, core_end))
+    return out
+
+
+def split_token_segments(row, tokenizer):
+    """Token-level twin of ``tokenizer.split_timestamp_segments``: returns
+    ``[(start_s, end_s | None, tokens), ...]`` where ``tokens`` includes the
+    bounding timestamp tokens, so merged outputs stay timestamped."""
+    segments = []
+    start_t = None
+    start_tok = None
+    buf = []
+    for raw in row:
+        raw = int(raw)
+        t = tokenizer.timestamp_value(raw)
+        if t is None:
+            if not tokenizer.is_special(raw) and raw >= 0:
+                buf.append(raw)
+            continue
+        if start_t is None:
+            start_t, start_tok = t, raw
+        elif buf:
+            segments.append((start_t, t, [start_tok] + buf + [raw]))
+            buf, start_t, start_tok = [], None, None
+        else:
+            start_t, start_tok = t, raw  # consecutive timestamps: reset
+    if buf:
+        seg = ([start_tok] if start_tok is not None else []) + buf
+        segments.append((start_t or 0.0, None, seg))
+    return segments
+
+
+def merge_longest_common_sequence(seqs: list[list[int]]) -> list[int]:
+    """Merge consecutive token sequences by the best sliding overlap.
+
+    For each adjacent pair, every split ``(left tail, right head)`` of equal
+    length is scored by match ratio with a mild length bonus (so long
+    confident overlaps beat short accidental ones); the winning split keeps
+    the left sequence up to its cut and continues with the right sequence
+    from its cut. This is the HF chunked-ASR merge idea re-derived: exact
+    equality is not required, so small disagreements in the overlap region
+    resolve to one window's reading instead of duplicating."""
+    if not seqs:
+        return []
+    merged = list(seqs[0])
+    for nxt in seqs[1:]:
+        nxt = list(nxt)
+        if not merged:
+            merged = nxt
+            continue
+        if not nxt:
+            continue
+        best = (0.0, len(merged), 0)  # (score, left_cut, right_cut)
+        max_olap = min(len(merged), len(nxt))
+        for k in range(1, max_olap + 1):
+            left = merged[-k:]
+            right = nxt[:k]
+            matches = sum(1 for a, b in zip(left, right) if a == b)
+            # eps-scaled length bonus: prefer longer overlaps at equal ratio
+            score = matches / k + k / 10000.0
+            if matches > 1 and score > best[0]:
+                m = (k + 1) // 2  # one split index for both sides: the
+                # result keeps exactly k overlap tokens, never k+1
+                best = (score, len(merged) - k + m, m)
+        _, lcut, rcut = best
+        merged = merged[:lcut] + nxt[rcut:]
+    return merged
+
+
+def transcribe_chunked(
+    params,
+    cfg: WhisperConfig,
+    tokenizer,
+    audios: list[np.ndarray],
+    *,
+    mel_fn=None,
+    max_new: int = 224,
+    window_samples: int = N_SAMPLES,
+    stride_samples: int | None = None,        # default window/6 (5 s at 30 s)
+    max_batch: int = 64,
+    use_timestamps: bool = True,
+    contexts: list[list[int]] | None = None,  # per-file static context
+    bias_spans: np.ndarray | None = None,     # (B, N, K) per file
+    bias_boost: float = 0.0,
+    temperatures: tuple[float, ...] = DEFAULT_TEMPERATURES,
+    compression_ratio_threshold: float | None = 2.4,
+    logprob_threshold: float | None = -1.0,
+    no_speech_threshold: float | None = 0.6,
+    start_tokens: list[list[int]] | None = None,  # per-file decode starts
+    decode_fn: Callable | None = None,
+    rng_key=None,
+    prefix_pad_to_multiple: int | None = None,
+    return_segments: bool = False,
+    draft: tuple | None = None,               # (params, cfg, k) speculative
+):
+    """Returns per-file token lists (or ``(tokens, segments)`` with
+    ``return_segments``; segment times are absolute file time).
+
+    All windows of all files are flattened into one work list and decoded
+    in batches of ``max_batch`` — per-file bias spans / contexts / start
+    tokens are gathered per window, so heterogeneous files batch together.
+    Output token streams keep window-relative timestamp tokens (exactly as
+    the sequential loop does); ``segments`` carry absolute times."""
+    if mel_fn is None:
+        mel_fn = lambda a: np.stack(  # noqa: E731
+            [log_mel_spectrogram_np(x, cfg.n_mels) for x in a])
+    if rng_key is None:
+        rng_key = jax.random.PRNGKey(0)
+    if not temperatures:
+        temperatures = (0.0,)
+
+    audios = [np.asarray(a, np.float32) for a in audios]
+    nfiles = len(audios)
+
+    # ---- work list: (file, window start, core range) -----------------------
+    work: list[tuple[int, int, int, int]] = []
+    for fi, a in enumerate(audios):
+        for s, c0, c1 in chunk_layout(len(a), window_samples, stride_samples):
+            work.append((fi, s, c0, c1))
+
+    # ---- per-window decode inputs -----------------------------------------
+    def prefix_for(fi: int) -> list[int]:
+        ctx = list(contexts[fi])[:MAX_PROMPT_TOKENS] if contexts and contexts[fi] else []
+        start = list(start_tokens[fi]) if start_tokens else [tokenizer.sot]
+        return ([tokenizer.sop] + ctx + start) if ctx else start
+
+    results: list[list[int] | None] = [None] * len(work)
+
+    for lo in range(0, len(work), max_batch):
+        batch = work[lo : lo + max_batch]
+        nb = len(batch)
+        chunk = np.zeros((nb, window_samples), np.float32)
+        for j, (fi, s, _, _) in enumerate(batch):
+            part = audios[fi][s : s + window_samples]
+            chunk[j, : len(part)] = part
+        mel = mel_fn(chunk)
+
+        prefixes = [prefix_for(fi) for fi, _, _, _ in batch]
+        ids, mask = pack_prefixes(prefixes, tokenizer.eot,
+                                  pad_to_multiple=prefix_pad_to_multiple)
+        spans = (None if bias_spans is None
+                 else jnp.asarray(np.asarray(bias_spans)[[fi for fi, *_ in batch]]))
+        sot_off = (jnp.asarray([len(start_tokens[fi]) for fi, *_ in batch],
+                               jnp.int32)
+                   if start_tokens else 1)
+        ns_id = tokenizer.no_speech if no_speech_threshold is not None else None
+
+        def run(temperature, key):
+            if decode_fn is not None:
+                return decode_fn(mel, ids, mask, temperature, key)
+            if draft is not None and temperature == 0.0:
+                from .speculative import speculative_greedy_decode
+
+                dparams, dcfg, dk = draft
+                if dcfg.n_mels != cfg.n_mels:
+                    raise ValueError("chunked speculative decoding needs a "
+                                     "draft with the target's n_mels")
+                return speculative_greedy_decode(
+                    dparams, dcfg, params, cfg, jnp.asarray(mel),
+                    jnp.asarray(ids), jnp.asarray(mask), k=dk,
+                    max_new=max_new, eot_id=tokenizer.eot,
+                    bias_spans=spans, bias_boost=bias_boost,
+                    span_pad_id=tokenizer.eot,
+                    no_speech_id=ns_id, sot_offset=sot_off)
+            return greedy_decode(
+                params, cfg, jnp.asarray(mel), jnp.asarray(ids),
+                jnp.asarray(mask), max_new=max_new, eot_id=tokenizer.eot,
+                bias_spans=spans, bias_boost=bias_boost,
+                span_pad_id=tokenizer.eot, temperature=temperature,
+                rng_key=key, no_speech_id=ns_id, sot_offset=sot_off)
+
+        # temperature ladder over the whole batch; only failing rows pend
+        accepted: list[list[int] | None] = [None] * nb
+        last: list[list[int]] = [[] for _ in range(nb)]
+        last_avg_lp: list[float | None] = [None] * nb
+        nsp = None
+        for ti, temperature in enumerate(temperatures):
+            rng_key, sub = jax.random.split(rng_key)
+            res = run(temperature, sub)
+            toks = np.asarray(res.tokens)
+            lens = np.asarray(res.lengths)
+            slp = (np.asarray(res.sum_logprob)
+                   if res.sum_logprob is not None else None)
+            if (ti == 0 and no_speech_threshold is not None
+                    and res.no_speech_prob is not None):
+                nsp = np.asarray(res.no_speech_prob)
+            pending = False
+            for j in range(nb):
+                if accepted[j] is not None:
+                    continue
+                row = toks[j, : lens[j]].tolist()
+                last[j] = row
+                avg_lp = (None if slp is None
+                          else float(slp[j]) / (int(lens[j]) + 1))
+                last_avg_lp[j] = avg_lp
+                text = tokenizer.decode(row, skip_special_tokens=True)
+                if window_quality_ok(
+                    text, avg_lp,
+                    compression_ratio_threshold=compression_ratio_threshold or 0.0,
+                    logprob_threshold=logprob_threshold,
+                ):
+                    accepted[j] = row
+                else:
+                    pending = True
+            if not pending:
+                break
+
+        for j in range(nb):
+            row = accepted[j] if accepted[j] is not None else last[j]
+            if nsp is not None and nsp[j] > no_speech_threshold:
+                if not (logprob_threshold is not None
+                        and last_avg_lp[j] is not None
+                        and last_avg_lp[j] > logprob_threshold):
+                    row = []  # silent window
+            results[lo + j] = row
+
+    # ---- merge per file ----------------------------------------------------
+    outputs: list[list[int]] = [[] for _ in range(nfiles)]
+    segments: list[list[tuple[float, float | None, str]]] = [
+        [] for _ in range(nfiles)]
+    by_file: list[list[tuple[int, int, int, list[int]]]] = [
+        [] for _ in range(nfiles)]
+    for (fi, s, c0, c1), row in zip(work, results):
+        by_file[fi].append((s, c0, c1, row or []))
+
+    for fi in range(nfiles):
+        wins = sorted(by_file[fi])
+        if use_timestamps:
+            for s, c0, c1, row in wins:
+                offset = s / SAMPLE_RATE
+                core0, core1 = c0 / SAMPLE_RATE, c1 / SAMPLE_RATE
+                for t0, t1, toks in split_token_segments(row, tokenizer):
+                    abs0 = offset + (t0 or 0.0)
+                    # ownership: the segment's start instant — each instant
+                    # belongs to exactly one window's core
+                    if core0 <= abs0 < core1 or (abs0 < core0 and c0 == 0):
+                        outputs[fi].extend(toks)
+                        if return_segments:
+                            text = tokenizer.decode(
+                                toks, skip_special_tokens=True)
+                            if text.strip():
+                                segments[fi].append(
+                                    (abs0,
+                                     None if t1 is None else offset + t1,
+                                     text))
+        else:
+            merged = merge_longest_common_sequence([row for *_, row in wins])
+            outputs[fi] = merged
+            if return_segments:
+                text = tokenizer.decode(merged, skip_special_tokens=True)
+                if text.strip():
+                    segments[fi].append(
+                        (0.0, len(audios[fi]) / SAMPLE_RATE, text))
+
+    if return_segments:
+        return outputs, segments
+    return outputs

@@ -290,7 +290,9 @@ class Pipeline:
 
         ``long_form="auto"`` routes clips through the sequential-window seek
         loop when any input exceeds the 30 s window; ``timestamps`` adds
-        absolute-time segments there. Short-form ``word_timestamps`` adds
+        absolute-time segments there. ``long_form="chunked"`` decodes all
+        windows in parallel (overlap-merged, no history conditioning) — the
+        throughput mode for long audio. Short-form ``word_timestamps`` adds
         per-word times via cross-attention alignment (and caption segments
         grouped from them)."""
         from .audio import pad_or_trim
@@ -306,8 +308,53 @@ class Pipeline:
             ctx = [self.tokenizer.encode(context.lower(), add_special_tokens=False)] * n
 
         win = self.window_samples
-        use_long = (long_form is True) or (
+        chunked = long_form == "chunked"
+        use_long = (long_form is True) or chunked or (
             long_form == "auto" and any(len(c) > win for c in clips))
+
+        if chunked:
+            # parallel-window mode: all windows of all clips decode in one
+            # (or a few) large batches — the throughput path for long audio
+            # (decode/chunked.py). No history conditioning, no per-word
+            # alignment; timestamps=True merges by segment-core ownership,
+            # False by LCS token merge.
+            if word_timestamps:
+                raise ValueError(
+                    "word_timestamps is not supported with "
+                    "long_form='chunked'; use the sequential long-form mode")
+            from .decode import transcribe_chunked
+
+            draft = None
+            if self.draft_params is not None:
+                if self.draft_cfg.n_mels == self.cfg.n_mels:
+                    draft = (self.draft_params, self.draft_cfg,
+                             self.speculative_k)
+                else:
+                    import warnings
+
+                    warnings.warn(
+                        "chunked speculative decoding needs a draft with "
+                        f"the target's n_mels ({self.cfg.n_mels}); draft "
+                        f"has {self.draft_cfg.n_mels} — decoding plain")
+            first = self._mel(np.stack([pad_or_trim(c, win) for c in clips]))
+            starts, langs = self._starts(first, language, task)
+            hyps, segs = transcribe_chunked(
+                self.params, self.cfg, self.tokenizer, clips,
+                mel_fn=self._mel, max_new=max_tokens, contexts=ctx,
+                bias_spans=spans, bias_boost=boost,
+                use_timestamps=timestamps, temperatures=tuple(temperatures),
+                no_speech_threshold=no_speech_threshold,
+                start_tokens=starts, return_segments=True,
+                prefix_pad_to_multiple=32, window_samples=win, draft=draft)
+            results = []
+            for i, h in enumerate(hyps):
+                text = self.tokenizer.decode(h, skip_special_tokens=True).strip()
+                segments = close_open_segments(
+                    segs[i], clip_end=len(clips[i]) / 16000)
+                results.append(TranscriptionResult(
+                    text=text, tokens=list(h), language=langs[i],
+                    words=None, segments=segments))
+            return results[0] if single else results
 
         if use_long:
             import warnings
