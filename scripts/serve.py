@@ -70,6 +70,15 @@ def parse_args():
                    help="tensor-parallel degree; with >1 device a "
                         "(data, model) mesh shards the decode batch over "
                         "'data' and the weights over 'model'")
+    p.add_argument("--long_chunked", action="store_true",
+                   help="serve >30 s requests with the parallel-window "
+                        "chunked decoder (decode/chunked.py): all windows "
+                        "of a request batch in max --chunked_batch decode "
+                        "calls with padded static shapes — the throughput "
+                        "mode; requests asking for word timestamps fall "
+                        "back to the sequential seek loop")
+    p.add_argument("--chunked_batch", type=int, default=32,
+                   help="window-batch size for --long_chunked")
     p.add_argument("--no_long_form", action="store_true",
                    help="truncate >30 s requests to one window instead of "
                         "routing them through the long-form seek loop")
@@ -100,7 +109,7 @@ class Engine:
         from whisper_context_biasing_tpu.data.collator import SpeechSeq2SeqCollator
         from whisper_context_biasing_tpu.decode import (
             beam_decode_batch, decode_batch, detect_language,
-            find_word_timestamps, transcribe_long_batch,
+            find_word_timestamps, transcribe_chunked, transcribe_long_batch,
         )
         from whisper_context_biasing_tpu.models import (
             get_config, init_params, load_checkpoint_or_safetensors,
@@ -116,6 +125,7 @@ class Engine:
         self.decode_batch = decode_batch
         self.beam_decode_batch = beam_decode_batch
         self.transcribe_long_batch = transcribe_long_batch
+        self.transcribe_chunked = transcribe_chunked
         self.detect_language = detect_language
         self.find_word_timestamps = find_word_timestamps
         self.rtf = RtfMeter()
@@ -301,10 +311,67 @@ class Engine:
                                    "end": w.end} for w in ws]
         return results
 
+    def _run_long_chunked(self, audios, contexts, bias_word_lists, opts):
+        """>30 s requests, throughput mode (--long_chunked): every window of
+        every request decodes in padded --chunked_batch batches — one
+        compiled program regardless of request shape (decode/chunked.py)."""
+        tok = self.tokenizer
+        n = len(audios)
+        opts = opts or [{} for _ in range(n)]
+        ctx = [tok.encode(c.lower(), add_special_tokens=False) if c else []
+               for c in contexts]
+        default_words = self.args.bias_words or []
+        spans = self._spans_for([
+            w if w is not None else default_words for w in bias_word_lists
+        ])
+        if spans is not None:
+            spans = spans[:n]
+
+        def mel_fn(chunk):
+            return np.asarray(self.mel_fn(self.jnp.asarray(chunk),
+                                          n_mels=self.cfg.n_mels))
+
+        start_tokens = None
+        langs = [None] * n
+        if tok.multilingual and any(
+            o.get("language") or o.get("task") == "translate" for o in opts
+        ):
+            first = np.stack([self.pad_or_trim(a) for a in audios])
+            start_tokens, langs = self._starts_for(mel_fn(first), opts)
+            if start_tokens is not None:
+                start_tokens = start_tokens[:n]
+
+        draft = None
+        if (self.draft_params is not None
+                and self.draft_cfg.n_mels == self.cfg.n_mels):
+            draft = (self.draft_params, self.draft_cfg, self.args.spec_k)
+        lp = self.args.logprob_threshold
+        hyps = self.transcribe_chunked(
+            self.params, self.cfg, tok, audios, mel_fn=mel_fn, draft=draft,
+            max_new=self.args.max_tokens,
+            contexts=ctx if any(ctx) else None,
+            bias_spans=spans, bias_boost=self.args.bias_boost,
+            use_timestamps=self.args.timestamps,
+            temperatures=tuple(self.args.temperatures),
+            logprob_threshold=None if lp != lp else lp,  # nan disables
+            prefix_pad_to_multiple=32,
+            max_batch=self.args.chunked_batch, pad_batches=True,
+            start_tokens=start_tokens)
+        results = [{"text": tok.decode(h, skip_special_tokens=True).strip()}
+                   for h in hyps]
+        for r, lang in zip(results, langs):
+            if lang:
+                r["language"] = lang
+        return results
+
     def _run_long(self, audios, contexts, bias_word_lists, opts=None):
         """>30 s requests: sequential-window seek loop (decode/long_form.py).
         The window batch is padded to the static micro-batch size and prompt
         lengths are bucketed, so the greedy program shapes stay stable."""
+        if (getattr(self.args, "long_chunked", False)
+                and not any(o.get("words") for o in (opts or []))):
+            return self._run_long_chunked(audios, contexts, bias_word_lists,
+                                          opts)
         tok = self.tokenizer
         bs = self.args.batch
         n = len(audios)

@@ -238,6 +238,31 @@ class TestTranscribeChunked:
         assert shapes == [2, 2]  # 4 windows total, capped at 2 per call
         assert len(outs) == 2 and outs[1] == row
 
+    def test_pad_batches_stable_shapes(self, tok):
+        """pad_batches=True pads every decode call to max_batch (one
+        compiled program for any window count); pad rows never force
+        temperature retries or leak into outputs."""
+        loop = _enc(tok, " same words") * 30  # would fail quality checks
+        good = [_ts(tok, 0.0)] + _enc(tok, " fine") + [_ts(tok, 1.0)]
+        shapes, temps = [], []
+
+        def decode_fn(mel, ids, mask, temperature, key):
+            shapes.append(mel.shape[0])
+            temps.append(temperature)
+            rows = [good] * 2 + [loop] * (mel.shape[0] - 2)  # pads decode junk
+            return _result(rows, width=len(loop) + 4)
+
+        n = int(1.5 * N_SAMPLES)  # 2 windows
+        outs = transcribe_chunked(
+            None, tiny_test_config(), tok, [np.ones(n, np.float32)],
+            mel_fn=lambda c: np.zeros((c.shape[0], 80, 128), np.float32),
+            decode_fn=decode_fn, temperatures=(0.0, 0.4), max_batch=8,
+            pad_batches=True,
+            logprob_threshold=None, no_speech_threshold=None)
+        assert shapes == [8]          # padded to max_batch
+        assert temps == [0.0]         # junk pad rows did not trigger rung 2
+        assert outs[0]                # real rows emitted
+
     def test_lcs_mode_no_timestamps(self, tok):
         a = _enc(tok, " the patient took aspirin and felt")
         b = _enc(tok, " aspirin and felt better afterwards")

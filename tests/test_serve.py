@@ -17,6 +17,7 @@ from whisper_context_biasing_tpu.decode import (
     decode_batch,
     detect_language,
     find_word_timestamps,
+    transcribe_chunked,
     transcribe_long_batch,
 )
 from whisper_context_biasing_tpu.models import init_params, tiny_test_config
@@ -43,6 +44,7 @@ def _make_engine(multilingual=False):
         batch=2, max_tokens=4, num_beams=1, bias_words=None, bias_boost=0.0,
         timestamps=False, no_long_form=False,
         temperatures=[0.0], logprob_threshold=float("nan"),
+        long_chunked=False, chunked_batch=4,
     )
     eng.jnp = jnp
     eng.cfg = tiny_test_config(
@@ -73,6 +75,7 @@ def _make_engine(multilingual=False):
     eng.detect_language = detect_language
     eng.find_word_timestamps = find_word_timestamps
     eng.transcribe_long_batch = transcribe_long_batch
+    eng.transcribe_chunked = transcribe_chunked
     return eng
 
 
@@ -129,6 +132,47 @@ class TestServeLongForm:
 
 
 @pytest.mark.slow
+class TestServeLongChunked:
+    def test_chunked_routing_and_contract(self, engine):
+        """--long_chunked routes >30 s batches through the parallel-window
+        decoder; result dicts keep the same contract."""
+        engine.args.long_chunked = True
+        try:
+            audios = [np.ones(N_SAMPLES + 100, np.float32),
+                      np.ones(1000, np.float32)]
+            results = engine._run_long(audios, [None, None], [None, None])
+            assert len(results) == 2
+            assert all("text" in r for r in results)
+            # context + bias compose
+            results = engine._run_long(audios, ["aspirin for pain", None],
+                                       [["aspirin"], None])
+            assert len(results) == 2
+        finally:
+            engine.args.long_chunked = False
+
+    def test_words_request_falls_back_to_sequential(self, engine):
+        """A request asking for word timestamps must take the sequential
+        loop even under --long_chunked."""
+        engine.args.long_chunked = True
+        called = {"chunked": False}
+        orig = engine.transcribe_chunked
+
+        def spy(*a, **k):
+            called["chunked"] = True
+            return orig(*a, **k)
+
+        engine.transcribe_chunked = spy
+        try:
+            results = engine._run_long(
+                [np.ones(N_SAMPLES + 100, np.float32)], [None], [None],
+                opts=[{"words": True}])
+            assert len(results) == 1
+            assert not called["chunked"]
+        finally:
+            engine.args.long_chunked = False
+            engine.transcribe_chunked = orig
+
+
 class TestServeOptions:
     def test_short_form_result_dicts(self, engine):
         audios = [np.ones(8000, np.float32) * 0.1] * 2

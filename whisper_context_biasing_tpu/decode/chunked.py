@@ -175,6 +175,9 @@ def transcribe_chunked(
     prefix_pad_to_multiple: int | None = None,
     return_segments: bool = False,
     draft: tuple | None = None,               # (params, cfg, k) speculative
+    pad_batches: bool = False,                # pad every call to max_batch so
+                                              # ONE compiled program serves
+                                              # all chunk counts (serving)
 ):
     """Returns per-file token lists (or ``(tokens, segments)`` with
     ``return_segments``; segment times are absolute file time).
@@ -211,7 +214,8 @@ def transcribe_chunked(
 
     for lo in range(0, len(work), max_batch):
         batch = work[lo : lo + max_batch]
-        nb = len(batch)
+        nb_real = len(batch)
+        nb = max_batch if pad_batches else nb_real
         chunk = np.zeros((nb, window_samples), np.float32)
         for j, (fi, s, _, _) in enumerate(batch):
             part = audios[fi][s : s + window_samples]
@@ -219,12 +223,20 @@ def transcribe_chunked(
         mel = mel_fn(chunk)
 
         prefixes = [prefix_for(fi) for fi, _, _, _ in batch]
+        prefixes += [[tokenizer.sot]] * (nb - nb_real)
         ids, mask = pack_prefixes(prefixes, tokenizer.eot,
                                   pad_to_multiple=prefix_pad_to_multiple)
-        spans = (None if bias_spans is None
-                 else jnp.asarray(np.asarray(bias_spans)[[fi for fi, *_ in batch]]))
-        sot_off = (jnp.asarray([len(start_tokens[fi]) for fi, *_ in batch],
-                               jnp.int32)
+        spans = None
+        if bias_spans is not None:
+            arr = np.asarray(bias_spans)
+            rows = arr[[fi for fi, *_ in batch]]
+            if nb > nb_real:  # pad rows carry no spans (all span-pad)
+                pad = np.full((nb - nb_real,) + arr.shape[1:], tokenizer.eot,
+                              arr.dtype)
+                rows = np.concatenate([rows, pad])
+            spans = jnp.asarray(rows)
+        sot_off = (jnp.asarray([len(start_tokens[fi]) for fi, *_ in batch]
+                               + [1] * (nb - nb_real), jnp.int32)
                    if start_tokens else 1)
         ns_id = tokenizer.no_speech if no_speech_threshold is not None else None
 
@@ -252,10 +264,11 @@ def transcribe_chunked(
                 span_pad_id=tokenizer.eot, temperature=temperature,
                 rng_key=key, no_speech_id=ns_id, sot_offset=sot_off)
 
-        # temperature ladder over the whole batch; only failing rows pend
-        accepted: list[list[int] | None] = [None] * nb
-        last: list[list[int]] = [[] for _ in range(nb)]
-        last_avg_lp: list[float | None] = [None] * nb
+        # temperature ladder over the whole batch; only failing REAL rows
+        # pend (padding rows decode garbage and must not drive retries)
+        accepted: list[list[int] | None] = [None] * nb_real
+        last: list[list[int]] = [[] for _ in range(nb_real)]
+        last_avg_lp: list[float | None] = [None] * nb_real
         nsp = None
         for ti, temperature in enumerate(temperatures):
             rng_key, sub = jax.random.split(rng_key)
@@ -268,7 +281,7 @@ def transcribe_chunked(
                     and res.no_speech_prob is not None):
                 nsp = np.asarray(res.no_speech_prob)
             pending = False
-            for j in range(nb):
+            for j in range(nb_real):
                 if accepted[j] is not None:
                     continue
                 row = toks[j, : lens[j]].tolist()
@@ -288,7 +301,7 @@ def transcribe_chunked(
             if not pending:
                 break
 
-        for j in range(nb):
+        for j in range(nb_real):
             row = accepted[j] if accepted[j] is not None else last[j]
             if nsp is not None and nsp[j] > no_speech_threshold:
                 if not (logprob_threshold is not None
