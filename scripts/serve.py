@@ -356,7 +356,8 @@ class Engine:
             logprob_threshold=None if lp != lp else lp,  # nan disables
             prefix_pad_to_multiple=32,
             max_batch=self.args.chunked_batch, pad_batches=True,
-            start_tokens=start_tokens)
+            start_tokens=start_tokens, num_beams=self.args.num_beams,
+            mesh=self.mesh)
         results = [{"text": tok.decode(h, skip_special_tokens=True).strip()}
                    for h in hyps]
         for r, lang in zip(results, langs):
@@ -419,6 +420,7 @@ class Engine:
             prefix_pad_to_multiple=32,
             start_tokens=start_tokens,
             return_segments=want_words, word_timestamps=want_words,
+            num_beams=self.args.num_beams,
         )
         if want_words:
             hyps, _, words = out

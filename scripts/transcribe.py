@@ -242,11 +242,13 @@ def main():
     if args.long:
         from whisper_context_biasing_tpu.decode import transcribe_long_batch
 
-        if args.num_beams > 1:
-            print("warning: --long mode decodes greedily; --num_beams ignored",
-                  file=sys.stderr)
+        # --num_beams > 1 composes with both long-form modes: beam search
+        # drives the temperature-0 rung, sampling the fallback rungs
         draft = None
-        if args.draft_model:
+        if args.num_beams > 1 and args.draft_model:
+            print("warning: --num_beams > 1 takes the beam path; "
+                  "--draft_model ignored in long-form", file=sys.stderr)
+        elif args.draft_model:
             from whisper_context_biasing_tpu.decode import load_draft
 
             dparams, dcfg = load_draft(args.draft_model,
@@ -302,7 +304,9 @@ def main():
                 compression_ratio_threshold=args.compression_ratio_threshold,
                 logprob_threshold=lp_thresh, no_speech_threshold=ns_thresh,
                 start_tokens=starts, return_segments=True,
-                prefix_pad_to_multiple=32, draft=draft)
+                prefix_pad_to_multiple=32, draft=draft,
+                num_beams=args.num_beams,
+                beam_early_stopping=args.beam_early_stopping)
             long_words = None
         else:
             out = transcribe_long_batch(
@@ -315,7 +319,8 @@ def main():
                 logprob_threshold=lp_thresh, no_speech_threshold=ns_thresh,
                 start_tokens=starts, return_segments=True,
                 word_timestamps=args.word_timestamps, alignment_heads=heads,
-                draft=draft)
+                draft=draft, num_beams=args.num_beams,
+                beam_early_stopping=args.beam_early_stopping)
             if args.word_timestamps:
                 hyps, segments, long_words = out
             else:

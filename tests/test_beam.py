@@ -126,6 +126,91 @@ class TestBeam:
             assert all(0 <= t < cfg.n_vocab for t in o)
 
 
+class TestBeamNoSpeech:
+    def test_no_speech_prob_matches_greedy(self, setup):
+        """beam_decode(no_speech_id=...) reads the same prefill position as
+        greedy_decode — probabilities must agree (long-form silence rule
+        under beam, decode/long_form.py)."""
+        cfg, params, mel = setup
+        tok = load_tokenizer()
+        ids, mask = pack_prefixes([[tok.sot]] * 2, EOT)
+        g = greedy_decode(params, cfg, jnp.asarray(mel), jnp.asarray(ids),
+                          jnp.asarray(mask), max_new=3,
+                          no_speech_id=tok.no_speech)
+        b = beam_decode(params, cfg, jnp.asarray(mel), jnp.asarray(ids),
+                        jnp.asarray(mask), num_beams=3, max_new=3,
+                        no_speech_id=tok.no_speech)
+        assert b.no_speech_prob is not None
+        np.testing.assert_allclose(np.asarray(b.no_speech_prob),
+                                   np.asarray(g.no_speech_prob),
+                                   rtol=2e-3, atol=1e-5)
+
+
+class TestLongFormBeam:
+    def test_best_beam_projection(self):
+        """_best_beam_as_greedy repeats the decoder's own selection rule in
+        both scoring modes."""
+        from whisper_context_biasing_tpu.decode.long_form import (
+            _best_beam_as_greedy,
+        )
+        from whisper_context_biasing_tpu.decode.beam import BeamResult
+
+        toks = np.arange(2 * 2 * 4, dtype=np.int32).reshape(2, 2, 4)
+        scores = np.array([[-4.0, -3.0], [-2.0, -10.0]], np.float32)
+        lens = np.array([[4, 2], [2, 4]], np.int32)
+        res = BeamResult(toks, scores, lens, toks[:, 0],
+                         np.array([0.1, 0.9], np.float32))
+        # mode off: penalized = score/len -> row0: -4/4=-1.0 beats -3/2=-1.5
+        # (beam 0); row1: -2/2=-1.0 beats -10/4 (beam 0)
+        out = _best_beam_as_greedy(res, 1.0, "off")
+        np.testing.assert_array_equal(out.tokens,
+                                      np.stack([toks[0, 0], toks[1, 0]]))
+        assert out.lengths.tolist() == [4, 2]
+        assert out.sum_logprob.tolist() == [-4.0, -2.0]
+        np.testing.assert_allclose(out.no_speech_prob, [0.1, 0.9], rtol=1e-6)
+        # HF modes: scores already penalized -> argmax directly (row0 flips
+        # to beam 1), sum recovered by un-penalizing
+        out = _best_beam_as_greedy(res, 1.0, "true")
+        np.testing.assert_array_equal(out.tokens,
+                                      np.stack([toks[0, 1], toks[1, 0]]))
+        assert out.sum_logprob.tolist() == [-6.0, -4.0]
+
+    @pytest.mark.slow
+    def test_long_form_beam_runs_multiwindow(self, setup):
+        """num_beams>1 drives the t=0 rung across windows in both long-form
+        modes; k=2 beam output is a valid token stream per file."""
+        from whisper_context_biasing_tpu.decode import (
+            transcribe_chunked,
+            transcribe_long_batch,
+        )
+
+        cfg, params, _ = setup
+        tok = load_tokenizer()
+        rng = np.random.default_rng(5)
+        win = cfg.n_audio_ctx * 320
+        audios = [rng.standard_normal(int(win * 1.5)).astype(np.float32) * 0.1,
+                  rng.standard_normal(win // 2).astype(np.float32) * 0.1]
+
+        def mel_fn(batch):
+            from whisper_context_biasing_tpu.audio.mel import (
+                log_mel_spectrogram_np,
+            )
+            return np.stack([log_mel_spectrogram_np(a)[:, :2 * cfg.n_audio_ctx]
+                             for a in batch])
+
+        kw = dict(mel_fn=mel_fn, max_new=5, temperatures=(0.0,),
+                  no_speech_threshold=0.99, logprob_threshold=None,
+                  compression_ratio_threshold=None, window_samples=win,
+                  num_beams=2)
+        seq = transcribe_long_batch(params, cfg, tok, audios, **kw)
+        chk = transcribe_chunked(params, cfg, tok, audios,
+                                 use_timestamps=False, **kw)
+        for outs in (seq, chk):
+            assert len(outs) == 2
+            assert all(isinstance(t, (int, np.integer))
+                       for o in outs for t in o)
+
+
 class TestPrefetch:
     def test_batch_loader_order_and_content(self):
         from whisper_context_biasing_tpu.data import BatchLoader

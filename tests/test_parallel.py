@@ -211,6 +211,37 @@ class TestShardedDecode:
             bias_spans=spans, bias_boost=0.5, mesh=mesh)
         assert out == ref
 
+    def test_chunked_long_form_mesh_matches_single_device(self, setup):
+        """SURVEY §5 sequence scaling: chunked long-form windows decode in
+        parallel ACROSS the mesh — dp-sharded window batches must reproduce
+        single-device tokens exactly."""
+        from whisper_context_biasing_tpu.decode import transcribe_chunked
+        from whisper_context_biasing_tpu.tokenizer import load_tokenizer
+
+        cfg, params, _ = setup
+        tok = load_tokenizer()
+        rng = np.random.default_rng(9)
+        win = cfg.n_audio_ctx * 320
+        audios = [rng.standard_normal(int(win * 1.6)).astype(np.float32) * 0.1,
+                  rng.standard_normal(win // 2).astype(np.float32) * 0.1]
+
+        def mel_fn(chunk):
+            r = np.random.default_rng(
+                int(abs(np.asarray(chunk)).sum() * 1e3) % 2**31)
+            return (r.standard_normal((np.asarray(chunk).shape[0], 80, 128))
+                    * 0.5).astype(np.float32)
+
+        kw = dict(mel_fn=mel_fn, max_new=5, temperatures=(0.0,),
+                  no_speech_threshold=None, logprob_threshold=None,
+                  compression_ratio_threshold=None, window_samples=win,
+                  use_timestamps=False)
+        ref = transcribe_chunked(params, cfg, tok, audios, **kw)
+
+        mesh = make_mesh(model_parallelism=2, devices=cpu_devices())
+        p_sh = shard_params(params, mesh)
+        got = transcribe_chunked(p_sh, cfg, tok, audios, mesh=mesh, **kw)
+        assert got == ref
+
     def test_beam_decode_batch_mesh(self, setup):
         from whisper_context_biasing_tpu.decode import beam_decode_batch
         from whisper_context_biasing_tpu.tokenizer import load_tokenizer

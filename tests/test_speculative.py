@@ -230,3 +230,31 @@ class TestSpeculativeLongForm:
         got = transcribe_long_batch(params_t, cfg_t, tok, audios,
                                     draft=(params_d, cfg_d, 3), **kw)
         assert got == ref
+
+    def test_chunked_draft_matches_plain(self, setup):
+        """transcribe_chunked(draft=...) emits the same tokens as the plain
+        chunked decode — speculative verification is output-invariant in the
+        parallel-window mode too (decode/chunked.py draft= passthrough)."""
+        from whisper_context_biasing_tpu.decode import transcribe_chunked
+        from whisper_context_biasing_tpu.tokenizer import load_tokenizer
+
+        cfg_t, params_t, cfg_d, params_d, _ = setup
+        tok = load_tokenizer()
+        rng = np.random.default_rng(4)
+        win = cfg_t.n_audio_ctx * 320
+        audios = [rng.standard_normal(int(win * 1.6)).astype(np.float32) * 0.1,
+                  rng.standard_normal(win // 2).astype(np.float32) * 0.1]
+
+        def mel_fn(batch):
+            from whisper_context_biasing_tpu.audio.mel import log_mel_spectrogram_np
+            return np.stack([log_mel_spectrogram_np(a)[:, :2 * cfg_t.n_audio_ctx]
+                             for a in batch])
+
+        kw = dict(mel_fn=mel_fn, max_new=6, temperatures=(0.0,),
+                  no_speech_threshold=None, logprob_threshold=None,
+                  compression_ratio_threshold=None, window_samples=win,
+                  use_timestamps=False)
+        ref = transcribe_chunked(params_t, cfg_t, tok, audios, **kw)
+        got = transcribe_chunked(params_t, cfg_t, tok, audios,
+                                 draft=(params_d, cfg_d, 3), **kw)
+        assert got == ref

@@ -46,12 +46,17 @@ class BeamResult(NamedTuple):
     scores: jax.Array   # (B, K) cumulative logprob (unpenalized)
     lengths: jax.Array  # (B, K) tokens before eot
     best: jax.Array     # (B, max_new) best beam per batch row
+    no_speech_prob: jax.Array | None = None  # (B,) f32 — P(<|nospeech|>) at
+                            # the <|sot|> prefill position (see GreedyResult);
+                            # needs no_speech_id. Used by the long-form
+                            # silence rule when beam drives the t=0 rung.
 
 
 @functools.partial(
     counted_jit,
     static_argnames=("cfg", "num_beams", "max_new", "eot_id", "bias_boost",
-                     "length_penalty", "span_pad_id", "early_stopping"),
+                     "length_penalty", "span_pad_id", "early_stopping",
+                     "no_speech_id"),
 )
 def beam_decode(
     params,
@@ -67,6 +72,8 @@ def beam_decode(
     length_penalty: float = 1.0,
     span_pad_id: int = 50256,
     early_stopping: str = "off",
+    no_speech_id: int | None = None,
+    sot_offset=1,  # int or (B,) int32 — <|sot|> position from the prefix end
 ) -> BeamResult:
     """``early_stopping="off"`` (default): the in-pool frozen-beam search
     documented above — finished beams compete in top-k at zero incremental
@@ -122,6 +129,14 @@ def beam_decode(
     )
     next_pos = prefix_pos[:, -1] + 1  # (B*K,)
 
+    no_speech_prob = None
+    if no_speech_id is not None:
+        # prefill logits at the <|sot|> input position of beam 0 of each row
+        # (identical across the k tiled copies) — same rule as greedy_decode
+        off = jnp.broadcast_to(jnp.asarray(sot_offset, jnp.int32), (b,))
+        sot_lg = logits[jnp.arange(b) * k, p - off].astype(jnp.float32)
+        no_speech_prob = jax.nn.softmax(sot_lg, axis=-1)[:, no_speech_id]
+
     use_bias = bias_spans is not None and bias_boost != 0.0
     if bias_spans is None:
         bias_spans = jnp.zeros((b, 1, 1), jnp.int32)
@@ -158,13 +173,14 @@ def beam_decode(
         return cache, state, pos
 
     if early_stopping != "off":
-        return _hf_beam_loop(
+        res = _hf_beam_loop(
             params, cfg, logits, cache, next_pos, cross_kv, key_mask,
             spans_tiled, bias_state, use_bias, reorder,
             b=b, k=k, v=v, p=p, max_new=max_new, eot_id=eot_id,
             bias_boost=bias_boost, length_penalty=length_penalty,
             early_stopping=early_stopping,
         )
+        return res._replace(no_speech_prob=no_speech_prob)
 
     def step_logprobs(step_logits, state, finished):
         """(B*K, V) masked log-probs for candidate expansion. Biasing uses
@@ -245,7 +261,7 @@ def beam_decode(
     penal = final.scores / jnp.maximum(lengths, 1).astype(jnp.float32) ** length_penalty
     best_idx = jnp.argmax(penal, axis=1)  # (B,)
     best = jnp.take_along_axis(final.out, best_idx[:, None, None], axis=1)[:, 0]
-    return BeamResult(final.out, final.scores, lengths, best)
+    return BeamResult(final.out, final.scores, lengths, best, no_speech_prob)
 
 
 def _hf_beam_loop(

@@ -178,6 +178,15 @@ def transcribe_chunked(
     pad_batches: bool = False,                # pad every call to max_batch so
                                               # ONE compiled program serves
                                               # all chunk counts (serving)
+    num_beams: int = 1,                       # >1: beam drives the t=0 rung
+                                              # (wins over `draft`)
+    length_penalty: float = 1.0,
+    beam_early_stopping: str = "off",
+    mesh=None,                                # window batches shard over the
+                                              # mesh's "data" axis (params
+                                              # pre-sharded by the caller) —
+                                              # SURVEY §5: windows decoded in
+                                              # parallel ACROSS the mesh
 ):
     """Returns per-file token lists (or ``(tokens, segments)`` with
     ``return_segments``; segment times are absolute file time).
@@ -235,14 +244,38 @@ def transcribe_chunked(
                               arr.dtype)
                 rows = np.concatenate([rows, pad])
             spans = jnp.asarray(rows)
-        sot_off = (jnp.asarray([len(start_tokens[fi]) for fi, *_ in batch]
-                               + [1] * (nb - nb_real), jnp.int32)
+        sot_off = (np.asarray([len(start_tokens[fi]) for fi, *_ in batch]
+                              + [1] * (nb - nb_real), np.int32)
                    if start_tokens else 1)
         ns_id = tokenizer.no_speech if no_speech_threshold is not None else None
+
+        if mesh is not None:
+            from ..parallel import shard_decode_inputs
+
+            soff = None if isinstance(sot_off, int) else sot_off
+            (mel, ids, mask, spans, soff), _ = shard_decode_inputs(
+                mesh, np.asarray(mel), np.asarray(ids), np.asarray(mask),
+                None if spans is None else np.asarray(spans), soff)
+            if soff is not None:
+                sot_off = soff
 
         def run(temperature, key):
             if decode_fn is not None:
                 return decode_fn(mel, ids, mask, temperature, key)
+            if num_beams > 1 and temperature == 0.0:
+                from .beam import beam_decode
+                from .long_form import _best_beam_as_greedy
+
+                res = beam_decode(
+                    params, cfg, jnp.asarray(mel), jnp.asarray(ids),
+                    jnp.asarray(mask), num_beams=num_beams, max_new=max_new,
+                    eot_id=tokenizer.eot, bias_spans=spans,
+                    bias_boost=bias_boost, span_pad_id=tokenizer.eot,
+                    length_penalty=length_penalty,
+                    early_stopping=beam_early_stopping,
+                    no_speech_id=ns_id, sot_offset=sot_off)
+                return _best_beam_as_greedy(res, length_penalty,
+                                            beam_early_stopping)
             if draft is not None and temperature == 0.0:
                 from .speculative import speculative_greedy_decode
 

@@ -102,6 +102,32 @@ def timestamp_seek(
     return tokens[: last_idx + 1], last_val
 
 
+def _best_beam_as_greedy(res, length_penalty: float,
+                         early_stopping: str = "off") -> GreedyResult:
+    """Project a BeamResult onto the ladder's GreedyResult contract: the
+    best beam's tokens/length/score per row (selection repeats the decoder's
+    own rule per mode, so it matches ``res.best``) plus the prefill
+    no-speech probability. In the HF modes ``scores`` are already
+    length-penalized (beam_decode docstring), so the quality ladder's
+    ``sum/(len+1)`` average stays comparable to greedy's only at
+    length_penalty ~ 1; the t=0 acceptance decision still keys off the
+    compression ratio first."""
+    toks = np.asarray(res.tokens)
+    scores = np.asarray(res.scores)
+    lens = np.asarray(res.lengths)
+    if early_stopping == "off":
+        penal = scores / np.maximum(lens, 1).astype(np.float32) ** length_penalty
+        sum_lp = scores
+    else:
+        penal = scores  # pool scores: penalized at insertion
+        sum_lp = scores * np.maximum(lens, 1).astype(np.float32) ** length_penalty
+    bi = penal.argmax(axis=1)
+    rows = np.arange(toks.shape[0])
+    return GreedyResult(toks[rows, bi], lens[rows, bi], sum_lp[rows, bi],
+                        None if res.no_speech_prob is None
+                        else np.asarray(res.no_speech_prob))
+
+
 def _content_tokens(tokens: list[int], tokenizer) -> list[int]:
     """Strip specials and timestamp tokens (prompt/history hygiene)."""
     return [t for t in tokens
@@ -136,6 +162,12 @@ def transcribe_long_batch(
     draft: tuple | None = None,  # (params_draft, cfg_draft, k): speculative
                                  # decoding for the temperature-0 pass
                                  # (decode/speculative.py; exact output)
+    num_beams: int = 1,          # >1: beam search drives the t=0 rung
+                                 # (OpenAI long-form composition: beam at
+                                 # temperature 0, sampling at the fallback
+                                 # rungs); wins over `draft` when both set
+    length_penalty: float = 1.0,
+    beam_early_stopping: str = "off",
 ) -> list[list[int]]:
     """Returns per-file token lists (concatenated over windows; timestamp
     tokens are kept when ``use_timestamps`` so callers can segment with
@@ -180,6 +212,19 @@ def transcribe_long_batch(
         def decode_fn(mel, ids, mask, temperature, key):
             ns_id = (tokenizer.no_speech
                      if no_speech_threshold is not None else None)
+            if num_beams > 1 and temperature == 0.0:
+                from .beam import beam_decode
+
+                res = beam_decode(
+                    params, cfg, jnp.asarray(mel), jnp.asarray(ids),
+                    jnp.asarray(mask), num_beams=num_beams, max_new=max_new,
+                    eot_id=tokenizer.eot, bias_spans=spans,
+                    bias_boost=bias_boost, span_pad_id=tokenizer.eot,
+                    length_penalty=length_penalty,
+                    early_stopping=beam_early_stopping,
+                    no_speech_id=ns_id, sot_offset=sot_off)
+                return _best_beam_as_greedy(res, length_penalty,
+                                            beam_early_stopping)
             if draft is not None and temperature == 0.0:
                 from .speculative import speculative_greedy_decode
 

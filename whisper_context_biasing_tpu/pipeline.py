@@ -345,7 +345,9 @@ class Pipeline:
                 use_timestamps=timestamps, temperatures=tuple(temperatures),
                 no_speech_threshold=no_speech_threshold,
                 start_tokens=starts, return_segments=True,
-                prefix_pad_to_multiple=32, window_samples=win, draft=draft)
+                prefix_pad_to_multiple=32, window_samples=win, draft=draft,
+                num_beams=num_beams, beam_early_stopping=beam_early_stopping,
+                mesh=self.mesh)
             results = []
             for i, h in enumerate(hyps):
                 text = self.tokenizer.decode(h, skip_special_tokens=True).strip()
@@ -382,7 +384,8 @@ class Pipeline:
                 start_tokens=starts, return_segments=True,
                 word_timestamps=word_timestamps,
                 alignment_heads=alignment_heads,
-                prefix_pad_to_multiple=32, window_samples=win, draft=draft)
+                prefix_pad_to_multiple=32, window_samples=win, draft=draft,
+                num_beams=num_beams, beam_early_stopping=beam_early_stopping)
             if word_timestamps:
                 hyps, segs, long_words = out
             else:
