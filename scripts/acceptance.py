@@ -104,9 +104,11 @@ def resolve_weights(weights_dir, model):
         os.path.join(weights_dir, f"{model}.safetensors"),
         os.path.join(weights_dir, model),
     ):
-        if os.path.isfile(cand) or (
-            os.path.isdir(cand) and os.path.isfile(os.path.join(cand, "params.npz"))
-        ):
+        from whisper_context_biasing_tpu.train.checkpoint import (
+            is_native_checkpoint,
+        )
+
+        if os.path.isfile(cand) or is_native_checkpoint(cand):
             return cand
     return None
 

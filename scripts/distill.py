@@ -89,6 +89,10 @@ def parse_args():
     p.add_argument("--model_parallelism", type=int, default=1,
                    help="same mesh semantics as scripts/train.py (1 = dp "
                         "over all visible devices, 0 = single device)")
+    p.add_argument("--checkpoint_backend", choices=["npz", "orbax"],
+                   default="npz",
+                   help="orbax: tensorstore arrays (sharded saves without "
+                        "a host gather)")
     p.add_argument("--seed", type=int, default=42)
     return p.parse_args()
 
@@ -171,6 +175,7 @@ def main():
         logging_steps=args.logging_steps,
         eval_batches=args.eval_batches,
         seed=args.seed,
+        checkpoint_backend=args.checkpoint_backend,
     )
     if mixed_mels:
         # the fused mel Pallas kernel needs a TPU; interpret mode keeps the

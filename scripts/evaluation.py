@@ -77,7 +77,8 @@ def parse_args():
 def load_model(args, model_cfg, path):
     from whisper_context_biasing_tpu.utils import warn_missing_assets
     warn_missing_assets(args.vocab, path, "evaluation")
-    if path and os.path.isdir(path) and os.path.isfile(os.path.join(path, "params.npz")):
+    from whisper_context_biasing_tpu.train.checkpoint import is_native_checkpoint
+    if is_native_checkpoint(path):
         params, _, _ = load_checkpoint(path)
         return params, model_cfg
     if path:

@@ -31,8 +31,9 @@ def main():
         get_config, load_checkpoint_or_safetensors, save_safetensors,
     )
 
-    native = (os.path.isdir(args.checkpoint)
-              and os.path.isfile(os.path.join(args.checkpoint, "params.npz")))
+    from whisper_context_biasing_tpu.train.checkpoint import is_native_checkpoint
+
+    native = is_native_checkpoint(args.checkpoint)
     # native checkpoints need --model for dims; HF inputs carry their own
     # dims — inferring them prevents silently truncating a bigger model
     cfg = get_config(args.model) if native else None

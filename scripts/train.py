@@ -88,6 +88,10 @@ def parse_args():
                         "throughput, docs/PERF.md), full for medium/large")
     p.add_argument("--freeze_encoder", action="store_true",
                    help="train the decoder only (reference freeze_encoder())")
+    p.add_argument("--checkpoint_backend", choices=["npz", "orbax"],
+                   default="npz",
+                   help="orbax: tensorstore array serialization — sharded "
+                        "params save without a host gather (large meshes)")
     p.add_argument("--seed", type=int, default=42)
     return p.parse_args()
 
@@ -145,9 +149,8 @@ def main():
     bias_spans = data_test.all_bias_spans()
 
     # model init: native checkpoint > HF safetensors > random
-    if args.init_checkpoint and os.path.isdir(args.init_checkpoint) and os.path.isfile(
-        os.path.join(args.init_checkpoint, "params.npz")
-    ):
+    from whisper_context_biasing_tpu.train.checkpoint import is_native_checkpoint
+    if is_native_checkpoint(args.init_checkpoint):
         params, _, _ = load_checkpoint(args.init_checkpoint)
     elif args.init_checkpoint:
         params, model_cfg = load_safetensors(args.init_checkpoint, model_cfg)
@@ -184,6 +187,7 @@ def main():
         seed=args.seed,
         hub_model_id=args.hub_model_id,
         hub_token=args.hf_token,
+        checkpoint_backend=args.checkpoint_backend,
     )
     print("Starting training...")
     params, log_history = train_and_evaluate(

@@ -172,3 +172,36 @@ class TestEndToEnd:
         assert max(e["step"] for e in hist) > max(
             int(c.split("-")[1]) for c in first
         ) - 1
+
+    def test_resume_orbax_backend(self, corpus, tmp_path):
+        """checkpoint_backend='orbax' writes tensorstore checkpoints the
+        loop can resume from (incl. optimizer state), interchangeably with
+        the npz loaders."""
+        tok = load_tokenizer()
+        cfg = tiny_test_config()
+        params = init_params(cfg, 0)
+        collator = SpeechSeq2SeqCollator(
+            pad_token_id=tok.pad_token_id, decoder_start_token_id=tok.sot,
+            decoder_prev_token_id=tok.sop, pad_to_multiple=16,
+        )
+        train_ds = _make_ds(corpus, tok, "train")
+        dev_ds = _make_ds(corpus, tok, "dev")
+        out = str(tmp_path / "resume_ocp")
+        tcfg = TrainingConfig(
+            output_dir=out, per_device_train_batch_size=2,
+            per_device_eval_batch_size=2, gradient_accumulation_steps=1,
+            num_train_epochs=1, eval_steps=2, save_steps=2, logging_steps=1,
+            warmup_steps=0, generation_max_length=6, early_stopping_patience=50,
+            load_best_model_at_end=False, checkpoint_backend="orbax",
+        )
+        train_and_evaluate(cfg, params, tok, train_ds, dev_ds, collator, tcfg)
+        ckpts = list_checkpoints(out)
+        assert ckpts
+        assert all(os.path.isdir(os.path.join(c, "params_ocp")) for c in ckpts)
+        assert not any(os.path.isfile(os.path.join(c, "params.npz"))
+                       for c in ckpts)
+        tcfg2 = TrainingConfig(**{**tcfg.__dict__, "num_train_epochs": 2})
+        _, hist = train_and_evaluate(
+            cfg, params, tok, train_ds, dev_ds, collator, tcfg2, resume=True
+        )
+        assert max(e["step"] for e in hist) > 0

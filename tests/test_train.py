@@ -26,6 +26,77 @@ from whisper_context_biasing_tpu.train import (
 )
 from whisper_context_biasing_tpu.models import init_params, tiny_test_config
 
+
+class TestOrbaxBackend:
+    def _tree(self):
+        rng = np.random.default_rng(0)
+        return {
+            "encoder": {"w": rng.standard_normal((4, 8)).astype(np.float32),
+                        "ln": [rng.standard_normal(8).astype(np.float32),
+                               rng.standard_normal(8).astype(np.float32)]},
+            "decoder": {"emb": rng.standard_normal((16, 8)).astype(np.bfloat16
+                        if hasattr(np, "bfloat16") else np.float32)},
+        }
+
+    def test_round_trip(self, tmp_path):
+        import jax.numpy as jnp
+
+        tree = jax.tree.map(jnp.asarray, self._tree())
+        path = save_checkpoint(str(tmp_path), 7, tree,
+                               metadata={"eval_wer": 1.0},
+                               backend="orbax")
+        from whisper_context_biasing_tpu.train import is_native_checkpoint
+        assert is_native_checkpoint(path)
+        assert not (tmp_path / "checkpoint-7" / "params.npz").exists()
+        got, opt, meta = load_checkpoint(path)
+        assert meta["eval_wer"] == 1.0 and opt is None
+        same = jax.tree.map(
+            lambda a, b: np.array_equal(np.asarray(a, np.float32),
+                                        np.asarray(b, np.float32)),
+            jax.tree.map(np.asarray, tree), got)
+        assert all(jax.tree.leaves(same))
+
+    def test_opt_state_and_retention(self, tmp_path):
+        import optax
+
+        tree = self._tree()
+        opt = optax.adam(1e-3)
+        opt_state = opt.init(jax.tree.map(jnp.asarray, tree))
+        for step in (1, 2, 3):
+            save_checkpoint(str(tmp_path), step, tree, opt_state=opt_state,
+                            metadata={"eval_wer": 5.0 - step,
+                                      "eval_step": step},
+                            keep=1, backend="orbax")
+        kept = list_checkpoints(str(tmp_path))
+        assert len(kept) == 1  # step-3 is both newest and best
+        params, restored, _ = load_checkpoint(kept[0],
+                                              opt_state_template=opt_state)
+        assert restored is not None
+        flat_a = jax.tree.leaves(jax.tree.map(np.asarray, opt_state))
+        flat_b = jax.tree.leaves(restored)
+        assert all(np.array_equal(np.asarray(a, np.float32),
+                                  np.asarray(b, np.float32))
+                   for a, b in zip(flat_a, flat_b))
+
+    def test_sharded_params_save_without_gather(self, tmp_path):
+        """Mesh-sharded jax.Arrays write directly (each device's shards) and
+        restore to the full host array."""
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+        from conftest import cpu_devices
+
+        devs = np.array(cpu_devices()[:8]).reshape(8)
+        mesh = Mesh(devs, ("data",))
+        x = np.arange(64, dtype=np.float32).reshape(8, 8)
+        xs = jax.device_put(x, NamedSharding(mesh, P("data", None)))
+        path = save_checkpoint(str(tmp_path), 1, {"x": xs}, backend="orbax")
+        got, _, _ = load_checkpoint(path)
+        np.testing.assert_array_equal(got["x"], x)
+
+    def test_unknown_backend_rejected(self, tmp_path):
+        with pytest.raises(ValueError, match="backend"):
+            save_checkpoint(str(tmp_path), 1, {"x": np.zeros(2)},
+                            backend="msgpack")
+
 PAD = 50256
 SPECIALS = {50256, 50257, 50258, 50358, 50362}
 

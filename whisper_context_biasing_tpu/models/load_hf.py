@@ -261,9 +261,11 @@ def load_torch_model(model, cfg: WhisperConfig | None = None) -> tuple[Params, W
 
 
 def load_checkpoint_or_safetensors(path: str, cfg: WhisperConfig | None = None):
-    """Load either a native checkpoint-N dir (params.npz) or an HF
+    """Load either a native checkpoint-N dir (npz or orbax backed) or an HF
     safetensors checkpoint; returns (params, cfg)."""
-    if os.path.isdir(path) and os.path.isfile(os.path.join(path, "params.npz")):
+    from ..train.checkpoint import is_native_checkpoint
+
+    if is_native_checkpoint(path):
         from ..train.checkpoint import load_checkpoint
 
         params, _, _ = load_checkpoint(path)

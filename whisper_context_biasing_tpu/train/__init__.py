@@ -20,6 +20,7 @@ from .distill import (
 )
 from .checkpoint import (
     find_best_checkpoint,
+    is_native_checkpoint,
     latest_checkpoint,
     list_checkpoints,
     load_checkpoint,
@@ -40,6 +41,7 @@ __all__ = [
     "load_checkpoint",
     "latest_checkpoint",
     "find_best_checkpoint",
+    "is_native_checkpoint",
     "list_checkpoints",
     "TrainingConfig",
     "train_and_evaluate",

@@ -60,6 +60,50 @@ def _unflatten(flat: dict[str, np.ndarray]) -> Any:
     return fix(root)
 
 
+def is_native_checkpoint(path: str) -> bool:
+    """True when ``path`` is a checkpoint-N dir this module can load —
+    either npz (``params.npz``) or Orbax (``params_ocp/``) backed. The one
+    detection rule every entry point shares (train/evaluation/export/
+    acceptance CLIs, models.load_checkpoint_or_safetensors)."""
+    if not path or not os.path.isdir(path):
+        return False
+    return (os.path.isfile(os.path.join(path, "params.npz"))
+            or os.path.isdir(os.path.join(path, "params_ocp")))
+
+
+def _orbax_save(path: str, params, opt_state) -> None:
+    """Orbax (tensorstore) array serialization: sharded jax.Arrays are
+    written without a host gather — each device contributes its own shards,
+    the scalable path for large meshes (SURVEY §5's 'Orbax-style' ask). The
+    pytree is flattened to a string-keyed dict so restore needs no
+    structure template."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.join(path, "params_ocp"), _flatten_jax(params),
+                   force=True)
+        if opt_state is not None:
+            ckptr.save(os.path.join(path, "opt_ocp"),
+                       {str(i): a for i, a in
+                        enumerate(jax.tree.leaves(opt_state))},
+                       force=True)
+
+
+def _flatten_jax(tree: Any, prefix: str = "") -> dict[str, Any]:
+    """_flatten without the np.asarray host gather (orbax consumes
+    jax.Arrays, sharded or not, directly)."""
+    out = {}
+    if isinstance(tree, dict):
+        for k in sorted(tree):
+            out.update(_flatten_jax(tree[k], f"{prefix}{k}/"))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            out.update(_flatten_jax(v, f"{prefix}{i}/"))
+    else:
+        out[prefix[:-1]] = tree
+    return out
+
+
 def save_checkpoint(
     output_dir: str,
     step: int,
@@ -68,17 +112,28 @@ def save_checkpoint(
     metadata: dict | None = None,
     keep: int = 1,
     best_metric_key: str = "eval_wer",
+    backend: str = "npz",
 ) -> str:
+    """``backend="orbax"`` writes arrays through Orbax/tensorstore (sharded
+    arrays save without a host gather); everything else — directory layout,
+    trainer_state.json, retention, best-selection — is backend-invariant,
+    and ``load_checkpoint`` auto-detects the format."""
     path = os.path.join(output_dir, f"checkpoint-{step}")
     os.makedirs(path, exist_ok=True)
-    params_np = jax.tree.map(np.asarray, params)
-    np.savez(os.path.join(path, "params.npz"), **_flatten(params_np))
-    if opt_state is not None:
-        opt_np = jax.tree.map(np.asarray, jax.tree.leaves(opt_state))
-        np.savez(
-            os.path.join(path, "opt_state.npz"),
-            **{str(i): a for i, a in enumerate(opt_np)},
-        )
+    if backend == "orbax":
+        _orbax_save(path, params, opt_state)
+    elif backend == "npz":
+        params_np = jax.tree.map(np.asarray, params)
+        np.savez(os.path.join(path, "params.npz"), **_flatten(params_np))
+        if opt_state is not None:
+            opt_np = jax.tree.map(np.asarray, jax.tree.leaves(opt_state))
+            np.savez(
+                os.path.join(path, "opt_state.npz"),
+                **{str(i): a for i, a in enumerate(opt_np)},
+            )
+    else:
+        raise ValueError(f"unknown checkpoint backend {backend!r} "
+                         "(expected 'npz' or 'orbax')")
     meta = {"step": step, **(metadata or {})}
     with open(os.path.join(path, "trainer_state.json"), "w") as f:
         json.dump(meta, f, indent=2)
@@ -167,15 +222,43 @@ def find_best_checkpoint(output_dir: str, metric_key: str = "eval_wer") -> str |
 
 
 def load_checkpoint(path: str, opt_state_template: Any = None):
-    """Returns (params, opt_state_or_None, metadata)."""
-    with np.load(os.path.join(path, "params.npz")) as z:
-        params = _unflatten({k: z[k] for k in z.files})
-    opt_state = None
-    opt_file = os.path.join(path, "opt_state.npz")
-    if opt_state_template is not None and os.path.isfile(opt_file):
-        with np.load(opt_file) as z:
-            leaves = [z[str(i)] for i in range(len(z.files))]
-        opt_state = jax.tree.unflatten(jax.tree.structure(opt_state_template), leaves)
+    """Returns (params, opt_state_or_None, metadata). The storage backend
+    (npz / orbax) is auto-detected from the directory contents; both return
+    host numpy arrays — callers re-shard onto their mesh as usual."""
+    ocp_dir = os.path.join(path, "params_ocp")
+    if os.path.isdir(ocp_dir):
+        import orbax.checkpoint as ocp
+
+        def restore_flat(ckptr, d):
+            # restore to host numpy regardless of the devices the arrays
+            # were sharded over at save time (a checkpoint written on an
+            # 8-chip mesh must load on any topology — callers re-shard)
+            im = ckptr.metadata(d).item_metadata
+            tmpl = {k: np.empty(v.shape, v.dtype) for k, v in im.items()}
+            return ckptr.restore(d, tmpl)
+
+        with ocp.StandardCheckpointer() as ckptr:
+            flat = restore_flat(ckptr, ocp_dir)
+            params = _unflatten(
+                {k: np.asarray(v) for k, v in flat.items()})
+            opt_state = None
+            opt_dir = os.path.join(path, "opt_ocp")
+            if opt_state_template is not None and os.path.isdir(opt_dir):
+                flat_opt = restore_flat(ckptr, opt_dir)
+                leaves = [np.asarray(flat_opt[str(i)])
+                          for i in range(len(flat_opt))]
+                opt_state = jax.tree.unflatten(
+                    jax.tree.structure(opt_state_template), leaves)
+    else:
+        with np.load(os.path.join(path, "params.npz")) as z:
+            params = _unflatten({k: z[k] for k in z.files})
+        opt_state = None
+        opt_file = os.path.join(path, "opt_state.npz")
+        if opt_state_template is not None and os.path.isfile(opt_file):
+            with np.load(opt_file) as z:
+                leaves = [z[str(i)] for i in range(len(z.files))]
+            opt_state = jax.tree.unflatten(
+                jax.tree.structure(opt_state_template), leaves)
     with open(os.path.join(path, "trainer_state.json")) as f:
         meta = json.load(f)
     return params, opt_state, meta

@@ -226,6 +226,7 @@ class DistillConfig:
     save_total_limit: int = 2
     seed: int = 42
     mel_interpret: bool = False
+    checkpoint_backend: str = "npz"  # or "orbax" (see train/checkpoint.py)
 
 
 def distill_and_evaluate(
@@ -345,12 +346,19 @@ def distill_and_evaluate(
                     acc, estep = last_eval
                     meta.update(eval_agreement=acc,
                                 eval_disagreement=1.0 - acc, eval_step=estep)
-                host_params = jax.tree.map(np.asarray, state.params)
-                host_opt = jax.tree.map(np.asarray, state.opt_state)
-                save_checkpoint(dcfg.output_dir, gstep, host_params,
-                                opt_state=host_opt, metadata=meta,
-                                keep=dcfg.save_total_limit,
-                                best_metric_key="eval_disagreement")
+                if dcfg.checkpoint_backend == "orbax":
+                    save_checkpoint(dcfg.output_dir, gstep, state.params,
+                                    opt_state=state.opt_state, metadata=meta,
+                                    keep=dcfg.save_total_limit,
+                                    best_metric_key="eval_disagreement",
+                                    backend="orbax")
+                else:
+                    host_params = jax.tree.map(np.asarray, state.params)
+                    host_opt = jax.tree.map(np.asarray, state.opt_state)
+                    save_checkpoint(dcfg.output_dir, gstep, host_params,
+                                    opt_state=host_opt, metadata=meta,
+                                    keep=dcfg.save_total_limit,
+                                    best_metric_key="eval_disagreement")
 
     row = {"best_agreement": best["agreement"], "best_step": best["step"],
            "total_steps": gstep}

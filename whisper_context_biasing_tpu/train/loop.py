@@ -58,6 +58,8 @@ class TrainingConfig:
     save_steps: int = 135
     logging_steps: int = 50
     save_total_limit: int = 1
+    checkpoint_backend: str = "npz"  # "orbax": tensorstore arrays, sharded
+                                     # saves without a host gather
     early_stopping_patience: int = 3
     generation_max_length: int = 225
     bias_weight: float = 1.5
@@ -370,15 +372,25 @@ def train_and_evaluate(
                     meta["eval_step"] = last_eval_step
                 if save_thread is not None:
                     save_thread.join()
-                host_params = jax.tree.map(np.asarray, state.params)
-                host_opt = jax.tree.map(np.asarray, state.opt_state)
-                save_thread = threading.Thread(
-                    target=save_checkpoint,
-                    args=(tcfg.output_dir, step, host_params),
-                    kwargs=dict(opt_state=host_opt, metadata=meta,
-                                keep=tcfg.save_total_limit),
-                )
-                save_thread.start()
+                if tcfg.checkpoint_backend == "orbax":
+                    # orbax copies device shards itself (no host gather —
+                    # each device writes its own shards via tensorstore);
+                    # runs on the step thread because the params are
+                    # donated to the next step_fn call
+                    save_checkpoint(tcfg.output_dir, step, state.params,
+                                    opt_state=state.opt_state, metadata=meta,
+                                    keep=tcfg.save_total_limit,
+                                    backend="orbax")
+                else:
+                    host_params = jax.tree.map(np.asarray, state.params)
+                    host_opt = jax.tree.map(np.asarray, state.opt_state)
+                    save_thread = threading.Thread(
+                        target=save_checkpoint,
+                        args=(tcfg.output_dir, step, host_params),
+                        kwargs=dict(opt_state=host_opt, metadata=meta,
+                                    keep=tcfg.save_total_limit),
+                    )
+                    save_thread.start()
 
     if save_thread is not None:
         save_thread.join()
