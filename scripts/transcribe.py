@@ -60,7 +60,8 @@ def parse_args():
                         "overlapping strides and merge (segment-core "
                         "ownership with --timestamps, LCS token merge "
                         "without) — the throughput mode for long audio; "
-                        "no history conditioning / --word_timestamps")
+                        "composes with --word_timestamps and --num_beams; "
+                        "trades away history conditioning")
     p.add_argument("--timestamps", action="store_true",
                    help="long-form: timestamp-conditioned seeking (window "
                         "advances to the last closed segment; straddling "
@@ -290,12 +291,9 @@ def main():
             ns_thresh = None
         heads = parse_alignment_heads(args.alignment_heads)
         if args.chunked:
-            if args.word_timestamps:
-                raise SystemExit("--chunked does not support "
-                                 "--word_timestamps (use sequential --long)")
             from whisper_context_biasing_tpu.decode import transcribe_chunked
 
-            hyps, segments = transcribe_chunked(
+            out = transcribe_chunked(
                 params, cfg, tokenizer, raw, mel_fn=make_mel,
                 max_new=args.max_tokens, contexts=contexts,
                 bias_spans=spans, bias_boost=args.bias_boost,
@@ -306,8 +304,13 @@ def main():
                 start_tokens=starts, return_segments=True,
                 prefix_pad_to_multiple=32, draft=draft,
                 num_beams=args.num_beams,
-                beam_early_stopping=args.beam_early_stopping)
-            long_words = None
+                beam_early_stopping=args.beam_early_stopping,
+                word_timestamps=args.word_timestamps,
+                alignment_heads=heads)
+            if args.word_timestamps:
+                hyps, segments, long_words = out
+            else:
+                (hyps, segments), long_words = out, None
         else:
             out = transcribe_long_batch(
                 params, cfg, tokenizer, raw, mel_fn=make_mel,

@@ -284,6 +284,37 @@ class TestTranscribeChunked:
 
 
 @pytest.mark.slow
+class TestChunkedWordTimestamps:
+    def test_words_owned_once_absolute_times(self, tok):
+        """word_timestamps=True aligns every window batch and assigns each
+        word to exactly one core, in absolute file time."""
+        cfg = tiny_test_config()
+        params = init_params(cfg, 0)
+        win = cfg.n_audio_ctx * 320
+
+        def mel_fn(chunk):
+            r = np.random.default_rng(
+                int(abs(np.asarray(chunk)).sum() * 1e3) % 2**31)
+            return (r.standard_normal((np.asarray(chunk).shape[0], 80, 128))
+                    * 0.5).astype(np.float32)
+
+        audios = [np.ones(int(win * 1.6), np.float32) * 0.1]
+        out = transcribe_chunked(
+            params, cfg, tok, audios, mel_fn=mel_fn, max_new=5,
+            temperatures=(0.0,), logprob_threshold=None,
+            no_speech_threshold=None, compression_ratio_threshold=None,
+            window_samples=win, use_timestamps=False,
+            return_segments=True, word_timestamps=True)
+        hyps, segs, words = out
+        assert len(words) == 1
+        dur = len(audios[0]) / 16000
+        for w in words[0]:
+            assert 0.0 <= w.start <= w.end <= dur + 1.0
+        starts = [w.start for w in words[0]]
+        assert starts == sorted(starts)
+
+
+@pytest.mark.slow
 class TestRealModel:
     def test_real_greedy_smoke(self, tok):
         """The default decode path (no injected decode_fn) over a tiny

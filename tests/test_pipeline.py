@@ -119,9 +119,11 @@ class TestPipeline:
         one = pipe.transcribe(np.zeros(4000, np.float32), max_tokens=4,
                               long_form="chunked")
         assert isinstance(one, TranscriptionResult)
-        with pytest.raises(ValueError, match="word_timestamps"):
-            pipe.transcribe([audio], long_form="chunked",
-                            word_timestamps=True)
+        # word timestamps compose with the chunked mode
+        res = pipe.transcribe([audio], max_tokens=4, long_form="chunked",
+                              word_timestamps=True)
+        assert res[0].words is not None
+        assert all(w.end >= w.start >= 0 for w in res[0].words)
 
     def test_srt_without_segments_raises(self, pipe):
         res = pipe.transcribe(np.zeros(8000, np.float32), max_tokens=4)

@@ -187,6 +187,12 @@ def transcribe_chunked(
                                               # pre-sharded by the caller) —
                                               # SURVEY §5: windows decoded in
                                               # parallel ACROSS the mesh
+    word_timestamps: bool = False,            # per-word times via batched
+                                              # cross-attention DTW, one
+                                              # alignment call per decode
+                                              # batch; words owned by the
+                                              # same core tiling as segments
+    alignment_heads: list[tuple[int, int]] | None = None,
 ):
     """Returns per-file token lists (or ``(tokens, segments)`` with
     ``return_segments``; segment times are absolute file time).
@@ -220,6 +226,7 @@ def transcribe_chunked(
         return ([tokenizer.sop] + ctx + start) if ctx else start
 
     results: list[list[int] | None] = [None] * len(work)
+    window_words: list[list] = [[] for _ in range(len(work))]
 
     for lo in range(0, len(work), max_batch):
         batch = work[lo : lo + max_batch]
@@ -343,19 +350,43 @@ def transcribe_chunked(
                     row = []  # silent window
             results[lo + j] = row
 
+        if word_timestamps:
+            # one batched DTW alignment per decode batch, full decoded rows
+            # (ownership filters words at merge time, exactly like segments)
+            from .word_timestamps import find_word_timestamps
+
+            act = [j for j in range(nb_real) if results[lo + j]]
+            if act:
+                frames = []
+                for j in act:
+                    fi, s, _, _ = batch[j]
+                    frames.append(max(2, min(window_samples,
+                                             max(len(audios[fi]) - s, 0))
+                                      // 320))
+                starts_act = ([list(start_tokens[batch[j][0]]) for j in act]
+                              if start_tokens else None)
+                timings = find_word_timestamps(
+                    params, cfg, tokenizer, np.asarray(mel)[act],
+                    [results[lo + j] for j in act],
+                    starts=starts_act, num_frames=frames,
+                    alignment_heads=alignment_heads, pad_to=max_new + 8)
+                for j, ws in zip(act, timings):
+                    window_words[lo + j] = ws
+
     # ---- merge per file ----------------------------------------------------
     outputs: list[list[int]] = [[] for _ in range(nfiles)]
     segments: list[list[tuple[float, float | None, str]]] = [
         [] for _ in range(nfiles)]
-    by_file: list[list[tuple[int, int, int, list[int]]]] = [
+    words: list[list] = [[] for _ in range(nfiles)]
+    by_file: list[list[tuple[int, int, int, list[int], list]]] = [
         [] for _ in range(nfiles)]
-    for (fi, s, c0, c1), row in zip(work, results):
-        by_file[fi].append((s, c0, c1, row or []))
+    for (fi, s, c0, c1), row, ws in zip(work, results, window_words):
+        by_file[fi].append((s, c0, c1, row or [], ws))
 
     for fi in range(nfiles):
-        wins = sorted(by_file[fi])
+        wins = sorted(by_file[fi], key=lambda w: w[0])
         if use_timestamps:
-            for s, c0, c1, row in wins:
+            for s, c0, c1, row, _ in wins:
                 offset = s / SAMPLE_RATE
                 core0, core1 = c0 / SAMPLE_RATE, c1 / SAMPLE_RATE
                 for t0, t1, toks in split_token_segments(row, tokenizer):
@@ -373,14 +404,30 @@ def transcribe_chunked(
                                      None if t1 is None else offset + t1,
                                      text))
         else:
-            merged = merge_longest_common_sequence([row for *_, row in wins])
+            merged = merge_longest_common_sequence(
+                [row for _, _, _, row, _ in wins])
             outputs[fi] = merged
             if return_segments:
                 text = tokenizer.decode(merged, skip_special_tokens=True)
                 if text.strip():
                     segments[fi].append(
                         (0.0, len(audios[fi]) / SAMPLE_RATE, text))
+        if word_timestamps:
+            # word ownership mirrors segment ownership: the word's start
+            # instant picks the unique window whose core contains it
+            for s, c0, c1, _, ws in wins:
+                offset = s / SAMPLE_RATE
+                core0, core1 = c0 / SAMPLE_RATE, c1 / SAMPLE_RATE
+                for w in ws:
+                    abs_start = w.start + offset
+                    if core0 <= abs_start < core1 or (abs_start < core0
+                                                      and c0 == 0):
+                        w.start = round(abs_start, 3)
+                        w.end = round(w.end + offset, 3)
+                        words[fi].append(w)
 
+    if return_segments and word_timestamps:
+        return outputs, segments, words
     if return_segments:
         return outputs, segments
     return outputs

@@ -292,7 +292,8 @@ class Pipeline:
         loop when any input exceeds the 30 s window; ``timestamps`` adds
         absolute-time segments there. ``long_form="chunked"`` decodes all
         windows in parallel (overlap-merged, no history conditioning) — the
-        throughput mode for long audio. Short-form ``word_timestamps`` adds
+        throughput mode for long audio; composes with ``word_timestamps``
+        and ``num_beams``. Short-form ``word_timestamps`` adds
         per-word times via cross-attention alignment (and caption segments
         grouped from them)."""
         from .audio import pad_or_trim
@@ -315,13 +316,10 @@ class Pipeline:
         if chunked:
             # parallel-window mode: all windows of all clips decode in one
             # (or a few) large batches — the throughput path for long audio
-            # (decode/chunked.py). No history conditioning, no per-word
-            # alignment; timestamps=True merges by segment-core ownership,
-            # False by LCS token merge.
-            if word_timestamps:
-                raise ValueError(
-                    "word_timestamps is not supported with "
-                    "long_form='chunked'; use the sequential long-form mode")
+            # (decode/chunked.py). No history conditioning; timestamps=True
+            # merges by segment-core ownership, False by LCS token merge;
+            # word_timestamps aligns each decode batch in one DTW call with
+            # words owned by the same core tiling.
             from .decode import transcribe_chunked
 
             draft = None
@@ -338,7 +336,7 @@ class Pipeline:
                         f"has {self.draft_cfg.n_mels} — decoding plain")
             first = self._mel(np.stack([pad_or_trim(c, win) for c in clips]))
             starts, langs = self._starts(first, language, task)
-            hyps, segs = transcribe_chunked(
+            out = transcribe_chunked(
                 self.params, self.cfg, self.tokenizer, clips,
                 mel_fn=self._mel, max_new=max_tokens, contexts=ctx,
                 bias_spans=spans, bias_boost=boost,
@@ -347,15 +345,23 @@ class Pipeline:
                 start_tokens=starts, return_segments=True,
                 prefix_pad_to_multiple=32, window_samples=win, draft=draft,
                 num_beams=num_beams, beam_early_stopping=beam_early_stopping,
-                mesh=self.mesh)
+                mesh=self.mesh, word_timestamps=word_timestamps,
+                alignment_heads=alignment_heads)
+            if word_timestamps:
+                hyps, segs, long_words = out
+            else:
+                (hyps, segs), long_words = out, None
             results = []
             for i, h in enumerate(hyps):
                 text = self.tokenizer.decode(h, skip_special_tokens=True).strip()
+                lw = long_words[i] if long_words is not None else None
                 segments = close_open_segments(
                     segs[i], clip_end=len(clips[i]) / 16000)
+                if lw is not None and not timestamps:
+                    segments = words_to_segments(lw)
                 results.append(TranscriptionResult(
                     text=text, tokens=list(h), language=langs[i],
-                    words=None, segments=segments))
+                    words=lw, segments=segments))
             return results[0] if single else results
 
         if use_long:
