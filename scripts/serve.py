@@ -75,8 +75,8 @@ def parse_args():
                         "chunked decoder (decode/chunked.py): all windows "
                         "of a request batch in max --chunked_batch decode "
                         "calls with padded static shapes — the throughput "
-                        "mode; requests asking for word timestamps fall "
-                        "back to the sequential seek loop")
+                        "mode; word-timestamp requests compose (batched "
+                        "DTW per decode call)")
     p.add_argument("--chunked_batch", type=int, default=32,
                    help="window-batch size for --long_chunked")
     p.add_argument("--no_long_form", action="store_true",
@@ -346,7 +346,8 @@ class Engine:
                 and self.draft_cfg.n_mels == self.cfg.n_mels):
             draft = (self.draft_params, self.draft_cfg, self.args.spec_k)
         lp = self.args.logprob_threshold
-        hyps = self.transcribe_chunked(
+        want_words = any(o.get("words") for o in opts[:n])
+        out = self.transcribe_chunked(
             self.params, self.cfg, tok, audios, mel_fn=mel_fn, draft=draft,
             max_new=self.args.max_tokens,
             contexts=ctx if any(ctx) else None,
@@ -357,20 +358,27 @@ class Engine:
             prefix_pad_to_multiple=32,
             max_batch=self.args.chunked_batch, pad_batches=True,
             start_tokens=start_tokens, num_beams=self.args.num_beams,
-            mesh=self.mesh)
+            mesh=self.mesh,
+            return_segments=want_words, word_timestamps=want_words)
+        if want_words:
+            hyps, _, words = out
+        else:
+            hyps, words = out, None
         results = [{"text": tok.decode(h, skip_special_tokens=True).strip()}
                    for h in hyps]
-        for r, lang in zip(results, langs):
+        for i, (r, lang) in enumerate(zip(results, langs)):
             if lang:
                 r["language"] = lang
+            if words is not None and opts[i].get("words"):
+                r["words"] = [{"word": w.word.strip(), "start": w.start,
+                               "end": w.end} for w in words[i]]
         return results
 
     def _run_long(self, audios, contexts, bias_word_lists, opts=None):
         """>30 s requests: sequential-window seek loop (decode/long_form.py).
         The window batch is padded to the static micro-batch size and prompt
         lengths are bucketed, so the greedy program shapes stay stable."""
-        if (getattr(self.args, "long_chunked", False)
-                and not any(o.get("words") for o in (opts or []))):
+        if getattr(self.args, "long_chunked", False):
             return self._run_long_chunked(audios, contexts, bias_word_lists,
                                           opts)
         tok = self.tokenizer

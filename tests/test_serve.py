@@ -150,9 +150,9 @@ class TestServeLongChunked:
         finally:
             engine.args.long_chunked = False
 
-    def test_words_request_falls_back_to_sequential(self, engine):
-        """A request asking for word timestamps must take the sequential
-        loop even under --long_chunked."""
+    def test_words_request_served_chunked(self, engine):
+        """A word-timestamps request stays on the chunked path (batched DTW
+        per decode call) and the result dicts carry word entries."""
         engine.args.long_chunked = True
         called = {"chunked": False}
         orig = engine.transcribe_chunked
@@ -167,7 +167,9 @@ class TestServeLongChunked:
                 [np.ones(N_SAMPLES + 100, np.float32)], [None], [None],
                 opts=[{"words": True}])
             assert len(results) == 1
-            assert not called["chunked"]
+            assert called["chunked"]
+            assert all(set(w) == {"word", "start", "end"}
+                       for w in results[0].get("words", []))
         finally:
             engine.args.long_chunked = False
             engine.transcribe_chunked = orig
