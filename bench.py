@@ -24,6 +24,12 @@ tokens stripped per-row on the host; only REAL audio seconds count toward
 the reported ``decode_rtf_realistic``. With random weights EOT rarely fires,
 so this is a lower bound; with real weights rows exit early and the number
 rises toward the headline.
+
+Long-form mode (BENCH_LONG=1, opt-in — adds minutes of compile): one
+BENCH_LONG_SECONDS (default 900 s) file through the chunked parallel-window
+decoder (decode/chunked.py, padded max_batch=32 batches, single rung,
+32 tokens/window) -> ``long_form_rtf_chunked``. Off by default so the
+driver's bench stays bounded.
 """
 
 import json
@@ -118,6 +124,9 @@ def main():
     if os.environ.get("BENCH_EOT", "1") == "1":
         run_realistic(jax, jnp, cfg, params, spans_j)
 
+    if os.environ.get("BENCH_LONG", "0") == "1":
+        run_long_form(jax, jnp, cfg, params)
+
     wall = min(times)
     audio_seconds = BATCH * float(SECONDS)
     rtf = audio_seconds / wall
@@ -132,6 +141,44 @@ def main():
             "wall_s": round(wall, 4), "device": str(jax.devices()[0]),
             "iters": ITERS, "flash_attention": FLASH, "fused_mel": FUSED_MEL,
         },
+    }))
+
+
+def run_long_form(jax, jnp, cfg, params):
+    """Chunked long-form RTF (BENCH_LONG=1): one long file, every window in
+    padded max_batch decode calls — the serving path for podcast-length
+    audio (docs/PERF.md 'Chunked long-form decode')."""
+    from whisper_context_biasing_tpu.decode import transcribe_chunked
+    from whisper_context_biasing_tpu.ops.mel_kernel import log_mel_spectrogram_fused
+    from whisper_context_biasing_tpu.tokenizer import load_tokenizer
+
+    secs = int(os.environ.get("BENCH_LONG_SECONDS", "900"))
+    mb = int(os.environ.get("BENCH_LONG_BATCH", "32"))
+    tok = load_tokenizer()
+    rng = np.random.default_rng(0)
+    audio = (rng.standard_normal(16000 * secs) * 0.05).astype(np.float32)
+
+    def mel_fn(chunk):
+        return np.asarray(log_mel_spectrogram_fused(jnp.asarray(chunk),
+                                                    n_mels=cfg.n_mels))
+
+    kw = dict(mel_fn=mel_fn, max_new=DECODE_TOKENS, temperatures=(0.0,),
+              logprob_threshold=None, no_speech_threshold=None,
+              compression_ratio_threshold=None, use_timestamps=False,
+              max_batch=mb, pad_batches=True)
+    # warmup compiles the padded-batch program on a short file
+    transcribe_chunked(params, cfg, tok, [audio[: 16000 * 65]], **kw)
+    t0 = time.perf_counter()
+    transcribe_chunked(params, cfg, tok, [audio], **kw)
+    wall = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "long_form_rtf_chunked",
+        "value": round(secs / wall, 2),
+        "unit": "x_realtime",
+        "vs_baseline": None,
+        "detail": {"model": MODEL, "file_seconds": secs, "max_batch": mb,
+                   "tokens_per_window": DECODE_TOKENS,
+                   "wall_s": round(wall, 3)},
     }))
 
 

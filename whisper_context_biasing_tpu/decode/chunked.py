@@ -194,8 +194,10 @@ def transcribe_chunked(
                                               # same core tiling as segments
     alignment_heads: list[tuple[int, int]] | None = None,
 ):
-    """Returns per-file token lists (or ``(tokens, segments)`` with
-    ``return_segments``; segment times are absolute file time).
+    """Returns per-file token lists; with ``return_segments`` a
+    ``(tokens, segments)`` pair, and with ``word_timestamps`` too a
+    ``(tokens, segments, words)`` triple — segment/word times are absolute
+    file time.
 
     All windows of all files are flattened into one work list and decoded
     in batches of ``max_batch`` — per-file bias spans / contexts / start
