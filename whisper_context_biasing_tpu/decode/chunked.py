@@ -207,6 +207,9 @@ def transcribe_chunked(
     if mel_fn is None:
         mel_fn = lambda a: np.stack(  # noqa: E731
             [log_mel_spectrogram_np(x, cfg.n_mels) for x in a])
+    # words are only reachable through the (tokens, segments, words) return:
+    # without return_segments the DTW alignment would be pure wasted compute
+    word_timestamps = word_timestamps and return_segments
     if rng_key is None:
         rng_key = jax.random.PRNGKey(0)
     if not temperatures:

@@ -246,6 +246,9 @@ def transcribe_long_batch(
                 no_speech_id=ns_id,
                 sot_offset=sot_off,
             )
+    # words are only reachable through the (tokens, segments, words) return:
+    # without return_segments the DTW alignment would be pure wasted compute
+    word_timestamps = word_timestamps and return_segments
     if rng_key is None:
         rng_key = jax.random.PRNGKey(0)
     if not temperatures:
