@@ -307,9 +307,46 @@ class Engine:
                 pad_to=self.args.max_tokens + 8, enc_out=enc)
             for r, o, ws in zip(results, opts, timings):
                 if o.get("words"):
-                    r["words"] = [{"word": w.word.strip(), "start": w.start,
-                                   "end": w.end} for w in ws]
+                    r["words"] = self._word_dicts(ws)
         return results
+
+    def _prep_long(self, audios, contexts, bias_word_lists, opts):
+        """Shared request prep for both long-form paths: encoded contexts,
+        bias spans, the device mel closure, per-file start tokens/langs
+        (language forcing detects on each file's first window), the
+        speculative draft (needs the target's mel layout), and the
+        nan-disables logprob threshold."""
+        tok = self.tokenizer
+        ctx = [tok.encode(c.lower(), add_special_tokens=False) if c else []
+               for c in contexts]
+        default_words = self.args.bias_words or []
+        spans = self._spans_for([
+            w if w is not None else default_words for w in bias_word_lists
+        ])
+
+        def mel_fn(chunk):
+            return np.asarray(self.mel_fn(self.jnp.asarray(chunk),
+                                          n_mels=self.cfg.n_mels))
+
+        start_tokens = None
+        langs = [None] * len(audios)
+        if tok.multilingual and any(
+            o.get("language") or o.get("task") == "translate" for o in opts
+        ):
+            first = np.stack([self.pad_or_trim(a) for a in audios])
+            start_tokens, langs = self._starts_for(mel_fn(first), opts)
+        draft = None
+        if (self.draft_params is not None
+                and self.draft_cfg.n_mels == self.cfg.n_mels):
+            draft = (self.draft_params, self.draft_cfg, self.args.spec_k)
+        lp = self.args.logprob_threshold
+        return ctx, spans, mel_fn, start_tokens, langs, draft, (
+            None if lp != lp else lp)
+
+    @staticmethod
+    def _word_dicts(ws):
+        return [{"word": w.word.strip(), "start": w.start, "end": w.end}
+                for w in ws]
 
     def _run_long_chunked(self, audios, contexts, bias_word_lists, opts):
         """>30 s requests, throughput mode (--long_chunked): every window of
@@ -318,34 +355,8 @@ class Engine:
         tok = self.tokenizer
         n = len(audios)
         opts = opts or [{} for _ in range(n)]
-        ctx = [tok.encode(c.lower(), add_special_tokens=False) if c else []
-               for c in contexts]
-        default_words = self.args.bias_words or []
-        spans = self._spans_for([
-            w if w is not None else default_words for w in bias_word_lists
-        ])
-        if spans is not None:
-            spans = spans[:n]
-
-        def mel_fn(chunk):
-            return np.asarray(self.mel_fn(self.jnp.asarray(chunk),
-                                          n_mels=self.cfg.n_mels))
-
-        start_tokens = None
-        langs = [None] * n
-        if tok.multilingual and any(
-            o.get("language") or o.get("task") == "translate" for o in opts
-        ):
-            first = np.stack([self.pad_or_trim(a) for a in audios])
-            start_tokens, langs = self._starts_for(mel_fn(first), opts)
-            if start_tokens is not None:
-                start_tokens = start_tokens[:n]
-
-        draft = None
-        if (self.draft_params is not None
-                and self.draft_cfg.n_mels == self.cfg.n_mels):
-            draft = (self.draft_params, self.draft_cfg, self.args.spec_k)
-        lp = self.args.logprob_threshold
+        ctx, spans, mel_fn, start_tokens, langs, draft, lp = self._prep_long(
+            audios, contexts, bias_word_lists, opts)
         want_words = any(o.get("words") for o in opts[:n])
         out = self.transcribe_chunked(
             self.params, self.cfg, tok, audios, mel_fn=mel_fn, draft=draft,
@@ -354,7 +365,7 @@ class Engine:
             bias_spans=spans, bias_boost=self.args.bias_boost,
             use_timestamps=self.args.timestamps,
             temperatures=tuple(self.args.temperatures),
-            logprob_threshold=None if lp != lp else lp,  # nan disables
+            logprob_threshold=lp,
             prefix_pad_to_multiple=32,
             max_batch=self.args.chunked_batch, pad_batches=True,
             start_tokens=start_tokens, num_beams=self.args.num_beams,
@@ -370,8 +381,7 @@ class Engine:
             if lang:
                 r["language"] = lang
             if words is not None and opts[i].get("words"):
-                r["words"] = [{"word": w.word.strip(), "start": w.start,
-                               "end": w.end} for w in words[i]]
+                r["words"] = self._word_dicts(words[i])
         return results
 
     def _run_long(self, audios, contexts, bias_word_lists, opts=None):
@@ -384,37 +394,14 @@ class Engine:
         tok = self.tokenizer
         bs = self.args.batch
         n = len(audios)
+        # pad to the static micro-batch with silence so program shapes hold
         opts = (opts or [{} for _ in range(n)]) + [{}] * (bs - n)
         audios = list(audios) + [np.zeros(160, np.float32)] * (bs - n)
         contexts = list(contexts) + [None] * (bs - n)
-        ctx = [tok.encode(c.lower(), add_special_tokens=False) if c else []
-               for c in contexts]
-        default_words = self.args.bias_words or []
-        spans = self._spans_for([
-            (w if w is not None else default_words)
-            for w in (list(bias_word_lists) + [None] * (bs - n))
-        ])
-
-        def mel_fn(chunk):
-            return np.asarray(self.mel_fn(self.jnp.asarray(chunk),
-                                          n_mels=self.cfg.n_mels))
-
-        # language/task forcing: detect on each file's first window
-        start_tokens = None
-        langs = [None] * bs
-        if tok.multilingual and any(
-            o.get("language") or o.get("task") == "translate" for o in opts
-        ):
-            first = np.stack([self.pad_or_trim(a) for a in audios])
-            start_tokens, langs = self._starts_for(mel_fn(first), opts)
-
+        bias_word_lists = list(bias_word_lists) + [None] * (bs - n)
+        ctx, spans, mel_fn, start_tokens, langs, draft, lp = self._prep_long(
+            audios, contexts, bias_word_lists, opts)
         want_words = any(o.get("words") for o in opts[:n])
-        # speculative decoding composes with the seek loop's temperature-0
-        # pass (long_form.py draft=); needs the target's mel layout
-        draft = None
-        if (self.draft_params is not None
-                and self.draft_cfg.n_mels == self.cfg.n_mels):
-            draft = (self.draft_params, self.draft_cfg, self.args.spec_k)
         out = self.transcribe_long_batch(
             self.params, self.cfg, tok, audios, mel_fn=mel_fn, draft=draft,
             max_new=self.args.max_tokens,
@@ -422,9 +409,7 @@ class Engine:
             bias_spans=spans, bias_boost=self.args.bias_boost,
             use_timestamps=self.args.timestamps,
             temperatures=tuple(self.args.temperatures),
-            logprob_threshold=(None if self.args.logprob_threshold
-                               != self.args.logprob_threshold  # nan disables
-                               else self.args.logprob_threshold),
+            logprob_threshold=lp,
             prefix_pad_to_multiple=32,
             start_tokens=start_tokens,
             return_segments=want_words, word_timestamps=want_words,
@@ -440,8 +425,7 @@ class Engine:
             if lang:
                 r["language"] = lang
             if words is not None and opts[i].get("words"):
-                r["words"] = [{"word": w.word.strip(), "start": w.start,
-                               "end": w.end} for w in words[i]]
+                r["words"] = self._word_dicts(words[i])
         return results
 
     # -- streaming sessions (decode/streaming.py) -------------------------
@@ -527,8 +511,7 @@ class Engine:
                                  "text": t.strip()} for a, e, t in segs],
                    "buffered_seconds": round(st.buffered_samples / 16000, 2)}
             if st.word_timestamps:
-                out["words"] = [{"word": w.word.strip(), "start": w.start,
-                                 "end": w.end} for w in st.words[n_words:]]
+                out["words"] = self._word_dicts(st.words[n_words:])
             if st.language:
                 out["language"] = st.language
             return out
@@ -543,8 +526,7 @@ class Engine:
                                  "text": t.strip()} for a, e, t in segs],
                    "text": st.text}
             if st.word_timestamps:
-                out["words"] = [{"word": w.word.strip(), "start": w.start,
-                                 "end": w.end} for w in st.words[n_words:]]
+                out["words"] = self._word_dicts(st.words[n_words:])
             if st.language:
                 out["language"] = st.language
         with self.streams_lock:

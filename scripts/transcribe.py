@@ -290,44 +290,28 @@ def main():
         if ns_thresh is not None and ns_thresh != ns_thresh:  # nan disables
             ns_thresh = None
         heads = parse_alignment_heads(args.alignment_heads)
+        common = dict(
+            mel_fn=make_mel, max_new=args.max_tokens, contexts=contexts,
+            bias_spans=spans, bias_boost=args.bias_boost,
+            use_timestamps=args.timestamps,
+            temperatures=tuple(args.temperatures),
+            compression_ratio_threshold=args.compression_ratio_threshold,
+            logprob_threshold=lp_thresh, no_speech_threshold=ns_thresh,
+            start_tokens=starts, return_segments=True, draft=draft,
+            num_beams=args.num_beams,
+            beam_early_stopping=args.beam_early_stopping,
+            word_timestamps=args.word_timestamps, alignment_heads=heads)
         if args.chunked:
             from whisper_context_biasing_tpu.decode import transcribe_chunked
 
-            out = transcribe_chunked(
-                params, cfg, tokenizer, raw, mel_fn=make_mel,
-                max_new=args.max_tokens, contexts=contexts,
-                bias_spans=spans, bias_boost=args.bias_boost,
-                use_timestamps=args.timestamps,
-                temperatures=tuple(args.temperatures),
-                compression_ratio_threshold=args.compression_ratio_threshold,
-                logprob_threshold=lp_thresh, no_speech_threshold=ns_thresh,
-                start_tokens=starts, return_segments=True,
-                prefix_pad_to_multiple=32, draft=draft,
-                num_beams=args.num_beams,
-                beam_early_stopping=args.beam_early_stopping,
-                word_timestamps=args.word_timestamps,
-                alignment_heads=heads)
-            if args.word_timestamps:
-                hyps, segments, long_words = out
-            else:
-                (hyps, segments), long_words = out, None
+            out = transcribe_chunked(params, cfg, tokenizer, raw,
+                                     prefix_pad_to_multiple=32, **common)
         else:
-            out = transcribe_long_batch(
-                params, cfg, tokenizer, raw, mel_fn=make_mel,
-                max_new=args.max_tokens, contexts=contexts,
-                bias_spans=spans, bias_boost=args.bias_boost,
-                use_timestamps=args.timestamps,
-                temperatures=tuple(args.temperatures),
-                compression_ratio_threshold=args.compression_ratio_threshold,
-                logprob_threshold=lp_thresh, no_speech_threshold=ns_thresh,
-                start_tokens=starts, return_segments=True,
-                word_timestamps=args.word_timestamps, alignment_heads=heads,
-                draft=draft, num_beams=args.num_beams,
-                beam_early_stopping=args.beam_early_stopping)
-            if args.word_timestamps:
-                hyps, segments, long_words = out
-            else:
-                (hyps, segments), long_words = out, None
+            out = transcribe_long_batch(params, cfg, tokenizer, raw, **common)
+        if args.word_timestamps:
+            hyps, segments, long_words = out
+        else:
+            (hyps, segments), long_words = out, None
         wall = time.time() - t0
         texts = [tokenizer.decode(h, skip_special_tokens=True).strip()
                  for h in hyps]

@@ -260,3 +260,53 @@ class TestRunner:
         diffs = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
                              jax.tree.map(np.asarray, params), student0)
         assert max(jax.tree.leaves(diffs)) > 0
+
+    def test_probe_pads_partial_eval_batch(self, tmp_path):
+        """A dev set not divisible by the batch size must reach the eval fn
+        cycle-padded to the static batch shape (mesh sharding + compile
+        stability; review regression)."""
+        from whisper_context_biasing_tpu.train import (
+            DistillConfig,
+            distill_and_evaluate,
+        )
+
+        cfg = small_cfg()
+        rng = np.random.default_rng(3)
+
+        class DS:
+            def __init__(self, n):
+                self.rows = []
+                for _ in range(n):
+                    dec = rng.integers(0, V, size=8).astype(np.int64)
+                    self.rows.append({
+                        "input_features":
+                            rng.standard_normal((80, 128)).astype(np.float32),
+                        "decoder_input_ids": dec,
+                        "labels": np.concatenate([dec[1:], [-100]]),
+                    })
+
+            def __len__(self):
+                return len(self.rows)
+
+            def __getitem__(self, i):
+                return self.rows[i]
+
+        def collate(rows):
+            return {k: np.stack([r[k] for r in rows]).astype(
+                        np.int32 if k != "input_features" else np.float32)
+                    for k in rows[0]}
+
+        seen = []
+
+        def spy_shard(b):
+            seen.append(next(iter(b.values())).shape[0])
+            return b
+
+        dcfg = DistillConfig(
+            output_dir=str(tmp_path), per_device_train_batch_size=2,
+            num_train_epochs=1, warmup_steps=0, eval_steps=1, save_steps=10,
+            logging_steps=10, eval_batches=3)
+        distill_and_evaluate(
+            cfg, init_params(cfg, 0), cfg, init_params(cfg, 1),
+            DS(4), DS(3), collate, dcfg, eval_shard_fn=spy_shard)
+        assert seen and all(s == 2 for s in seen)  # 3-row dev: 2 + pad(1->2)

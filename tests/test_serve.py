@@ -175,6 +175,7 @@ class TestServeLongChunked:
             engine.transcribe_chunked = orig
 
 
+@pytest.mark.slow
 class TestServeOptions:
     def test_short_form_result_dicts(self, engine):
         audios = [np.ones(8000, np.float32) * 0.1] * 2

@@ -226,7 +226,10 @@ def transcribe_chunked(
 
     # ---- per-window decode inputs -----------------------------------------
     def prefix_for(fi: int) -> list[int]:
-        ctx = list(contexts[fi])[:MAX_PROMPT_TOKENS] if contexts and contexts[fi] else []
+        # keep the TAIL on overflow — the prompt-window-adjacent tokens,
+        # matching the sequential loop's history convention ([-room:])
+        ctx = (list(contexts[fi])[-MAX_PROMPT_TOKENS:]
+               if contexts and contexts[fi] else [])
         start = list(start_tokens[fi]) if start_tokens else [tokenizer.sot]
         return ([tokenizer.sop] + ctx + start) if ctx else start
 
@@ -397,8 +400,9 @@ def transcribe_chunked(
                 for t0, t1, toks in split_token_segments(row, tokenizer):
                     abs0 = offset + (t0 or 0.0)
                     # ownership: the segment's start instant — each instant
-                    # belongs to exactly one window's core
-                    if core0 <= abs0 < core1 or (abs0 < core0 and c0 == 0):
+                    # belongs to exactly one window's core (the first core
+                    # starts at 0, so no instant can precede every core)
+                    if core0 <= abs0 < core1:
                         outputs[fi].extend(toks)
                         if return_segments:
                             text = tokenizer.decode(
@@ -425,8 +429,7 @@ def transcribe_chunked(
                 core0, core1 = c0 / SAMPLE_RATE, c1 / SAMPLE_RATE
                 for w in ws:
                     abs_start = w.start + offset
-                    if core0 <= abs_start < core1 or (abs_start < core0
-                                                      and c0 == 0):
+                    if core0 <= abs_start < core1:
                         w.start = round(abs_start, 3)
                         w.end = round(w.end + offset, 3)
                         words[fi].append(w)

@@ -280,6 +280,7 @@ class Pipeline:
         beam_early_stopping: str = "off",
         max_tokens: int = 224,
         long_form: bool | str = "auto",
+        chunked_batch: int = 64,
         timestamps: bool = False,
         word_timestamps: bool = False,
         temperatures: tuple = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0),
@@ -346,7 +347,11 @@ class Pipeline:
                 prefix_pad_to_multiple=32, window_samples=win, draft=draft,
                 num_beams=num_beams, beam_early_stopping=beam_early_stopping,
                 mesh=self.mesh, word_timestamps=word_timestamps,
-                alignment_heads=alignment_heads)
+                alignment_heads=alignment_heads,
+                # pad every window batch to one static shape: repeated
+                # library calls with varying audio lengths must reuse ONE
+                # compiled program (docs/PERF.md chunked pitfall)
+                max_batch=chunked_batch, pad_batches=True)
             if word_timestamps:
                 hyps, segs, long_words = out
             else:

@@ -286,14 +286,27 @@ def distill_and_evaluate(
         return {k: v.reshape(accum, dcfg.per_device_train_batch_size,
                              *v.shape[1:]) for k, v in batch.items()}
 
+    eval_bs = dcfg.per_device_train_batch_size
+
+    def pad_rows(b):
+        # cycle-pad a final partial batch to the static eval batch size:
+        # keeps ONE compiled eval program and keeps shard_batch divisible
+        # under a data-parallel mesh (duplicated rows bias the probe's mean
+        # negligibly; it is a selection signal, not a reported metric)
+        n0 = next(iter(b.values())).shape[0]
+        if n0 == eval_bs:
+            return b
+        idx = np.arange(eval_bs) % n0
+        return {k: v[idx] for k, v in b.items()}
+
     def probe_agreement():
-        ev = BatchLoader(data_eval, collator,
-                         batch_size=dcfg.per_device_train_batch_size,
+        ev = BatchLoader(data_eval, collator, batch_size=eval_bs,
                          shuffle=False, drop_last=False)
         tot, n = 0.0, 0
         for i, b in enumerate(ev):
             if i >= dcfg.eval_batches:
                 break
+            b = pad_rows(b)
             if eval_shard_fn is not None:
                 b = eval_shard_fn(b)
             m = eval_fn(state.params, params_target, b)
