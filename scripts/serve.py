@@ -413,7 +413,7 @@ class Engine:
             prefix_pad_to_multiple=32,
             start_tokens=start_tokens,
             return_segments=want_words, word_timestamps=want_words,
-            num_beams=self.args.num_beams,
+            num_beams=self.args.num_beams, mesh=self.mesh,
         )
         if want_words:
             hyps, _, words = out

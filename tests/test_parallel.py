@@ -242,6 +242,36 @@ class TestShardedDecode:
         got = transcribe_chunked(p_sh, cfg, tok, audios, mesh=mesh, **kw)
         assert got == ref
 
+    def test_sequential_long_form_mesh_matches_single_device(self, setup):
+        """transcribe_long_batch(mesh=...) shards every window call's file
+        batch over 'data' and must reproduce single-device tokens exactly
+        (history conditioning included)."""
+        from whisper_context_biasing_tpu.decode import transcribe_long_batch
+        from whisper_context_biasing_tpu.tokenizer import load_tokenizer
+
+        cfg, params, _ = setup
+        tok = load_tokenizer()
+        rng = np.random.default_rng(11)
+        win = cfg.n_audio_ctx * 320
+        audios = [rng.standard_normal(int(win * 1.5)).astype(np.float32) * 0.1,
+                  rng.standard_normal(win // 2).astype(np.float32) * 0.1]
+
+        def mel_fn(chunk):
+            r = np.random.default_rng(
+                int(abs(np.asarray(chunk)).sum() * 1e3) % 2**31)
+            return (r.standard_normal((np.asarray(chunk).shape[0], 80, 128))
+                    * 0.5).astype(np.float32)
+
+        kw = dict(mel_fn=mel_fn, max_new=5, temperatures=(0.0,),
+                  no_speech_threshold=None, logprob_threshold=None,
+                  compression_ratio_threshold=None, window_samples=win)
+        ref = transcribe_long_batch(params, cfg, tok, audios, **kw)
+
+        mesh = make_mesh(model_parallelism=2, devices=cpu_devices())
+        p_sh = shard_params(params, mesh)
+        got = transcribe_long_batch(p_sh, cfg, tok, audios, mesh=mesh, **kw)
+        assert got == ref
+
     def test_beam_decode_batch_mesh(self, setup):
         from whisper_context_biasing_tpu.decode import beam_decode_batch
         from whisper_context_biasing_tpu.tokenizer import load_tokenizer

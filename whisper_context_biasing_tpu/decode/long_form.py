@@ -168,6 +168,9 @@ def transcribe_long_batch(
                                  # rungs); wins over `draft` when both set
     length_penalty: float = 1.0,
     beam_early_stopping: str = "off",
+    mesh=None,                   # each window call's decode batch (the file
+                                 # axis) shards over the mesh's "data" axis
+                                 # (params pre-sharded by the caller)
 ) -> list[list[int]]:
     """Returns per-file token lists (concatenated over windows; timestamp
     tokens are kept when ``use_timestamps`` so callers can segment with
@@ -212,17 +215,27 @@ def transcribe_long_batch(
         def decode_fn(mel, ids, mask, temperature, key):
             ns_id = (tokenizer.no_speech
                      if no_speech_threshold is not None else None)
+            sp, so = spans, sot_off
+            if mesh is not None:
+                from ..parallel import shard_decode_inputs
+
+                soff = None if isinstance(so, int) else np.asarray(so)
+                (mel, ids, mask, sp, soff), _ = shard_decode_inputs(
+                    mesh, np.asarray(mel), np.asarray(ids), np.asarray(mask),
+                    None if sp is None else np.asarray(sp), soff)
+                if soff is not None:
+                    so = soff
             if num_beams > 1 and temperature == 0.0:
                 from .beam import beam_decode
 
                 res = beam_decode(
                     params, cfg, jnp.asarray(mel), jnp.asarray(ids),
                     jnp.asarray(mask), num_beams=num_beams, max_new=max_new,
-                    eot_id=tokenizer.eot, bias_spans=spans,
+                    eot_id=tokenizer.eot, bias_spans=sp,
                     bias_boost=bias_boost, span_pad_id=tokenizer.eot,
                     length_penalty=length_penalty,
                     early_stopping=beam_early_stopping,
-                    no_speech_id=ns_id, sot_offset=sot_off)
+                    no_speech_id=ns_id, sot_offset=so)
                 return _best_beam_as_greedy(res, length_penalty,
                                             beam_early_stopping)
             if draft is not None and temperature == 0.0:
@@ -233,18 +246,18 @@ def transcribe_long_batch(
                     dparams, dcfg, params, cfg, jnp.asarray(mel),
                     jnp.asarray(ids), jnp.asarray(mask), k=dk,
                     max_new=max_new, eot_id=tokenizer.eot,
-                    bias_spans=spans, bias_boost=bias_boost,
+                    bias_spans=sp, bias_boost=bias_boost,
                     span_pad_id=tokenizer.eot,
-                    no_speech_id=ns_id, sot_offset=sot_off,
+                    no_speech_id=ns_id, sot_offset=so,
                 )
             return greedy_decode(
                 params, cfg, jnp.asarray(mel), jnp.asarray(ids), jnp.asarray(mask),
                 max_new=max_new, eot_id=tokenizer.eot,
-                bias_spans=spans, bias_boost=bias_boost,
+                bias_spans=sp, bias_boost=bias_boost,
                 span_pad_id=tokenizer.eot,
                 temperature=temperature, rng_key=key,
                 no_speech_id=ns_id,
-                sot_offset=sot_off,
+                sot_offset=so,
             )
     # words are only reachable through the (tokens, segments, words) return:
     # without return_segments the DTW alignment would be pure wasted compute

@@ -396,7 +396,8 @@ class Pipeline:
                 word_timestamps=word_timestamps,
                 alignment_heads=alignment_heads,
                 prefix_pad_to_multiple=32, window_samples=win, draft=draft,
-                num_beams=num_beams, beam_early_stopping=beam_early_stopping)
+                num_beams=num_beams, beam_early_stopping=beam_early_stopping,
+                mesh=self.mesh)
             if word_timestamps:
                 hyps, segs, long_words = out
             else:
