@@ -55,6 +55,22 @@ class TestConfigs:
         assert get_config("small").n_audio_layers == 12
         assert get_config("tiny.en").n_heads == 6
 
+    def test_distil_family(self):
+        # distil-whisper: the teacher's encoder + a distilled 2-layer
+        # decoder (4 for distil-small.en); lineage rules follow the teacher
+        c = get_config("distil-small.en")
+        assert (c.d_model, c.n_audio_layers, c.n_text_layers) == (768, 12, 4)
+        assert c.n_vocab == 51864 and c.n_mels == 80
+        c = get_config("distil-medium.en")
+        assert c.n_text_layers == 2 and not c.multilingual
+        c = get_config("distil-large-v3")
+        assert (c.n_text_layers, c.n_vocab, c.n_mels) == (2, 51866, 128)
+        assert get_config("distil-large-v2").n_vocab == 51865
+        with pytest.raises(ValueError, match="English-only"):
+            get_config("distil-small")
+        with pytest.raises(ValueError, match="English-only"):
+            get_config("distil-large-v3.en")
+
     def test_reference_aliases(self):
         cfg = get_config("base.en")
         assert cfg.decoder_start_token_id == 50257

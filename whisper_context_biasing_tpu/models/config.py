@@ -106,6 +106,15 @@ _FAMILY = {
     # turbo: large-v3 encoder with a pruned-and-distilled 4-layer decoder
     # (openai/whisper-large-v3-turbo) — 8x fewer decode-step weight reads
     "large-v3-turbo": (1280, 20, 32, 4),
+    # distil-whisper (hf.co/distil-whisper): the teacher's encoder with a
+    # 2-layer distilled decoder (4 for distil-small.en) — purpose-built
+    # speculative drafts for their teachers (decode/speculative.py), or
+    # standalone fast servers. distil-small/medium ship English-only;
+    # distil-large-v2/v3 multilingual.
+    "distil-small": (768, 12, 12, 4),
+    "distil-medium": (1024, 16, 24, 2),
+    "distil-large-v2": (1280, 20, 32, 2),
+    "distil-large-v3": (1280, 20, 32, 2),
 }
 
 
@@ -117,17 +126,22 @@ def get_config(name: str, **overrides) -> WhisperConfig:
         base = name[: -len(".en")]
     if base not in _FAMILY:
         raise ValueError(f"unknown whisper model: {name!r} (know {sorted(_FAMILY)})")
-    if english and base.startswith("large"):
+    # the large-v3 lineage rules (128 mels, 51866 vocab) apply to the
+    # distilled variants of the same teachers
+    stem = base[len("distil-"):] if base.startswith("distil-") else base
+    if english and stem.startswith("large"):
         raise ValueError(f"no English-only variant of {base!r}")
+    if not english and base in ("distil-small", "distil-medium"):
+        raise ValueError(f"{base!r} ships English-only: use {base}.en")
     d, h, audio_layers, text_layers = _FAMILY[base]
     if english:
         vocab = 51864
-    elif base.startswith("large-v3"):
+    elif stem.startswith("large-v3"):
         vocab = 51866
     else:
         vocab = 51865
     cfg = WhisperConfig(
-        n_mels=128 if base.startswith("large-v3") else 80,
+        n_mels=128 if stem.startswith("large-v3") else 80,
         d_model=d,
         n_heads=h,
         n_audio_layers=audio_layers,
