@@ -88,6 +88,11 @@ def parse_args():
                         "throughput, docs/PERF.md), full for medium/large")
     p.add_argument("--freeze_encoder", action="store_true",
                    help="train the decoder only (reference freeze_encoder())")
+    p.add_argument("--spec_augment", action="store_true",
+                   help="SpecAugment mel masking inside the train step "
+                        "(2 freq masks <=27 bins + 2 time masks <=5%%; "
+                        "train-time only — the reference has no spectrogram "
+                        "augmentation)")
     p.add_argument("--checkpoint_backend", choices=["npz", "orbax"],
                    default="npz",
                    help="orbax: tensorstore array serialization — sharded "
@@ -188,6 +193,7 @@ def main():
         hub_model_id=args.hub_model_id,
         hub_token=args.hf_token,
         checkpoint_backend=args.checkpoint_backend,
+        spec_augment=args.spec_augment,
     )
     print("Starting training...")
     params, log_history = train_and_evaluate(

@@ -27,6 +27,71 @@ from whisper_context_biasing_tpu.train import (
 from whisper_context_biasing_tpu.models import init_params, tiny_test_config
 
 
+class TestSpecAugment:
+    def test_masks_and_determinism(self):
+        from whisper_context_biasing_tpu.train import (
+            SpecAugmentConfig,
+            apply_spec_augment,
+        )
+
+        rng = np.random.default_rng(0)
+        feats = jnp.asarray(rng.standard_normal((4, 80, 128)), jnp.float32)
+        key = jax.random.PRNGKey(1)
+        out = apply_spec_augment(feats, key)
+        assert out.shape == feats.shape
+        changed = np.mean(np.asarray(out) != np.asarray(feats))
+        assert 0.0 < changed < 0.9  # some masking, not everything
+        # deterministic per key; different keys differ
+        np.testing.assert_array_equal(
+            np.asarray(apply_spec_augment(feats, key)), np.asarray(out))
+        out2 = apply_spec_augment(feats, jax.random.PRNGKey(2))
+        assert not np.array_equal(np.asarray(out2), np.asarray(out))
+        # masked cells carry each sample's mean value
+        m = np.asarray(out) != np.asarray(feats)
+        means = np.asarray(feats).mean(axis=(1, 2))
+        for b in range(4):
+            if m[b].any():
+                vals = np.asarray(out)[b][m[b]]
+                np.testing.assert_allclose(vals, means[b], rtol=1e-5)
+        # zero-mask config is the identity
+        off = SpecAugmentConfig(n_freq_masks=0, max_freq_width=0,
+                                n_time_masks=0)
+        np.testing.assert_array_equal(
+            np.asarray(apply_spec_augment(feats, key, off)),
+            np.asarray(feats))
+
+    def test_train_step_augments_per_step(self):
+        from whisper_context_biasing_tpu.train import SpecAugmentConfig
+
+        cfg = tiny_test_config()
+        params = init_params(cfg, 0)
+        opt = make_optimizer(peak_lr=1e-4, warmup_steps=0, total_steps=10)
+        step = make_train_step(cfg, opt, spec_augment=SpecAugmentConfig(),
+                               donate=False)
+        rng = np.random.default_rng(0)
+        batch = {
+            "input_features": jnp.asarray(
+                rng.standard_normal((2, 80, 128)), jnp.float32),
+            "decoder_input_ids": jnp.asarray([[50257, 5, 6, 7]] * 2, jnp.int32),
+            "labels": jnp.asarray([[5, 6, 7, 50256]] * 2, jnp.int32),
+            "bias_spans": jnp.full((2, 1, 2), 50256, jnp.int32),
+        }
+        state = init_train_state(params, opt)
+        state, m1 = step(state, batch)
+        state, m2 = step(state, batch)  # same batch, new step -> new masks
+        assert np.isfinite(float(m1["loss"])) and np.isfinite(float(m2["loss"]))
+        assert float(m1["loss"]) != float(m2["loss"])
+
+    def test_mel_on_device_combination_rejected(self):
+        from whisper_context_biasing_tpu.train import SpecAugmentConfig
+
+        cfg = tiny_test_config()
+        opt = make_optimizer()
+        with pytest.raises(ValueError, match="spec_augment"):
+            make_train_step(cfg, opt, spec_augment=SpecAugmentConfig(),
+                            mel_on_device=True)
+
+
 class TestOrbaxBackend:
     def _tree(self):
         rng = np.random.default_rng(0)

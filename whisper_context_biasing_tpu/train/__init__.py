@@ -10,6 +10,7 @@ from .step import (
     make_loss_fn,
     make_train_step,
 )
+from .augment import SpecAugmentConfig, apply_spec_augment
 from .loop import TrainingConfig, evaluate_wer, train_and_evaluate
 from .distill import (
     DistillConfig,
@@ -46,6 +47,8 @@ __all__ = [
     "TrainingConfig",
     "train_and_evaluate",
     "evaluate_wer",
+    "SpecAugmentConfig",
+    "apply_spec_augment",
     "DistillConfig",
     "distill_and_evaluate",
     "make_agreement_step",

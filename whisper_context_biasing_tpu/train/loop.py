@@ -71,6 +71,8 @@ class TrainingConfig:
     load_best_model_at_end: bool = True
     dataloader_num_workers: int = 4
     mel_on_device: bool = False  # dataset must be built with return_audio=True
+    spec_augment: bool = False   # in-graph mel masking (train/augment.py);
+                                 # train-time only, reference has none
     use_wandb: bool = False
     wandb_project: str | None = None
     # resume fallback: when no local checkpoint exists, pull a repo snapshot
@@ -239,9 +241,15 @@ def train_and_evaluate(
         total_steps=total_steps, weight_decay=tcfg.weight_decay,
         max_grad_norm=tcfg.max_grad_norm,
     )
+    sa_cfg = None
+    if tcfg.spec_augment:
+        from .augment import SpecAugmentConfig
+
+        sa_cfg = SpecAugmentConfig()
     step_fn = make_train_step(
         model_cfg, optimizer, bias_weight=tcfg.bias_weight, grad_accum=accum,
         freeze_encoder=tcfg.freeze_encoder, mel_on_device=tcfg.mel_on_device,
+        spec_augment=sa_cfg, augment_seed=tcfg.seed,
     )
 
     log_history: list[dict] = []

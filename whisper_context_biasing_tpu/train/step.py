@@ -70,15 +70,34 @@ def make_train_step(
     use_bias_spans: bool = True,
     donate: bool = True,
     mel_on_device: bool = False,
+    spec_augment=None,       # SpecAugmentConfig: in-graph mel masking
+    augment_seed: int = 0,
 ):
     """Returns ``step(state, batch) -> (state, metrics)``.
 
     With ``grad_accum > 1`` every array in ``batch`` must carry a leading
     microbatch axis (A, ...); gradients are averaged across microbatches by a
     ``lax.scan`` so peak memory stays one microbatch.
+
+    ``spec_augment`` masks the mel features inside the step (train-time
+    only; randomness folds ``state.step`` into ``augment_seed`` so resume
+    reproduces the same masks). Needs precomputed ``input_features`` —
+    combine with ``mel_on_device`` is not supported.
     """
+    if spec_augment is not None and mel_on_device:
+        raise ValueError("spec_augment needs precomputed input_features "
+                         "(mel_on_device computes mel inside the loss)")
     loss_fn = make_loss_fn(cfg, bias_weight, use_bias_spans, mel_on_device)
     grad_fn = jax.value_and_grad(loss_fn)
+
+    def augment(batch, step_no):
+        from .augment import apply_spec_augment
+
+        feats = batch["input_features"]
+        key = jax.random.fold_in(jax.random.PRNGKey(augment_seed), step_no)
+        flat = feats.reshape((-1,) + feats.shape[-2:])  # (A*B or B, m, T)
+        flat = apply_spec_augment(flat, key, spec_augment)
+        return dict(batch, input_features=flat.reshape(feats.shape))
 
     def single_grads(params, batch):
         return grad_fn(params, batch)
@@ -95,6 +114,8 @@ def make_train_step(
         return loss_sum * scale, jax.tree.map(lambda a: a * scale, g)
 
     def step(state: TrainState, batch):
+        if spec_augment is not None:
+            batch = augment(batch, state.step)
         if grad_accum > 1:
             loss, grads = accum_grads(state.params, batch)
         else:
