@@ -88,6 +88,13 @@ def parse_args():
                         "throughput, docs/PERF.md), full for medium/large")
     p.add_argument("--freeze_encoder", action="store_true",
                    help="train the decoder only (reference freeze_encoder())")
+    p.add_argument("--lora_rank", type=int, default=0,
+                   help=">0: parameter-efficient LoRA fine-tune (rank-r "
+                        "adapters on the attention q/v projections; "
+                        "checkpoints hold the tiny adapter tree, final "
+                        "weights are merged dense — train/lora.py). "
+                        "--freeze_encoder adapts the decoder only")
+    p.add_argument("--lora_alpha", type=float, default=16.0)
     p.add_argument("--spec_augment", action="store_true",
                    help="SpecAugment mel masking inside the train step "
                         "(2 freq masks <=27 bins + 2 time masks <=5%%; "
@@ -194,6 +201,8 @@ def main():
         hub_token=args.hf_token,
         checkpoint_backend=args.checkpoint_backend,
         spec_augment=args.spec_augment,
+        lora_rank=args.lora_rank,
+        lora_alpha=args.lora_alpha,
     )
     print("Starting training...")
     params, log_history = train_and_evaluate(

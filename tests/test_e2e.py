@@ -8,6 +8,7 @@ import wave
 
 import numpy as np
 import pytest
+import jax
 
 from whisper_context_biasing_tpu.audio import log_mel_spectrogram_np
 from whisper_context_biasing_tpu.data import PromptWhisperDataset, SpeechSeq2SeqCollator
@@ -172,6 +173,47 @@ class TestEndToEnd:
         assert max(e["step"] for e in hist) > max(
             int(c.split("-")[1]) for c in first
         ) - 1
+
+    def test_lora_training_end_to_end(self, corpus, tmp_path):
+        """lora_rank>0: the loop trains adapters, checkpoints hold the tiny
+        adapter tree, and the returned params are merged dense weights with
+        the base shapes (consumable by eval/export/serving unchanged)."""
+        tok = load_tokenizer()
+        cfg = tiny_test_config()
+        params = init_params(cfg, 0)
+        full_shapes = [a.shape for a in jax.tree.leaves(params)]
+        n_full = sum(int(a.size) for a in jax.tree.leaves(params))
+        collator = SpeechSeq2SeqCollator(
+            pad_token_id=tok.pad_token_id, decoder_start_token_id=tok.sot,
+            decoder_prev_token_id=tok.sop, pad_to_multiple=16,
+        )
+        train_ds = _make_ds(corpus, tok, "train")
+        dev_ds = _make_ds(corpus, tok, "dev")
+        out = str(tmp_path / "lora")
+        tcfg = TrainingConfig(
+            output_dir=out, per_device_train_batch_size=2,
+            per_device_eval_batch_size=2, gradient_accumulation_steps=1,
+            num_train_epochs=1, eval_steps=2, save_steps=2, logging_steps=1,
+            warmup_steps=0, generation_max_length=6,
+            early_stopping_patience=50, load_best_model_at_end=False,
+            lora_rank=2, learning_rate=1e-3,
+        )
+        final, hist = train_and_evaluate(
+            cfg, params, tok, train_ds, dev_ds, collator, tcfg)
+        # merged dense output: same leaf shapes as the base params
+        assert [a.shape for a in jax.tree.leaves(final)] == full_shapes
+        # checkpoints hold the small adapter tree, stamped with the config
+        import json as _json
+
+        ckpts = list_checkpoints(out)
+        assert ckpts
+        with np.load(os.path.join(ckpts[0], "params.npz")) as z:
+            n_adapter = sum(int(np.prod(z[k].shape)) for k in z.files)
+        assert n_adapter < n_full / 20
+        with open(os.path.join(ckpts[0], "trainer_state.json")) as f:
+            meta = _json.load(f)
+        assert meta["lora_rank"] == 2
+        assert any("eval_wer" in h for h in hist)
 
     def test_resume_orbax_backend(self, corpus, tmp_path):
         """checkpoint_backend='orbax' writes tensorstore checkpoints the

@@ -27,6 +27,97 @@ from whisper_context_biasing_tpu.train import (
 from whisper_context_biasing_tpu.models import init_params, tiny_test_config
 
 
+class TestLoRA:
+    def test_init_shapes_and_identity_merge(self):
+        from whisper_context_biasing_tpu.train import (
+            init_lora_params,
+            lora_param_count,
+            merge_lora,
+        )
+
+        cfg = tiny_test_config()
+        params = init_params(cfg, 0)
+        lora = init_lora_params(params, 4, jax.random.PRNGKey(0))
+        assert set(lora) == {"encoder", "decoder"}
+        assert set(lora["decoder"]) == {"self_attn", "cross_attn"}
+        a = lora["decoder"]["self_attn"]["wq"]["a"]
+        b = lora["decoder"]["self_attn"]["wq"]["b"]
+        assert a.shape == (2, 64, 4) and b.shape == (2, 4, 64)
+        full = sum(int(x.size) for x in jax.tree.leaves(params))
+        assert lora_param_count(lora) < full / 20
+        # b zeros => merged == base exactly
+        merged = merge_lora(params, lora, alpha=16.0)
+        same = jax.tree.map(lambda x, y: bool(jnp.array_equal(x, y)),
+                            params, merged)
+        assert all(jax.tree.leaves(same))
+        # decoder-only variant (freeze_encoder analog)
+        dec_only = init_lora_params(params, 4, jax.random.PRNGKey(0),
+                                    include_encoder=False)
+        assert set(dec_only) == {"decoder"}
+
+    def test_step_trains_adapters_only(self):
+        from whisper_context_biasing_tpu.train import (
+            init_lora_params,
+            make_lora_train_step,
+            merge_lora,
+        )
+
+        cfg = tiny_test_config()
+        base = init_params(cfg, 0)
+        base_host = jax.tree.map(np.asarray, base)
+        lora = init_lora_params(base, 4, jax.random.PRNGKey(1))
+        opt = make_optimizer(peak_lr=1e-2, warmup_steps=0, total_steps=30)
+        step = make_lora_train_step(cfg, opt, donate=False)
+        state = init_train_state(lora, opt)
+        rng = np.random.default_rng(0)
+        batch = {
+            "input_features": jnp.asarray(
+                rng.standard_normal((2, 80, 128)), jnp.float32),
+            "decoder_input_ids": jnp.asarray([[50257, 5, 6, 7]] * 2, jnp.int32),
+            "labels": jnp.asarray([[5, 6, 7, 50256]] * 2, jnp.int32),
+            "bias_spans": jnp.full((2, 1, 2), 50256, jnp.int32),
+        }
+        first = None
+        for _ in range(20):
+            state, m = step(state, base, batch)
+            if first is None:
+                first = float(m["loss"])
+        assert float(m["loss"]) < first  # adapters actually learn
+        # the base tree is untouched
+        same = jax.tree.map(lambda x, y: bool(np.array_equal(np.asarray(x), y)),
+                            base, base_host)
+        assert all(jax.tree.leaves(same))
+        # and the learned merge differs from the base
+        merged = merge_lora(base, state.params, 16.0)
+        assert not bool(jnp.array_equal(
+            merged["decoder"]["self_attn"]["wq"],
+            base["decoder"]["self_attn"]["wq"]))
+
+    def test_grad_accum_runs(self):
+        from whisper_context_biasing_tpu.train import (
+            init_lora_params,
+            make_lora_train_step,
+        )
+
+        cfg = tiny_test_config()
+        base = init_params(cfg, 0)
+        lora = init_lora_params(base, 2, jax.random.PRNGKey(1))
+        opt = make_optimizer(peak_lr=1e-3, warmup_steps=0, total_steps=10)
+        step = make_lora_train_step(cfg, opt, grad_accum=2, donate=False)
+        rng = np.random.default_rng(0)
+        micro = {
+            "input_features": jnp.asarray(
+                rng.standard_normal((2, 2, 80, 128)), jnp.float32),
+            "decoder_input_ids": jnp.asarray(
+                np.tile([[50257, 5, 6, 7]], (2, 2, 1)), jnp.int32),
+            "labels": jnp.asarray(
+                np.tile([[5, 6, 7, 50256]], (2, 2, 1)), jnp.int32),
+            "bias_spans": jnp.full((2, 2, 1, 2), 50256, jnp.int32),
+        }
+        state, m = step(init_train_state(lora, opt), base, micro)
+        assert np.isfinite(float(m["loss"]))
+
+
 class TestSpecAugment:
     def test_masks_and_determinism(self):
         from whisper_context_biasing_tpu.train import (

@@ -11,6 +11,12 @@ from .step import (
     make_train_step,
 )
 from .augment import SpecAugmentConfig, apply_spec_augment
+from .lora import (
+    init_lora_params,
+    lora_param_count,
+    make_lora_train_step,
+    merge_lora,
+)
 from .loop import TrainingConfig, evaluate_wer, train_and_evaluate
 from .distill import (
     DistillConfig,
@@ -49,6 +55,10 @@ __all__ = [
     "evaluate_wer",
     "SpecAugmentConfig",
     "apply_spec_augment",
+    "init_lora_params",
+    "lora_param_count",
+    "make_lora_train_step",
+    "merge_lora",
     "DistillConfig",
     "distill_and_evaluate",
     "make_agreement_step",

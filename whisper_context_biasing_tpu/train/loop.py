@@ -73,6 +73,11 @@ class TrainingConfig:
     mel_on_device: bool = False  # dataset must be built with return_audio=True
     spec_augment: bool = False   # in-graph mel masking (train/augment.py);
                                  # train-time only, reference has none
+    lora_rank: int = 0           # >0: train rank-r LoRA adapters instead of
+                                 # full weights (train/lora.py); checkpoints
+                                 # hold the adapter tree, eval/returns are
+                                 # merged dense weights
+    lora_alpha: float = 16.0
     use_wandb: bool = False
     wandb_project: str | None = None
     # resume fallback: when no local checkpoint exists, pull a repo snapshot
@@ -246,11 +251,37 @@ def train_and_evaluate(
         from .augment import SpecAugmentConfig
 
         sa_cfg = SpecAugmentConfig()
-    step_fn = make_train_step(
-        model_cfg, optimizer, bias_weight=tcfg.bias_weight, grad_accum=accum,
-        freeze_encoder=tcfg.freeze_encoder, mel_on_device=tcfg.mel_on_device,
-        spec_augment=sa_cfg, augment_seed=tcfg.seed,
-    )
+    merge = None
+    if tcfg.lora_rank > 0:
+        from .lora import (
+            init_lora_params,
+            lora_param_count,
+            make_lora_train_step,
+            merge_lora,
+        )
+
+        if tcfg.mel_on_device:
+            raise ValueError("lora_rank with mel_on_device is not supported")
+        base_params = params
+        # freeze_encoder's LoRA analog: adapt the decoder blocks only
+        params = init_lora_params(
+            base_params, tcfg.lora_rank, jax.random.PRNGKey(tcfg.seed),
+            include_encoder=not tcfg.freeze_encoder)
+        lora_step = make_lora_train_step(
+            model_cfg, optimizer, alpha=tcfg.lora_alpha,
+            bias_weight=tcfg.bias_weight, grad_accum=accum,
+            spec_augment=sa_cfg, augment_seed=tcfg.seed)
+        step_fn = lambda st, b: lora_step(st, base_params, b)  # noqa: E731
+        merge = lambda l: merge_lora(base_params, l, tcfg.lora_alpha)  # noqa: E731
+        print(f"LoRA rank {tcfg.lora_rank}: "
+              f"{lora_param_count(params):,} trainable adapter params")
+    else:
+        step_fn = make_train_step(
+            model_cfg, optimizer, bias_weight=tcfg.bias_weight,
+            grad_accum=accum, freeze_encoder=tcfg.freeze_encoder,
+            mel_on_device=tcfg.mel_on_device,
+            spec_augment=sa_cfg, augment_seed=tcfg.seed,
+        )
 
     log_history: list[dict] = []
     start_step = 0
@@ -347,7 +378,8 @@ def train_and_evaluate(
 
             if step % tcfg.eval_steps == 0:
                 last_wer = evaluate_wer(
-                    state.params, model_cfg, tokenizer, data_eval, collator,
+                    merge(state.params) if merge else state.params,
+                    model_cfg, tokenizer, data_eval, collator,
                     tcfg.per_device_eval_batch_size,
                     tcfg.generation_max_length - 1,
                     refs_pred_file=os.path.join(tcfg.output_dir, "refs_and_pred.txt"),
@@ -375,6 +407,9 @@ def train_and_evaluate(
             # host first) so the step loop never blocks on disk.
             if step % tcfg.save_steps == 0 or stop:
                 meta = {"log_history": list(log_history)}
+                if merge is not None:
+                    meta["lora_rank"] = tcfg.lora_rank
+                    meta["lora_alpha"] = tcfg.lora_alpha
                 if last_wer is not None:
                     meta["eval_wer"] = last_wer
                     meta["eval_step"] = last_eval_step
@@ -410,4 +445,8 @@ def train_and_evaluate(
         if best:
             final_params, _, _ = load_checkpoint(best)
             print(f"loaded best checkpoint: {best} (eval_wer {best_wer:.3f})")
+    if merge is not None:
+        # downstream consumers (test-set eval, safetensors export, serving)
+        # get ordinary dense weights
+        final_params = merge(final_params)
     return final_params, log_history
