@@ -46,6 +46,11 @@ def parse_args():
     p.add_argument("--draft_checkpoint", default=None)
     p.add_argument("--spec_k", type=int, default=4,
                    help="draft tokens proposed per verification round")
+    p.add_argument("--medusa", default=None,
+                   help="medusa.npz from scripts/medusa.py: self-speculative "
+                        "decoding with multi-token heads (no draft model; "
+                        "output exactly matches plain greedy). Short-form "
+                        "greedy path only")
     p.add_argument("--beam_early_stopping",
                    choices=["off", "true", "false", "never"], default="off",
                    help="off = frozen-beam pool (fastest); true/false/never "
@@ -375,6 +380,14 @@ def main():
                                  num_beams=args.num_beams,
                                  early_stopping=args.beam_early_stopping,
                                  **kwargs)
+    elif args.medusa:
+        # self-speculative: K trained heads, no separate draft model
+        # (decode/medusa.py; output bit-matches plain greedy)
+        from whisper_context_biasing_tpu.decode import medusa_decode_batch
+        from whisper_context_biasing_tpu.models import load_medusa
+
+        hyps = medusa_decode_batch(
+            params, cfg, load_medusa(args.medusa), tokenizer, mel, **kwargs)
     elif args.draft_model:
         from whisper_context_biasing_tpu.decode import speculative_decode_batch
 

@@ -1,0 +1,261 @@
+"""Medusa self-speculative decoding: exactness vs plain greedy (untrained
+and trained heads), bias composition, eot/termination, head training."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from whisper_context_biasing_tpu.decode import medusa_greedy_decode
+from whisper_context_biasing_tpu.decode.greedy import greedy_decode, pack_prefixes
+from whisper_context_biasing_tpu.models import (
+    init_medusa_params,
+    init_params,
+    load_medusa,
+    medusa_logits,
+    save_medusa,
+    tiny_test_config,
+)
+
+EOT = 50256
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_test_config()
+    params = init_params(cfg, 0)
+    rng = np.random.default_rng(0)
+    mel = (rng.standard_normal((3, 80, 128)) * 0.5).astype(np.float32)
+    return cfg, params, jnp.asarray(mel)
+
+
+def _greedy(params, cfg, mel, ids, mask, max_new, **kw):
+    res = greedy_decode(params, cfg, mel, jnp.asarray(ids), jnp.asarray(mask),
+                        max_new=max_new, **kw)
+    return np.asarray(res.tokens), np.asarray(res.lengths)
+
+
+@pytest.mark.slow
+class TestMedusaExactness:
+    def test_untrained_heads_match_greedy(self, setup):
+        """Verification guarantees greedy-identical output for ANY head
+        quality — including freshly initialized heads."""
+        cfg, params, mel = setup
+        medusa = init_medusa_params(cfg, 3, 0)
+        ids, mask = pack_prefixes([[50257]] * 3, EOT)
+        ref_t, ref_l = _greedy(params, cfg, mel, ids, mask, 12)
+        res = medusa_greedy_decode(params, cfg, medusa, mel,
+                                   jnp.asarray(ids), jnp.asarray(mask),
+                                   max_new=12)
+        np.testing.assert_array_equal(np.asarray(res.tokens), ref_t)
+        np.testing.assert_array_equal(np.asarray(res.lengths), ref_l)
+        assert int(res.spec_rounds) >= 1
+
+    def test_bias_boost_exactness(self, setup):
+        cfg, params, mel = setup
+        medusa = init_medusa_params(cfg, 2, 1)
+        spans = np.full((3, 2, 3), EOT, np.int32)
+        spans[:, 0, :2] = [500, 501]
+        ids, mask = pack_prefixes([[50257]] * 3, EOT)
+        kw = dict(bias_spans=jnp.asarray(spans), bias_boost=2.0)
+        ref_t, ref_l = _greedy(params, cfg, mel, ids, mask, 10, **kw)
+        res = medusa_greedy_decode(params, cfg, medusa, mel,
+                                   jnp.asarray(ids), jnp.asarray(mask),
+                                   max_new=10, **kw)
+        np.testing.assert_array_equal(np.asarray(res.tokens), ref_t)
+        np.testing.assert_array_equal(np.asarray(res.lengths), ref_l)
+
+    def test_ragged_prefixes_and_logprob_parity(self, setup):
+        cfg, params, mel = setup
+        medusa = init_medusa_params(cfg, 2, 2)
+        prefixes = [[50257], [50361, 99, 100, 50257], [50361, 7, 50257]]
+        ids, mask = pack_prefixes(prefixes, EOT)
+        g = greedy_decode(params, cfg, mel, jnp.asarray(ids),
+                          jnp.asarray(mask), max_new=8)
+        res = medusa_greedy_decode(params, cfg, medusa, mel,
+                                   jnp.asarray(ids), jnp.asarray(mask),
+                                   max_new=8)
+        np.testing.assert_array_equal(np.asarray(res.tokens),
+                                      np.asarray(g.tokens))
+        np.testing.assert_allclose(np.asarray(res.sum_logprob),
+                                   np.asarray(g.sum_logprob),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_trained_heads_accelerate_and_stay_exact(self, setup):
+        """Oracle heads (trained to predict the model's own continuation)
+        must still bit-match greedy while finishing in fewer rounds."""
+        cfg, params, mel = setup
+        max_new = 12
+        ids, mask = pack_prefixes([[50257]] * 3, EOT)
+        ref_t, _ = _greedy(params, cfg, mel, ids, mask, max_new)
+
+        base = init_medusa_params(cfg, 2, 3)
+        r0 = medusa_greedy_decode(params, cfg, base, mel, jnp.asarray(ids),
+                                  jnp.asarray(mask), max_new=max_new)
+        rounds_untrained = int(r0.spec_rounds)
+
+        # cheat-train: fit the two heads on the model's own hidden states /
+        # continuations over this exact input (a tiny gradient fit)
+        import optax
+
+        from whisper_context_biasing_tpu.models import (
+            encode_audio,
+            decode_tokens,
+        )
+
+        enc = encode_audio(params, cfg, mel)
+        seq = jnp.concatenate([jnp.asarray(ids), jnp.asarray(ref_t)], axis=1)
+        _, _, hid = decode_tokens(params, cfg, seq, enc_out=enc,
+                                  return_hidden=True)
+        s = seq.shape[1]
+
+        def loss_fn(md):
+            lg = medusa_logits(params, md, hid)  # (K, B, S, V)
+            total = 0.0
+            for j in (1, 2):  # head j at t predicts seq[t+1+j]
+                lgj = lg[j - 1][:, : s - 1 - j]
+                tgt = seq[:, 1 + j:]
+                lp = jax.nn.log_softmax(lgj.astype(jnp.float32), axis=-1)
+                nll = -jnp.take_along_axis(lp, tgt[..., None], axis=-1)
+                total = total + jnp.mean(nll)
+            return total
+
+        opt = optax.adam(3e-2)
+        md = base
+        ost = opt.init(md)
+        step = jax.jit(lambda m, o: (lambda g: (
+            optax.apply_updates(m, opt.update(g, o, m)[0]),
+            opt.update(g, o, m)[1]))(jax.grad(loss_fn)(m)))
+        for _ in range(60):
+            md, ost = step(md, ost)
+
+        r1 = medusa_greedy_decode(params, cfg, md, mel, jnp.asarray(ids),
+                                  jnp.asarray(mask), max_new=max_new)
+        np.testing.assert_array_equal(np.asarray(r1.tokens), ref_t)
+        # trained heads never hurt, and self-speculation genuinely
+        # accelerates: fewer verify rounds than emitted tokens. (A strict
+        # improvement isn't guaranteed here — random-weight continuations
+        # degenerate to repeats, which near-identity untrained heads already
+        # predict well.)
+        assert int(r1.spec_rounds) <= rounds_untrained
+        assert int(r1.spec_rounds) < int(np.asarray(r1.lengths).max())
+
+
+class TestMedusaTraining:
+    def test_expected_tokens_per_round(self):
+        from whisper_context_biasing_tpu.train import expected_tokens_per_round
+
+        assert expected_tokens_per_round([0.0, 0.0]) == pytest.approx(1.0)
+        assert expected_tokens_per_round([1.0, 1.0]) == pytest.approx(3.0)
+        assert expected_tokens_per_round([0.5, 0.5]) == pytest.approx(1.75)
+
+    def test_head_accuracy_rises(self):
+        from whisper_context_biasing_tpu.train import (
+            init_train_state,
+            make_medusa_train_step,
+            make_optimizer,
+        )
+
+        cfg = tiny_test_config()
+        params = init_params(cfg, 0)
+        md = init_medusa_params(cfg, 2, 1)
+        opt = make_optimizer(peak_lr=5e-3, warmup_steps=0, total_steps=80)
+        step = make_medusa_train_step(cfg, opt, 2, donate=False)
+        rng = np.random.default_rng(0)
+        b, s = 2, 12
+        dec = rng.integers(0, 120, size=(b, s)).astype(np.int32)
+        labels = np.concatenate([dec[:, 1:], np.full((b, 1), -100, np.int32)],
+                                axis=1)
+        batch = {
+            "input_features": jnp.asarray(
+                rng.standard_normal((b, 80, 128)), jnp.float32),
+            "decoder_input_ids": jnp.asarray(dec),
+            "labels": jnp.asarray(labels),
+        }
+        state = init_train_state(md, opt)
+        first = None
+        for _ in range(60):
+            state, m = step(state, params, batch)
+            if first is None:
+                first = {k: np.asarray(v) for k, v in m.items()}
+        assert float(m["loss"]) < float(first["loss"])
+        assert float(np.mean(np.asarray(m["head_acc"]))) > float(
+            np.mean(first["head_acc"]))
+
+    def test_runner_writes_artifacts(self, tmp_path):
+        from whisper_context_biasing_tpu.train import (
+            MedusaConfig,
+            train_medusa_heads,
+        )
+
+        cfg = tiny_test_config()
+        params = init_params(cfg, 0)
+        md = init_medusa_params(cfg, 2, 1)
+        rng = np.random.default_rng(3)
+
+        class DS:
+            def __init__(self, n):
+                self.rows = []
+                for _ in range(n):
+                    dec = rng.integers(0, 120, size=8).astype(np.int64)
+                    self.rows.append({
+                        "input_features":
+                            rng.standard_normal((80, 128)).astype(np.float32),
+                        "decoder_input_ids": dec,
+                        "labels": np.concatenate([dec[1:], [-100]]),
+                    })
+
+            def __len__(self):
+                return len(self.rows)
+
+            def __getitem__(self, i):
+                return self.rows[i]
+
+        def collate(rows):
+            return {k: np.stack([r[k] for r in rows]).astype(
+                        np.int32 if k != "input_features" else np.float32)
+                    for k in rows[0]}
+
+        mcfg = MedusaConfig(output_dir=str(tmp_path), n_heads=2,
+                            per_device_train_batch_size=2,
+                            num_train_epochs=1, warmup_steps=0,
+                            eval_steps=2, logging_steps=1, eval_batches=1)
+        heads, hist = train_medusa_heads(
+            cfg, params, md, DS(4), DS(2), collate, mcfg)
+        import json as _json
+        import os as _os
+
+        assert _os.path.isfile(_os.path.join(tmp_path, "medusa.npz"))
+        with open(_os.path.join(tmp_path, "medusa_results.json")) as f:
+            summary = _json.load(f)
+        assert summary["n_heads"] == 2
+        assert len(summary["eval_head_acc"]) == 2
+        assert summary["eval_tokens_per_round"] >= 1.0
+        back = load_medusa(str(tmp_path / "medusa.npz"))
+        assert jnp.array_equal(back["w"], heads["w"])
+
+
+class TestMedusaParams:
+    def test_init_and_io(self, tmp_path):
+        cfg = tiny_test_config()
+        md = init_medusa_params(cfg, 4, 0)
+        assert md["w"].shape == (4, 64, 64) and md["b"].shape == (4, 64)
+        path = str(tmp_path / "medusa.npz")
+        save_medusa(path, md)
+        back = load_medusa(path)
+        assert jnp.array_equal(back["w"], md["w"])
+
+    def test_logits_shape_and_near_identity_at_init(self):
+        cfg = tiny_test_config()
+        params = init_params(cfg, 0)
+        md = init_medusa_params(cfg, 3, 0)
+        rng = np.random.default_rng(0)
+        hid = jnp.asarray(rng.standard_normal((2, 5, 64)), jnp.float32)
+        lg = medusa_logits(params, md, hid)
+        assert lg.shape == (3, 2, 5, cfg.n_vocab)
+        # near-zero head weights => all heads ~ the base projection of hid
+        from whisper_context_biasing_tpu.models.whisper import project_vocab
+
+        base = project_vocab(params, hid)
+        np.testing.assert_allclose(np.asarray(lg[0]), np.asarray(base),
+                                   atol=0.05)

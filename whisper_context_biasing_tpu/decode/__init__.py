@@ -19,6 +19,7 @@ from .speculative import (
 from .beam import BeamResult, beam_decode, beam_decode_batch
 from .language import detect_language, resolve_start_tokens
 from .chunked import chunk_layout, merge_longest_common_sequence, transcribe_chunked
+from .medusa import medusa_decode_batch, medusa_greedy_decode
 from .long_form import split_windows, transcribe_long, transcribe_long_batch
 from .streaming import StreamingTranscriber
 from .word_timestamps import WordTiming, find_word_timestamps
@@ -34,6 +35,8 @@ __all__ = [
     "GreedyResult",
     "greedy_decode",
     "speculative_greedy_decode",
+    "medusa_greedy_decode",
+    "medusa_decode_batch",
     "speculative_decode_batch",
     "load_draft",
     "decode_batch",

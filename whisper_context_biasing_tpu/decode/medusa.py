@@ -1,0 +1,290 @@
+"""Medusa self-speculative greedy decoding: multi-token heads, one model.
+
+Two-model speculative decoding (decode/speculative.py) pays a draft
+forward per proposed token. Medusa ("Whisper in Medusa's Ear",
+arXiv:2409.15869; Cai et al.) removes the draft entirely: K small heads on
+the decoder's final hidden state (models/medusa.py) predict tokens
+t+2..t+K+1, so each round is ONE cached target forward over K+1 positions
+that simultaneously VERIFIES the previous proposal and (through the hidden
+state at the last accepted position) PRODUCES the next one. The expensive
+weight read advances ``accepted+1`` tokens per round, with zero extra
+model passes — strictly cheaper per round than draft-model speculation.
+
+Exactness: identical contract to ``speculative_greedy_decode`` — the
+emitted sequence is BY CONSTRUCTION the target's greedy sequence (accepted
+head predictions equal the target argmax at their position; the first
+mismatch is replaced by the target argmax), for ANY head quality,
+including untrained heads (they only set the speed). Bias-boosted decoding
+composes: the trie state advances along the chunk inside the verify scan,
+exactly as in the two-model path. Head proposals themselves are unbiased —
+that can only lower acceptance, never change the output.
+
+The loop structure (per-row cache offsets, chunk scatter, eot/capacity
+masking, carried-trie advance) mirrors decode/speculative.py round_step.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.config import WhisperConfig
+from ..models.medusa import medusa_logits
+from ..models.whisper import (
+    decode_tokens,
+    encode_audio,
+    init_kv_cache,
+    precompute_cross_kv,
+)
+from ..utils.compile_count import counted_jit
+from .bias_processor import (
+    BiasTrieState,
+    advance_bias_state,
+    bias_bonus,
+    init_bias_state,
+    seed_bias_state_from_prefix,
+)
+from .greedy import GreedyResult
+
+
+@functools.partial(
+    counted_jit,
+    static_argnames=("cfg", "max_new", "eot_id", "bias_boost", "span_pad_id",
+                     "no_speech_id"),
+)
+def medusa_greedy_decode(
+    params,
+    cfg: WhisperConfig,
+    medusa: dict,                     # models/medusa.py head params (K heads)
+    input_features: jax.Array,        # (B, n_mels, T)
+    prefix_ids: jax.Array,            # (B, P) int32, left-padded
+    prefix_mask: jax.Array,           # (B, P) bool
+    max_new: int = 224,
+    eot_id: int = 50256,
+    bias_spans: jax.Array | None = None,
+    bias_boost: float = 0.0,
+    span_pad_id: int = 50256,
+    no_speech_id: int | None = None,
+    sot_offset=1,
+) -> GreedyResult:
+    """Returns a ``GreedyResult`` whose tokens/lengths bit-match
+    ``greedy_decode(params, cfg, ...)``; sum_logprob / no_speech_prob carry
+    the same semantics so the long-form ladder composes. ``spec_rounds``
+    counts verify rounds (mean accepted run = max(lengths)/rounds)."""
+    k = int(medusa["w"].shape[0])
+    b, p = prefix_ids.shape
+    v = cfg.n_vocab
+    max_new = min(max_new, cfg.n_text_ctx - p)
+    if max_new < 1:
+        raise ValueError(f"prefix length {p} leaves no room to generate")
+    cache_len = p + max_new + k + 1  # chunk overshoot margin
+
+    # ---- prefill (greedy-style scalar offsets) ----------------------------
+    enc = encode_audio(params, cfg, input_features)
+    cross = precompute_cross_kv(params, cfg, enc)
+    if cfg.quantize_cross_kv:
+        from ..models.whisper import quantize_cross_kv
+
+        cross = quantize_cross_kv(cross)
+    cache = init_kv_cache(cfg, b, cache_len)
+    prefix_pos = jnp.maximum(
+        jnp.cumsum(prefix_mask.astype(jnp.int32), axis=1) - 1, 0)
+    key_mask = jnp.concatenate(
+        [prefix_mask, jnp.ones((b, cache_len - p), bool)], axis=1)
+    lg_pre, cache, hid_pre = decode_tokens(
+        params, cfg, prefix_ids, cross_kv=cross, cache=cache, pos_offset=0,
+        token_positions=prefix_pos, self_mask=key_mask, return_hidden=True)
+
+    no_speech_prob = None
+    if no_speech_id is not None:
+        off = jnp.broadcast_to(jnp.asarray(sot_offset, jnp.int32), (b,))
+        sot_lg = lg_pre[jnp.arange(b), p - off].astype(jnp.float32)
+        no_speech_prob = jax.nn.softmax(sot_lg, axis=-1)[:, no_speech_id]
+
+    use_bias = bias_spans is not None and bias_boost != 0.0
+    if bias_spans is None:
+        bias_spans = jnp.zeros((b, 1, 1), jnp.int32)
+    bias_state0 = init_bias_state(bias_spans, span_pad_id)
+    if use_bias:
+        bias_state0 = seed_bias_state_from_prefix(
+            bias_state0, bias_spans, prefix_ids, prefix_mask)
+
+    def bonused(lg, state):
+        lg = lg.astype(jnp.float32)
+        if use_bias:
+            lg = lg + bias_bonus(state, bias_spans, v, bias_boost)
+        return lg
+
+    # first emitted token + the hidden its round proposes from
+    lg0 = bonused(lg_pre[:, -1], bias_state0)
+    cur0 = jnp.argmax(lg0, axis=-1).astype(jnp.int32)
+    sum_lp0 = jnp.take_along_axis(
+        jax.nn.log_softmax(lg0, axis=-1), cur0[:, None], axis=1)[:, 0]
+    hid0 = hid_pre[:, -1]  # (B, D)
+    state_after_cur0 = (
+        advance_bias_state(bias_state0, bias_spans, cur0)
+        if use_bias else bias_state0)
+    pos_cur0 = prefix_pos[:, -1] + 1
+
+    out0 = jnp.full((b, max_new + 1), eot_id, jnp.int32)
+    out0 = out0.at[:, 0].set(cur0)
+    finished0 = (cur0 == eot_id) | (max_new == 1)
+
+    class Carry(NamedTuple):
+        n: jax.Array          # (B,) emitted count (incl. cur)
+        cur: jax.Array        # (B,) last emitted token (target-verified)
+        pos_cur: jax.Array    # (B,) its position id
+        hid: jax.Array        # (B, D) hidden that proposed cur (head input)
+        cache: dict
+        out: jax.Array        # (B, max_new+1)
+        finished: jax.Array   # (B,)
+        bias_state: BiasTrieState
+        sum_lp: jax.Array
+        rounds: jax.Array
+
+    def round_step(c: Carry) -> Carry:
+        slot_cur = p + c.n - 1  # (B,) cache slot of cur
+
+        # ---- propose: K head argmaxes from the carried hidden -----------
+        md = medusa_logits(params, medusa, c.hid[:, None, :])  # (K, B, 1, V)
+        heads = jnp.argmax(md[:, :, 0, :], axis=-1).astype(jnp.int32)  # (K, B)
+        chunk_in = jnp.concatenate([c.cur[:, None], heads.T], axis=1)  # (B,K+1)
+        proposed = chunk_in[:, 1:]                                     # (B, K)
+
+        # ---- verify: ONE forward over k+1 positions ----------------------
+        lg, cache, hid = decode_tokens(
+            params, cfg, chunk_in, cross_kv=cross, cache=c.cache,
+            pos_offset=slot_cur,
+            token_positions=c.pos_cur[:, None] + jnp.arange(k + 1)[None, :],
+            self_mask=key_mask, return_hidden=True)
+
+        def verify_scan(state, xs):
+            lg_j, d_j = xs
+            blg = bonused(lg_j, state)
+            t_j = jnp.argmax(blg, axis=-1).astype(jnp.int32)
+            lp_j = jnp.take_along_axis(
+                jax.nn.log_softmax(blg, axis=-1), t_j[:, None], axis=1)[:, 0]
+            state = (advance_bias_state(state, bias_spans, d_j)
+                     if use_bias else state)
+            return state, (t_j, lp_j)
+
+        # position j's trie state has consumed cur and proposals 1..j
+        scan_toks = jnp.concatenate(
+            [proposed, jnp.zeros((b, 1), jnp.int32)], axis=1)
+        _, (t_seq, lp_seq) = jax.lax.scan(
+            verify_scan, c.bias_state,
+            (jnp.swapaxes(lg.astype(jnp.float32), 0, 1),
+             jnp.swapaxes(scan_toks, 0, 1)))
+        t_seq = jnp.swapaxes(t_seq, 0, 1)    # (B, K+1)
+        lp_seq = jnp.swapaxes(lp_seq, 0, 1)
+
+        match = proposed == t_seq[:, :k]
+        acc = jnp.cumprod(match.astype(jnp.int32), axis=1)
+        a = jnp.sum(acc, axis=1)                                  # (B,) 0..K
+        correction = jnp.take_along_axis(t_seq, a[:, None], axis=1)[:, 0]
+        # the hidden at the last ACCEPTED input position proposes next round
+        hid_new = jnp.take_along_axis(hid, a[:, None, None], axis=1)[:, 0]
+
+        chunk_out = jnp.concatenate([proposed, correction[:, None]], axis=1)
+        jidx = jnp.arange(k + 1)[None, :]
+        chunk_out = jnp.where(jidx == a[:, None], correction[:, None],
+                              chunk_out)
+        in_chunk = jidx <= a[:, None]
+        is_eot = (chunk_out == eot_id) & in_chunk
+        eot_before = jnp.cumsum(
+            jnp.concatenate([jnp.zeros((b, 1), jnp.int32),
+                             is_eot[:, :-1].astype(jnp.int32)], axis=1),
+            axis=1) > 0
+        capacity = (c.n[:, None] + jidx) < max_new
+        valid = in_chunk & ~eot_before & capacity & ~c.finished[:, None]
+
+        write_idx = jnp.where(valid, c.n[:, None] + jidx, max_new)
+        rows = jnp.broadcast_to(jnp.arange(b)[:, None], (b, k + 1))
+        out = c.out.at[rows.reshape(-1), write_idx.reshape(-1)].set(
+            chunk_out.reshape(-1))
+
+        emitted = jnp.sum(valid, axis=1)
+        n = c.n + emitted
+        sum_lp = c.sum_lp + jnp.sum(jnp.where(valid, lp_seq, 0.0), axis=1)
+        finished = c.finished | jnp.any(is_eot & valid, axis=1) | (n >= max_new)
+        cur = jnp.where(c.finished, c.cur, correction)
+        hid_cur = jnp.where(c.finished[:, None], c.hid, hid_new)
+        pos_cur = c.pos_cur + emitted
+
+        if use_bias:
+            def adv(state, xs):
+                tok, ok = xs
+                new = advance_bias_state(state, bias_spans, tok)
+                state = BiasTrieState(
+                    jnp.where(ok[:, None], new.matched, state.matched),
+                    state.span_len)
+                return state, None
+
+            bias_state, _ = jax.lax.scan(
+                adv, c.bias_state,
+                (jnp.swapaxes(chunk_out, 0, 1), jnp.swapaxes(valid, 0, 1)))
+        else:
+            bias_state = c.bias_state
+
+        return Carry(n, cur, pos_cur, hid_cur, cache, out, finished,
+                     bias_state, sum_lp, c.rounds + 1)
+
+    def cond(c: Carry):
+        return jnp.any(~c.finished)
+
+    init = Carry(jnp.ones((b,), jnp.int32), cur0, pos_cur0, hid0, cache,
+                 out0, finished0, state_after_cur0, sum_lp0, jnp.int32(0))
+    final = jax.lax.while_loop(cond, round_step, init)
+
+    tokens = final.out[:, :max_new]
+    is_eot = tokens == eot_id
+    any_eot = jnp.any(is_eot, axis=1)
+    lengths = jnp.where(any_eot, jnp.argmax(is_eot, axis=1),
+                        max_new).astype(jnp.int32)
+    return GreedyResult(tokens=tokens, lengths=lengths,
+                        sum_logprob=final.sum_lp,
+                        no_speech_prob=no_speech_prob,
+                        spec_rounds=final.rounds)
+
+
+def medusa_decode_batch(
+    params,
+    cfg: WhisperConfig,
+    medusa: dict,
+    tokenizer,
+    input_features,
+    contexts: list[list[int]] | None = None,
+    max_new: int = 224,
+    bias_spans=None,
+    bias_boost: float = 0.0,
+    pad_to_multiple: int | None = None,
+    starts: list[list[int]] | None = None,
+) -> list[list[int]]:
+    """Host-side convenience mirroring ``decode.greedy.decode_batch``."""
+    import numpy as np
+
+    from .bias_processor import sanitize_bias_spans
+    from .greedy import pack_prefixes
+
+    b = input_features.shape[0]
+    if starts is None:
+        starts = [[tokenizer.sot]] * b
+    if contexts is None:
+        prefixes = [list(st) for st in starts]
+    else:
+        prefixes = [([tokenizer.sop] + list(c) + list(st)) if c else list(st)
+                    for c, st in zip(contexts, starts)]
+    ids, mask = pack_prefixes(prefixes, tokenizer.eot,
+                              pad_to_multiple=pad_to_multiple)
+    spans = sanitize_bias_spans(bias_spans)
+    res = medusa_greedy_decode(
+        params, cfg, medusa, jnp.asarray(input_features), jnp.asarray(ids),
+        jnp.asarray(mask), max_new=max_new, eot_id=tokenizer.eot,
+        bias_spans=None if spans is None else jnp.asarray(spans),
+        bias_boost=bias_boost, span_pad_id=tokenizer.eot)
+    toks = np.asarray(res.tokens)
+    lens = np.asarray(res.lengths)
+    return [toks[i, : lens[i]].tolist() for i in range(b)]

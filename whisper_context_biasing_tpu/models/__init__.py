@@ -11,6 +11,12 @@ from .whisper import (
     precompute_cross_kv,
     sinusoids,
 )
+from .medusa import (
+    init_medusa_params,
+    load_medusa,
+    medusa_logits,
+    save_medusa,
+)
 from .load_hf import (
     load_checkpoint_or_safetensors,
     save_safetensors,
@@ -33,6 +39,10 @@ __all__ = [
     "decode_tokens",
     "precompute_cross_kv",
     "init_kv_cache",
+    "init_medusa_params",
+    "medusa_logits",
+    "save_medusa",
+    "load_medusa",
     "init_params",
     "sinusoids",
     "load_pretrained",

@@ -386,6 +386,7 @@ def decode_tokens(
                                         # at different rates)
     token_positions: jax.Array | None = None,  # (B, S) explicit positions (left-pad support)
     self_mask: jax.Array | None = None,  # extra key-side mask (B, T_cache) True=attend
+    return_hidden: bool = False,  # also return the final-LN decoder states
 ):
     """Decoder forward.
 
@@ -561,22 +562,32 @@ def decode_tokens(
         new_cache = {"k": new_k, "v": new_v}
 
     x = layer_norm(x, dec["ln"]["scale"], dec["ln"]["bias"])
+    logits = project_vocab(params, x)
+    if return_hidden:
+        # final-layernormed decoder states — the Medusa heads' input
+        # (models/medusa.py); returned only on request to keep the common
+        # path's output tuple stable
+        return logits, new_cache, x
+    return logits, new_cache
+
+
+def project_vocab(params: Params, x: jax.Array) -> jax.Array:
+    """Tied vocab projection of decoder states (B, S, D) -> (B, S, V).
+    Operands stay in the compute dtype (bf16 in production — this is the
+    largest per-step matmul), accumulation in f32+."""
+    dec = params["decoder"]
     proj = params.get("proj_out", dec["token_emb"])
-    # operands stay in the compute dtype (bf16 in production — the vocab
-    # projection is the largest per-step matmul), accumulation in f32+
     ft = _acc(x)
-    if isinstance(proj, dict):
+    if isinstance(proj, dict):  # int8 rows, per-row scale
         logits = jnp.einsum(
             "btd,vd->btv", x, proj["q"].astype(x.dtype),
             preferred_element_type=jnp.float32,
         ) * proj["s"][:, 0]
-        logits = logits.astype(ft)
-    else:
-        logits = jnp.einsum(
-            "btd,vd->btv", x, proj.astype(x.dtype),
-            preferred_element_type=ft,
-        ).astype(ft)
-    return logits, new_cache
+        return logits.astype(ft)
+    return jnp.einsum(
+        "btd,vd->btv", x, proj.astype(x.dtype),
+        preferred_element_type=ft,
+    ).astype(ft)
 
 
 def forward(
@@ -591,3 +602,17 @@ def forward(
     enc_out = encode_audio(params, cfg, input_features)
     logits, _ = decode_tokens(params, cfg, decoder_input_ids, enc_out=enc_out)
     return logits
+
+
+def forward_hidden(
+    params: Params,
+    cfg: WhisperConfig,
+    input_features: jax.Array,
+    decoder_input_ids: jax.Array,
+) -> tuple[jax.Array, jax.Array]:
+    """``forward`` that also returns the final-LN decoder states (B, S, D)
+    — the Medusa heads' training input (train/medusa.py)."""
+    enc_out = encode_audio(params, cfg, input_features)
+    logits, _, hid = decode_tokens(params, cfg, decoder_input_ids,
+                                   enc_out=enc_out, return_hidden=True)
+    return logits, hid

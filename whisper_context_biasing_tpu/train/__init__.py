@@ -11,6 +11,13 @@ from .step import (
     make_train_step,
 )
 from .augment import SpecAugmentConfig, apply_spec_augment
+from .medusa import (
+    MedusaConfig,
+    expected_tokens_per_round,
+    make_medusa_loss_fn,
+    make_medusa_train_step,
+    train_medusa_heads,
+)
 from .lora import (
     init_lora_params,
     lora_param_count,
@@ -55,6 +62,11 @@ __all__ = [
     "evaluate_wer",
     "SpecAugmentConfig",
     "apply_spec_augment",
+    "MedusaConfig",
+    "expected_tokens_per_round",
+    "make_medusa_loss_fn",
+    "make_medusa_train_step",
+    "train_medusa_heads",
     "init_lora_params",
     "lora_param_count",
     "make_lora_train_step",
