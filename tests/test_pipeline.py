@@ -31,6 +31,23 @@ def ml_pipe():
 
 
 @pytest.mark.slow
+class TestMedusaPipeline:
+    def test_medusa_pipeline_matches_plain(self):
+        from whisper_context_biasing_tpu.models import init_medusa_params
+
+        cfg = tiny_test_config()
+        params = init_params(cfg, 0)
+        tok = load_tokenizer()
+        audio = np.zeros(8000, np.float32)
+        plain = Pipeline("tiny.en", config=cfg, params=params, tokenizer=tok)
+        medusa = Pipeline("tiny.en", config=cfg, params=params, tokenizer=tok,
+                          medusa=init_medusa_params(cfg, 2, 0))
+        a = plain.transcribe(audio, max_tokens=6)
+        b = medusa.transcribe(audio, max_tokens=6)
+        assert a.tokens == b.tokens
+
+
+@pytest.mark.slow
 class TestSpeculativePipeline:
     def test_draft_pipeline_matches_plain(self):
         """Pipeline(draft_config=...) must return the exact transcripts of

@@ -78,6 +78,10 @@ class Pipeline:
         speculative_k: int = 4,
         draft_config=None,
         draft_params=None,
+        medusa: str | dict | None = None,  # medusa.npz path or head tree:
+                                           # self-speculative greedy decode
+                                           # (decode/medusa.py; wins over a
+                                           # draft model when both given)
     ):
         from .data.collator import SpeechSeq2SeqCollator
         from .models import get_config, init_params, load_checkpoint_or_safetensors
@@ -132,6 +136,12 @@ class Pipeline:
         # the greedy path with EXACT output equivalence (decode/speculative).
         # The draft inherits the target's fast-path overrides so it runs the
         # same kernel family speculation is meant to amortize.
+        self.medusa = None
+        if medusa is not None:
+            from .models import load_medusa
+
+            self.medusa = (load_medusa(medusa) if isinstance(medusa, str)
+                           else medusa)
         self.draft_params = self.draft_cfg = None
         self.speculative_k = speculative_k
         if draft_model or draft_config is not None:
@@ -437,6 +447,15 @@ class Pipeline:
                 self.params, self.cfg, self.tokenizer, mel,
                 num_beams=num_beams, early_stopping=beam_early_stopping,
                 **kwargs)
+        elif self.medusa is not None:
+            # self-speculative: trained multi-token heads, one model, exact
+            # greedy output (decode/medusa.py)
+            from .decode import medusa_decode_batch
+
+            kwargs.pop("mesh", None)
+            hyps = medusa_decode_batch(
+                self.params, self.cfg, self.medusa, self.tokenizer, mel,
+                pad_to_multiple=32, **kwargs)
         elif self.draft_params is not None:
             # speculative greedy: exact same tokens, fewer target-weight
             # reads per emitted token (decode/speculative.py); under a mesh
