@@ -63,6 +63,10 @@ def parse_args():
                         "output exactly matches the target model)")
     p.add_argument("--draft_checkpoint", default=None)
     p.add_argument("--spec_k", type=int, default=4)
+    p.add_argument("--medusa", default=None,
+                   help="medusa.npz (scripts/medusa.py): self-speculative "
+                        "multi-token heads — no draft model; output exactly "
+                        "matches plain greedy. Short-form greedy path only")
     p.add_argument("--bias_words", nargs="*", default=None,
                    help="server-wide default bias words")
     p.add_argument("--bias_boost", type=float, default=0.0)
@@ -153,6 +157,12 @@ class Engine:
         # semantics with Pipeline and the CLIs (parallel.mesh.auto_mesh):
         # effective-platform devices only, pure dp by default, 0 opts out.
         from whisper_context_biasing_tpu.parallel import auto_mesh, shard_params
+
+        self.medusa = None
+        if getattr(args, "medusa", None):
+            from whisper_context_biasing_tpu.models import load_medusa
+
+            self.medusa = load_medusa(args.medusa)
 
         self.mesh = auto_mesh(args.model_parallelism)
         if self.mesh is not None:
@@ -277,6 +287,13 @@ class Engine:
         if self.args.num_beams > 1:
             hyps = self.beam_decode_batch(self.params, self.cfg, tok, mel,
                                           num_beams=self.args.num_beams, **kwargs)
+        elif self.medusa is not None:
+            from whisper_context_biasing_tpu.decode import medusa_decode_batch
+
+            mk = dict(kwargs)
+            mk.pop("mesh", None)
+            hyps = medusa_decode_batch(self.params, self.cfg, self.medusa,
+                                       tok, mel, pad_to_multiple=32, **mk)
         elif self.draft_params is not None:
             from whisper_context_biasing_tpu.decode import speculative_decode_batch
 

@@ -57,6 +57,7 @@ def _make_engine(multilingual=False):
         bias_span_pad_id=eng.tokenizer.eot,
     )
     eng.mesh = None
+    eng.medusa = None
     eng.draft_params = eng.draft_cfg = None
     eng.pad_or_trim = pad_or_trim
     import threading
@@ -132,6 +133,22 @@ class TestServeLongForm:
 
 
 @pytest.mark.slow
+class TestServeMedusa:
+    def test_medusa_engine_matches_plain(self, engine):
+        """serve's short-form path with Medusa heads returns the same
+        transcripts as the plain greedy path."""
+        from whisper_context_biasing_tpu.models import init_medusa_params
+
+        audios = [np.ones(8000, np.float32), np.zeros(4000, np.float32)]
+        plain = engine._run(audios, [None, None], [None, None])
+        engine.medusa = init_medusa_params(engine.cfg, 2, 0)
+        try:
+            got = engine._run(audios, [None, None], [None, None])
+        finally:
+            engine.medusa = None
+        assert [r["text"] for r in got] == [r["text"] for r in plain]
+
+
 class TestServeLongChunked:
     def test_chunked_routing_and_contract(self, engine):
         """--long_chunked routes >30 s batches through the parallel-window
