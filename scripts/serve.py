@@ -290,10 +290,8 @@ class Engine:
         elif self.medusa is not None:
             from whisper_context_biasing_tpu.decode import medusa_decode_batch
 
-            mk = dict(kwargs)
-            mk.pop("mesh", None)
             hyps = medusa_decode_batch(self.params, self.cfg, self.medusa,
-                                       tok, mel, pad_to_multiple=32, **mk)
+                                       tok, mel, pad_to_multiple=32, **kwargs)
         elif self.draft_params is not None:
             from whisper_context_biasing_tpu.decode import speculative_decode_batch
 

@@ -242,6 +242,24 @@ class TestShardedDecode:
         got = transcribe_chunked(p_sh, cfg, tok, audios, mesh=mesh, **kw)
         assert got == ref
 
+    def test_medusa_decode_batch_mesh(self, setup):
+        """medusa_decode_batch(mesh=...) shards the batch over 'data' and
+        reproduces single-device tokens exactly."""
+        from whisper_context_biasing_tpu.decode import medusa_decode_batch
+        from whisper_context_biasing_tpu.models import init_medusa_params
+        from whisper_context_biasing_tpu.tokenizer import load_tokenizer
+
+        cfg, params, batch = setup
+        tok = load_tokenizer()
+        md = init_medusa_params(cfg, 2, 0)
+        mel = batch["input_features"]
+        ref = medusa_decode_batch(params, cfg, md, tok, mel, max_new=5)
+        mesh = make_mesh(model_parallelism=2, devices=cpu_devices())
+        p_sh = shard_params(params, mesh)
+        got = medusa_decode_batch(p_sh, cfg, md, tok, mel, max_new=5,
+                                  mesh=mesh)
+        assert got == ref
+
     def test_sequential_long_form_mesh_matches_single_device(self, setup):
         """transcribe_long_batch(mesh=...) shards every window call's file
         batch over 'data' and must reproduce single-device tokens exactly

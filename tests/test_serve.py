@@ -149,6 +149,7 @@ class TestServeMedusa:
         assert [r["text"] for r in got] == [r["text"] for r in plain]
 
 
+@pytest.mark.slow
 class TestServeLongChunked:
     def test_chunked_routing_and_contract(self, engine):
         """--long_chunked routes >30 s batches through the parallel-window

@@ -262,8 +262,10 @@ def medusa_decode_batch(
     bias_boost: float = 0.0,
     pad_to_multiple: int | None = None,
     starts: list[list[int]] | None = None,
+    mesh=None,
 ) -> list[list[int]]:
-    """Host-side convenience mirroring ``decode.greedy.decode_batch``."""
+    """Host-side convenience mirroring ``decode.greedy.decode_batch``
+    (incl. ``mesh=``: the decode batch axis shards over "data")."""
     import numpy as np
 
     from .bias_processor import sanitize_bias_spans
@@ -280,11 +282,20 @@ def medusa_decode_batch(
     ids, mask = pack_prefixes(prefixes, tokenizer.eot,
                               pad_to_multiple=pad_to_multiple)
     spans = sanitize_bias_spans(bias_spans)
+    if mesh is not None:
+        from ..parallel import shard_decode_inputs
+
+        (feats, ids, mask, spans), _ = shard_decode_inputs(
+            mesh, np.asarray(input_features), np.asarray(ids),
+            np.asarray(mask), None if spans is None else np.asarray(spans))
+    else:
+        feats = jnp.asarray(input_features)
+        ids, mask = jnp.asarray(ids), jnp.asarray(mask)
+        spans = None if spans is None else jnp.asarray(spans)
     res = medusa_greedy_decode(
-        params, cfg, medusa, jnp.asarray(input_features), jnp.asarray(ids),
-        jnp.asarray(mask), max_new=max_new, eot_id=tokenizer.eot,
-        bias_spans=None if spans is None else jnp.asarray(spans),
-        bias_boost=bias_boost, span_pad_id=tokenizer.eot)
+        params, cfg, medusa, feats, ids, mask,
+        max_new=max_new, eot_id=tokenizer.eot,
+        bias_spans=spans, bias_boost=bias_boost, span_pad_id=tokenizer.eot)
     toks = np.asarray(res.tokens)
     lens = np.asarray(res.lengths)
     return [toks[i, : lens[i]].tolist() for i in range(b)]

@@ -81,7 +81,9 @@ class Pipeline:
         medusa: str | dict | None = None,  # medusa.npz path or head tree:
                                            # self-speculative greedy decode
                                            # (decode/medusa.py; wins over a
-                                           # draft model when both given)
+                                           # draft model when both given).
+                                           # SHORT-FORM path only — long-form
+                                           # modes warn and decode plain
     ):
         from .data.collator import SpeechSeq2SeqCollator
         from .models import get_config, init_params, load_checkpoint_or_safetensors
@@ -333,6 +335,12 @@ class Pipeline:
             # words owned by the same core tiling.
             from .decode import transcribe_chunked
 
+            if self.medusa is not None:
+                import warnings
+
+                warnings.warn("medusa heads accelerate the short-form "
+                              "greedy path only; chunked long-form decodes "
+                              "plain")
             draft = None
             if self.draft_params is not None:
                 if self.draft_cfg.n_mels == self.cfg.n_mels:
@@ -384,6 +392,11 @@ class Pipeline:
 
             from .decode import transcribe_long_batch
 
+            if self.medusa is not None:
+                import warnings
+
+                warnings.warn("medusa heads accelerate the short-form "
+                              "greedy path only; long-form decodes plain")
             draft = None
             if self.draft_params is not None:
                 if self.draft_cfg.n_mels == self.cfg.n_mels:
@@ -452,7 +465,6 @@ class Pipeline:
             # greedy output (decode/medusa.py)
             from .decode import medusa_decode_batch
 
-            kwargs.pop("mesh", None)
             hyps = medusa_decode_batch(
                 self.params, self.cfg, self.medusa, self.tokenizer, mel,
                 pad_to_multiple=32, **kwargs)

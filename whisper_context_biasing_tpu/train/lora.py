@@ -104,7 +104,12 @@ def make_lora_train_step(
     ``make_train_step``'s contract; ``grad_norm`` is the adapter grad norm."""
     import optax
 
-    from .step import TrainState, make_loss_fn
+    from .step import (
+        TrainState,
+        accumulate_microbatch_grads,
+        make_augment_fn,
+        make_loss_fn,
+    )
 
     loss_full = make_loss_fn(cfg, bias_weight, use_bias_spans)
 
@@ -113,26 +118,11 @@ def make_lora_train_step(
         return loss_full(merged, batch)
 
     grad_fn = jax.value_and_grad(loss_fn)
-
-    def augment(batch, step_no):
-        from .augment import apply_spec_augment
-
-        feats = batch["input_features"]
-        key = jax.random.fold_in(jax.random.PRNGKey(augment_seed), step_no)
-        flat = feats.reshape((-1,) + feats.shape[-2:])
-        flat = apply_spec_augment(flat, key, spec_augment)
-        return dict(batch, input_features=flat.reshape(feats.shape))
+    augment = make_augment_fn(spec_augment, augment_seed)
 
     def accum_grads(lora, base, batch):
-        def micro(carry, mb):
-            acc, loss_sum = carry
-            loss, g = grad_fn(lora, base, mb)
-            return (jax.tree.map(jnp.add, acc, g), loss_sum + loss), None
-
-        zeros = jax.tree.map(jnp.zeros_like, lora)
-        (g, loss_sum), _ = jax.lax.scan(micro, (zeros, jnp.float32(0)), batch)
-        scale = 1.0 / grad_accum
-        return loss_sum * scale, jax.tree.map(lambda a: a * scale, g)
+        return accumulate_microbatch_grads(
+            lambda mb: grad_fn(lora, base, mb), lora, batch, grad_accum)
 
     def step(state: TrainState, base, batch):
         if spec_augment is not None:

@@ -155,6 +155,8 @@ def train_medusa_heads(
     logger = RunLogger(mcfg.output_dir, filename="medusa_log.jsonl")
     log_history: list[dict] = []
     gstep = 0
+    last_probe_step = -1
+    acc = np.zeros(mcfg.n_heads)
     t0 = time.time()
     for _ in range(int(np.ceil(mcfg.num_train_epochs))):
         if gstep >= total_steps:
@@ -173,6 +175,7 @@ def train_medusa_heads(
                 logger.log(row)
             if gstep % mcfg.eval_steps == 0 or gstep == total_steps:
                 acc = probe()
+                last_probe_step = gstep
                 row = {"step": gstep,
                        "eval_head_acc": [round(float(a), 4) for a in acc],
                        "eval_tokens_per_round":
@@ -180,7 +183,8 @@ def train_medusa_heads(
                 log_history.append(row)
                 logger.log(row)
 
-    acc = probe()
+    if last_probe_step != gstep:  # normal exits probe at total_steps already
+        acc = probe()
     summary = {"n_heads": mcfg.n_heads, "total_steps": gstep,
                "eval_head_acc": [round(float(a), 4) for a in acc],
                "eval_tokens_per_round":

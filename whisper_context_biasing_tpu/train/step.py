@@ -57,6 +57,42 @@ def make_loss_fn(
     return loss_fn
 
 
+def make_augment_fn(spec_augment, augment_seed: int):
+    """SpecAugment applied inside a jitted step: randomness folds the step
+    counter into ``augment_seed`` (resume-reproducible), leading microbatch
+    axes are flattened through the mask. Shared by the full-weight and LoRA
+    steps."""
+
+    def augment(batch, step_no):
+        from .augment import apply_spec_augment
+
+        feats = batch["input_features"]
+        key = jax.random.fold_in(jax.random.PRNGKey(augment_seed), step_no)
+        flat = feats.reshape((-1,) + feats.shape[-2:])  # (A*B or B, m, T)
+        flat = apply_spec_augment(flat, key, spec_augment)
+        return dict(batch, input_features=flat.reshape(feats.shape))
+
+    return augment
+
+
+def accumulate_microbatch_grads(grad_of_microbatch, params, batch,
+                                grad_accum: int):
+    """``lax.scan`` microbatch gradient accumulation (peak memory = one
+    microbatch): every array in ``batch`` carries a leading (A, ...) axis;
+    returns ``(mean_loss, mean_grads)``. ``grad_of_microbatch(mb)`` must
+    return ``(loss, grads-shaped-like-params)``."""
+
+    def micro(carry, mb):
+        acc, loss_sum = carry
+        loss, g = grad_of_microbatch(mb)
+        return (jax.tree.map(jnp.add, acc, g), loss_sum + loss), None
+
+    zeros = jax.tree.map(jnp.zeros_like, params)
+    (g, loss_sum), _ = jax.lax.scan(micro, (zeros, jnp.float32(0)), batch)
+    scale = 1.0 / grad_accum
+    return loss_sum * scale, jax.tree.map(lambda a: a * scale, g)
+
+
 def _freeze_encoder_grads(grads):
     return dict(grads, encoder=jax.tree.map(jnp.zeros_like, grads["encoder"]))
 
@@ -89,29 +125,14 @@ def make_train_step(
                          "(mel_on_device computes mel inside the loss)")
     loss_fn = make_loss_fn(cfg, bias_weight, use_bias_spans, mel_on_device)
     grad_fn = jax.value_and_grad(loss_fn)
-
-    def augment(batch, step_no):
-        from .augment import apply_spec_augment
-
-        feats = batch["input_features"]
-        key = jax.random.fold_in(jax.random.PRNGKey(augment_seed), step_no)
-        flat = feats.reshape((-1,) + feats.shape[-2:])  # (A*B or B, m, T)
-        flat = apply_spec_augment(flat, key, spec_augment)
-        return dict(batch, input_features=flat.reshape(feats.shape))
+    augment = make_augment_fn(spec_augment, augment_seed)
 
     def single_grads(params, batch):
         return grad_fn(params, batch)
 
     def accum_grads(params, batch):
-        def micro(carry, mb):
-            acc, loss_sum = carry
-            loss, g = grad_fn(params, mb)
-            return (jax.tree.map(jnp.add, acc, g), loss_sum + loss), None
-
-        zeros = jax.tree.map(jnp.zeros_like, params)
-        (g, loss_sum), _ = jax.lax.scan(micro, (zeros, jnp.float32(0)), batch)
-        scale = 1.0 / grad_accum
-        return loss_sum * scale, jax.tree.map(lambda a: a * scale, g)
+        return accumulate_microbatch_grads(
+            lambda mb: grad_fn(params, mb), params, batch, grad_accum)
 
     def step(state: TrainState, batch):
         if spec_augment is not None:
