@@ -490,6 +490,11 @@ class Engine:
             task=(opt.get("task", "transcribe") if tok.multilingual
                   else "transcribe"),
             word_timestamps=bool(opt.get("words")),
+            medusa=self.medusa,
+            draft=((self.draft_params, self.draft_cfg, self.args.spec_k)
+                   if (self.medusa is None and self.draft_params is not None
+                       and self.draft_cfg.n_mels == self.cfg.n_mels)
+                   else None),
         )
         sid = uuid.uuid4().hex[:16]
         with self.streams_lock:

@@ -211,6 +211,44 @@ class TestStreamingRealModel:
         st.finish()
         assert st.tokens == ref[0]
 
+    def test_accelerators_match_plain_stream(self, tok, cfg):
+        """Medusa heads and a draft model in the streaming session both
+        reproduce the plain stream's tokens exactly (verification sets
+        correctness, accelerators set speed)."""
+        from whisper_context_biasing_tpu.models import (
+            init_medusa_params,
+            init_params,
+            tiny_test_config,
+        )
+
+        params = init_params(cfg, 0)
+        win = cfg.n_audio_ctx * 320
+        rng = np.random.default_rng(1)
+        audio = (rng.standard_normal(win + win // 3) * 0.1).astype(np.float32)
+
+        def mel_fn(chunk):
+            r = np.random.default_rng(int(abs(chunk).sum() * 1e3) % 2**31)
+            return (r.standard_normal((chunk.shape[0], cfg.n_mels, 128)) * 0.5
+                    ).astype(np.float32)
+
+        kwargs = dict(mel_fn=mel_fn, max_new=5, use_timestamps=False,
+                      temperatures=(0.0,), window_samples=win,
+                      no_speech_threshold=None)
+
+        def run(**extra):
+            st = StreamingTranscriber(params, cfg, tok, **kwargs, **extra)
+            st.feed(audio)
+            st.finish()
+            return st.tokens
+
+        ref = run()
+        md = init_medusa_params(cfg, 2, 0)
+        assert run(medusa=md) == ref
+        dcfg = tiny_test_config(n_audio_layers=1, n_text_layers=1,
+                                d_model=32, n_heads=2)
+        dparams = init_params(dcfg, 7)
+        assert run(draft=(dparams, dcfg, 3)) == ref
+
 
 @pytest.mark.slow
 class TestStreamingWordTimestamps:

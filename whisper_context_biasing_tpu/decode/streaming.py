@@ -65,6 +65,10 @@ class StreamingTranscriber:
         prefix_pad_to_multiple: int | None = 32,
         decode_fn=None,
         rng_key=None,
+        draft: tuple | None = None,   # (params, cfg, k): speculative t=0
+                                      # pass (needs the target's n_mels)
+        medusa: dict | None = None,   # medusa head tree: self-speculative
+                                      # t=0 pass (wins over draft)
     ):
         self.tokenizer = tokenizer
         self.context = list(context) if context else []
@@ -109,8 +113,33 @@ class StreamingTranscriber:
 
             spans = None if bias_spans is None else jnp.asarray(bias_spans)
             outer = self
+            if draft is not None and draft[1].n_mels != cfg.n_mels:
+                raise ValueError("streaming speculative decoding needs a "
+                                 "draft with the target's n_mels")
 
             def decode_fn(mel, ids, mask, temperature, key):
+                ns_id = (tokenizer.no_speech
+                         if no_speech_threshold is not None else None)
+                if medusa is not None and temperature == 0.0:
+                    from .medusa import medusa_greedy_decode
+
+                    return medusa_greedy_decode(
+                        params, cfg, medusa, jnp.asarray(mel),
+                        jnp.asarray(ids), jnp.asarray(mask), max_new=max_new,
+                        eot_id=tokenizer.eot, bias_spans=spans,
+                        bias_boost=bias_boost, span_pad_id=tokenizer.eot,
+                        no_speech_id=ns_id, sot_offset=len(outer.start))
+                if draft is not None and temperature == 0.0:
+                    from .speculative import speculative_greedy_decode
+
+                    dparams, dcfg, dk = draft
+                    return speculative_greedy_decode(
+                        dparams, dcfg, params, cfg, jnp.asarray(mel),
+                        jnp.asarray(ids), jnp.asarray(mask), k=dk,
+                        max_new=max_new, eot_id=tokenizer.eot,
+                        bias_spans=spans, bias_boost=bias_boost,
+                        span_pad_id=tokenizer.eot,
+                        no_speech_id=ns_id, sot_offset=len(outer.start))
                 return greedy_decode(
                     params, cfg, jnp.asarray(mel), jnp.asarray(ids),
                     jnp.asarray(mask), max_new=max_new, eot_id=tokenizer.eot,

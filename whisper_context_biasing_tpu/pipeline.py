@@ -276,6 +276,15 @@ class Pipeline:
             kwargs["context"] = ctx
         kwargs.setdefault("mel_fn", self._mel)
         kwargs.setdefault("window_samples", self.window_samples)
+        # session accelerators carry into streaming (medusa wins; a draft
+        # with a different mel frontend can't share the stream's mel_fn)
+        if self.medusa is not None:
+            kwargs.setdefault("medusa", self.medusa)
+        elif (self.draft_params is not None
+              and self.draft_cfg.n_mels == self.cfg.n_mels):
+            kwargs.setdefault(
+                "draft", (self.draft_params, self.draft_cfg,
+                          self.speculative_k))
         return StreamingTranscriber(self.params, self.cfg, self.tokenizer,
                                     **kwargs)
 
