@@ -95,6 +95,10 @@ def parse_args():
                         "weights are merged dense — train/lora.py). "
                         "--freeze_encoder adapts the decoder only")
     p.add_argument("--lora_alpha", type=float, default=16.0)
+    p.add_argument("--speed_perturb", type=float, nargs="*", default=None,
+                   help="sox-style speed augmentation factors, e.g. "
+                        "0.9 1.0 1.1 (train phase only; one drawn per "
+                        "sample per epoch, deterministic)")
     p.add_argument("--spec_augment", action="store_true",
                    help="SpecAugment mel masking inside the train step "
                         "(2 freq masks <=27 bins + 2 time masks <=5%%; "
@@ -148,6 +152,9 @@ def main():
         prompt=args.prompt, random=args.random, bias_list=args.bias_list,
         bias_nums=args.bias_nums, bias_desc=args.bias_desc, seed=args.seed,
         n_mels=model_cfg.n_mels,  # 128 for large-v3
+        # dataset gates on phase, so dev/test are never perturbed
+        speed_perturb=(tuple(args.speed_perturb)
+                       if args.speed_perturb else None),
     )
     data_train = PromptWhisperDataset(phase="train", **ds_kwargs)
     data_eval = PromptWhisperDataset(phase="dev", **ds_kwargs)

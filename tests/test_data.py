@@ -219,6 +219,28 @@ class TestGetItem:
         item = ds[0]
         assert "audio" in item and item["audio"].shape == (16000,)
 
+    def test_speed_perturb_train_only_and_deterministic(self, corpus, tok):
+        """Speed factors stretch the raw audio (train phase only); the draw
+        is deterministic per (seed, epoch, idx) and re-drawn across epochs;
+        factor 1.0 is the identity."""
+        kw = dict(return_audio=True, speed_perturb=(0.5, 2.0))
+        tr = make_ds(corpus, tok, phase="train", **kw)
+        lens = {len(tr[i]["audio"]) for i in range(len(tr))}
+        # 0.5x -> ~32000 samples, 2.0x -> ~8000; never the raw 16000
+        assert lens <= {32000, 8000}
+        again = make_ds(corpus, tok, phase="train", **kw)
+        assert [len(again[i]["audio"]) for i in range(len(again))] == [
+            len(tr[i]["audio"]) for i in range(len(tr))]
+        tr.epoch_hint = 1  # new epoch may re-draw (streams differ)
+        assert all(len(tr[i]["audio"]) in (32000, 8000) for i in range(len(tr)))
+        # eval phases never perturb
+        ev = make_ds(corpus, tok, phase="test", **kw)
+        assert all(len(ev[i]["audio"]) == 16000 for i in range(len(ev)))
+        # identity factor is a no-op
+        one = make_ds(corpus, tok, phase="train", return_audio=True,
+                      speed_perturb=(1.0,))
+        assert all(len(one[i]["audio"]) == 16000 for i in range(len(one)))
+
     def test_n_mels_large_v3(self, corpus, tok):
         """Regression: large-v3 expects 128-mel features; the CLIs pass
         cfg.n_mels through so the default extractor matches the model."""

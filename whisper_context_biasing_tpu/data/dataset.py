@@ -73,6 +73,11 @@ class PromptWhisperDataset:
         seed: int | None = 0,
         return_audio: bool = False,
         n_mels: int = 80,  # 128 for large-v3; used by the default extractor
+        speed_perturb: tuple[float, ...] | None = None,  # e.g. (0.9, 1.0, 1.1):
+                          # classic sox-style speed augmentation (train phase
+                          # only; resample-based, pitch shifts with speed).
+                          # Per-(seed, epoch, idx) draw like the 5% text
+                          # perturbation, so epochs re-draw deterministically
     ):
         if tokenizer is None:
             raise ValueError("tokenizer is required")
@@ -90,6 +95,7 @@ class PromptWhisperDataset:
             lambda audio: log_mel_spectrogram_np(audio, n_mels=n_mels)
         )
         self.return_audio = return_audio
+        self.speed_perturb = tuple(speed_perturb) if speed_perturb else None
         # load-time draws (per-sample random prompt) use one seeded stream;
         # per-__getitem__ draws derive from (seed, epoch_hint, idx) so
         # threaded loading stays deterministic AND each epoch re-draws the
@@ -230,9 +236,27 @@ class PromptWhisperDataset:
         path = os.path.join(self.base_path, self.phase, self.data[idx][0])
         return load_audio(path, self.sample_rate)
 
+    def _maybe_speed_perturb(self, audio: np.ndarray, idx: int) -> np.ndarray:
+        if not self.speed_perturb or "train" not in self.phase:
+            return audio
+        # a distinct deterministic stream per (seed, epoch, idx), offset so
+        # the draw is independent of the prompt-perturbation stream
+        rng = _random.Random(
+            (self._seed * 1_000_003 + self.epoch_hint) * 2_654_435_761
+            + idx * 2 + 1_000_000_007)
+        factor = rng.choice(self.speed_perturb)
+        if factor == 1.0:
+            return audio
+        # sox `speed` semantics: pretend the samples are at rate*factor and
+        # resample back — duration scales by 1/factor, pitch by factor
+        from ..audio import resample
+
+        return resample(audio, int(round(self.sample_rate * factor)),
+                        self.sample_rate)
+
     def __getitem__(self, idx: int) -> dict:
         try:
-            audio = self.get_audio(idx)
+            audio = self._maybe_speed_perturb(self.get_audio(idx), idx)
             item = {
                 "labels": np.asarray(self.build_label_sequence(idx), dtype=np.int32),
                 "bias_spans": self.get_bias_spans(idx),
