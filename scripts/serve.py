@@ -66,7 +66,8 @@ def parse_args():
     p.add_argument("--medusa", default=None,
                    help="medusa.npz (scripts/medusa.py): self-speculative "
                         "multi-token heads — no draft model; output exactly "
-                        "matches plain greedy. Short-form greedy path only")
+                        "matches plain greedy. Applies to short-form, "
+                        "long-form, and streaming greedy paths")
     p.add_argument("--bias_words", nargs="*", default=None,
                    help="server-wide default bias words")
     p.add_argument("--bias_boost", type=float, default=0.0)
@@ -384,7 +385,7 @@ class Engine:
             prefix_pad_to_multiple=32,
             max_batch=self.args.chunked_batch, pad_batches=True,
             start_tokens=start_tokens, num_beams=self.args.num_beams,
-            mesh=self.mesh,
+            medusa=self.medusa, mesh=self.mesh,
             return_segments=want_words, word_timestamps=want_words)
         if want_words:
             hyps, _, words = out
@@ -428,7 +429,8 @@ class Engine:
             prefix_pad_to_multiple=32,
             start_tokens=start_tokens,
             return_segments=want_words, word_timestamps=want_words,
-            num_beams=self.args.num_beams, mesh=self.mesh,
+            num_beams=self.args.num_beams, medusa=self.medusa,
+            mesh=self.mesh,
         )
         if want_words:
             hyps, _, words = out

@@ -141,6 +141,44 @@ class TestMedusaExactness:
         assert int(r1.spec_rounds) < int(np.asarray(r1.lengths).max())
 
 
+@pytest.mark.slow
+class TestMedusaLongForm:
+    def test_long_form_and_chunked_match_plain(self, setup):
+        """medusa= in both long-form loops reproduces the plain loops'
+        tokens exactly (self-speculative t=0 rung)."""
+        from whisper_context_biasing_tpu.decode import (
+            transcribe_chunked,
+            transcribe_long_batch,
+        )
+        from whisper_context_biasing_tpu.tokenizer import load_tokenizer
+
+        cfg, params, _ = setup
+        md = init_medusa_params(cfg, 2, 5)
+        tok = load_tokenizer()
+        rng = np.random.default_rng(6)
+        win = cfg.n_audio_ctx * 320
+        audios = [rng.standard_normal(int(win * 1.5)).astype(np.float32) * 0.1,
+                  rng.standard_normal(win // 2).astype(np.float32) * 0.1]
+
+        def mel_fn(batch):
+            from whisper_context_biasing_tpu.audio.mel import (
+                log_mel_spectrogram_np,
+            )
+            return np.stack([log_mel_spectrogram_np(a)[:, :2 * cfg.n_audio_ctx]
+                             for a in batch])
+
+        kw = dict(mel_fn=mel_fn, max_new=6, temperatures=(0.0,),
+                  no_speech_threshold=None, logprob_threshold=None,
+                  compression_ratio_threshold=None, window_samples=win)
+        assert transcribe_long_batch(params, cfg, tok, audios, medusa=md,
+                                     **kw) == \
+            transcribe_long_batch(params, cfg, tok, audios, **kw)
+        ckw = dict(kw, use_timestamps=False)
+        assert transcribe_chunked(params, cfg, tok, audios, medusa=md,
+                                  **ckw) == \
+            transcribe_chunked(params, cfg, tok, audios, **ckw)
+
+
 class TestMedusaTraining:
     def test_expected_tokens_per_round(self):
         from whisper_context_biasing_tpu.train import expected_tokens_per_round

@@ -178,8 +178,11 @@ def transcribe_chunked(
     pad_batches: bool = False,                # pad every call to max_batch so
                                               # ONE compiled program serves
                                               # all chunk counts (serving)
+    medusa: dict | None = None,               # Medusa head tree: self-
+                                              # speculative t=0 rung (wins
+                                              # over `draft`)
     num_beams: int = 1,                       # >1: beam drives the t=0 rung
-                                              # (wins over `draft`)
+                                              # (wins over `draft`/`medusa`)
     length_penalty: float = 1.0,
     beam_early_stopping: str = "off",
     mesh=None,                                # window batches shard over the
@@ -291,6 +294,15 @@ def transcribe_chunked(
                     no_speech_id=ns_id, sot_offset=sot_off)
                 return _best_beam_as_greedy(res, length_penalty,
                                             beam_early_stopping)
+            if medusa is not None and temperature == 0.0:
+                from .medusa import medusa_greedy_decode
+
+                return medusa_greedy_decode(
+                    params, cfg, medusa, jnp.asarray(mel), jnp.asarray(ids),
+                    jnp.asarray(mask), max_new=max_new, eot_id=tokenizer.eot,
+                    bias_spans=spans, bias_boost=bias_boost,
+                    span_pad_id=tokenizer.eot,
+                    no_speech_id=ns_id, sot_offset=sot_off)
             if draft is not None and temperature == 0.0:
                 from .speculative import speculative_greedy_decode
 

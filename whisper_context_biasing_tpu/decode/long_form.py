@@ -162,10 +162,12 @@ def transcribe_long_batch(
     draft: tuple | None = None,  # (params_draft, cfg_draft, k): speculative
                                  # decoding for the temperature-0 pass
                                  # (decode/speculative.py; exact output)
+    medusa: dict | None = None,  # Medusa head tree: self-speculative t=0
+                                 # rung (decode/medusa.py; wins over draft)
     num_beams: int = 1,          # >1: beam search drives the t=0 rung
                                  # (OpenAI long-form composition: beam at
                                  # temperature 0, sampling at the fallback
-                                 # rungs); wins over `draft` when both set
+                                 # rungs); wins over `draft`/`medusa`
     length_penalty: float = 1.0,
     beam_early_stopping: str = "off",
     mesh=None,                   # each window call's decode batch (the file
@@ -238,6 +240,15 @@ def transcribe_long_batch(
                     no_speech_id=ns_id, sot_offset=so)
                 return _best_beam_as_greedy(res, length_penalty,
                                             beam_early_stopping)
+            if medusa is not None and temperature == 0.0:
+                from .medusa import medusa_greedy_decode
+
+                return medusa_greedy_decode(
+                    params, cfg, medusa, jnp.asarray(mel), jnp.asarray(ids),
+                    jnp.asarray(mask), max_new=max_new, eot_id=tokenizer.eot,
+                    bias_spans=sp, bias_boost=bias_boost,
+                    span_pad_id=tokenizer.eot,
+                    no_speech_id=ns_id, sot_offset=so)
             if draft is not None and temperature == 0.0:
                 from .speculative import speculative_greedy_decode
 

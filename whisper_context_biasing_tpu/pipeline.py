@@ -82,8 +82,8 @@ class Pipeline:
                                            # self-speculative greedy decode
                                            # (decode/medusa.py; wins over a
                                            # draft model when both given).
-                                           # SHORT-FORM path only — long-form
-                                           # modes warn and decode plain
+                                           # Composes with short-form,
+                                           # long-form, chunked & streaming
     ):
         from .data.collator import SpeechSeq2SeqCollator
         from .models import get_config, init_params, load_checkpoint_or_safetensors
@@ -344,12 +344,6 @@ class Pipeline:
             # words owned by the same core tiling.
             from .decode import transcribe_chunked
 
-            if self.medusa is not None:
-                import warnings
-
-                warnings.warn("medusa heads accelerate the short-form "
-                              "greedy path only; chunked long-form decodes "
-                              "plain")
             draft = None
             if self.draft_params is not None:
                 if self.draft_cfg.n_mels == self.cfg.n_mels:
@@ -372,6 +366,7 @@ class Pipeline:
                 no_speech_threshold=no_speech_threshold,
                 start_tokens=starts, return_segments=True,
                 prefix_pad_to_multiple=32, window_samples=win, draft=draft,
+                medusa=self.medusa,
                 num_beams=num_beams, beam_early_stopping=beam_early_stopping,
                 mesh=self.mesh, word_timestamps=word_timestamps,
                 alignment_heads=alignment_heads,
@@ -401,11 +396,6 @@ class Pipeline:
 
             from .decode import transcribe_long_batch
 
-            if self.medusa is not None:
-                import warnings
-
-                warnings.warn("medusa heads accelerate the short-form "
-                              "greedy path only; long-form decodes plain")
             draft = None
             if self.draft_params is not None:
                 if self.draft_cfg.n_mels == self.cfg.n_mels:
@@ -428,6 +418,7 @@ class Pipeline:
                 word_timestamps=word_timestamps,
                 alignment_heads=alignment_heads,
                 prefix_pad_to_multiple=32, window_samples=win, draft=draft,
+                medusa=self.medusa,
                 num_beams=num_beams, beam_early_stopping=beam_early_stopping,
                 mesh=self.mesh)
             if word_timestamps:
