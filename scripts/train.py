@@ -122,6 +122,9 @@ def main():
     resumable = args.resume and latest_checkpoint(args.output)
     warn_missing_assets(args.vocab, args.init_checkpoint or resumable, "train")
 
+    if args.speed_perturb and any(f <= 0 for f in args.speed_perturb):
+        raise SystemExit(f"--speed_perturb factors must be > 0, got "
+                         f"{args.speed_perturb}")
     tokenizer = load_tokenizer(args.vocab, args.merges,
                                multilingual=not args.model.endswith(".en"))
     remat = args.remat

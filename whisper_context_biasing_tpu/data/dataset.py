@@ -157,11 +157,14 @@ class PromptWhisperDataset:
 
     # -- prompt construction ----------------------------------------------------
 
-    def _item_rng(self, idx: int) -> _random.Random:
+    def _item_rng(self, idx: int, stream: int = 0) -> _random.Random:
         """Deterministic per-(seed, epoch, index) RNG: immune to thread
-        scheduling in BatchLoader, reproducible across resumed runs."""
+        scheduling in BatchLoader, reproducible across resumed runs.
+        ``stream`` derives an independent sequence for a second per-item
+        draw (speed perturbation vs prompt perturbation)."""
         return _random.Random(
-            (self._seed * 1_000_003 + self.epoch_hint) * 2_654_435_761 + idx)
+            (self._seed * 1_000_003 + self.epoch_hint) * 2_654_435_761
+            + idx + stream * 1_000_000_007)
 
     def _select_prompt_text(self, description: str, random_prompt: str,
                             rng: _random.Random) -> str:
@@ -239,12 +242,7 @@ class PromptWhisperDataset:
     def _maybe_speed_perturb(self, audio: np.ndarray, idx: int) -> np.ndarray:
         if not self.speed_perturb or "train" not in self.phase:
             return audio
-        # a distinct deterministic stream per (seed, epoch, idx), offset so
-        # the draw is independent of the prompt-perturbation stream
-        rng = _random.Random(
-            (self._seed * 1_000_003 + self.epoch_hint) * 2_654_435_761
-            + idx * 2 + 1_000_000_007)
-        factor = rng.choice(self.speed_perturb)
+        factor = self._item_rng(idx, stream=1).choice(self.speed_perturb)
         if factor == 1.0:
             return audio
         # sox `speed` semantics: pretend the samples are at rate*factor and

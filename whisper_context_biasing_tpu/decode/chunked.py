@@ -294,29 +294,17 @@ def transcribe_chunked(
                     no_speech_id=ns_id, sot_offset=sot_off)
                 return _best_beam_as_greedy(res, length_penalty,
                                             beam_early_stopping)
-            if medusa is not None and temperature == 0.0:
-                from .medusa import medusa_greedy_decode
+            if temperature == 0.0 and (medusa is not None
+                                        or draft is not None):
+                from .speculative import t0_verified_decode
 
-                return medusa_greedy_decode(
-                    params, cfg, medusa, jnp.asarray(mel), jnp.asarray(ids),
-                    jnp.asarray(mask), max_new=max_new, eot_id=tokenizer.eot,
-                    bias_spans=spans, bias_boost=bias_boost,
-                    span_pad_id=tokenizer.eot,
-                    no_speech_id=ns_id, sot_offset=sot_off)
-            if draft is not None and temperature == 0.0:
-                from .speculative import speculative_greedy_decode
-
-                dparams, dcfg, dk = draft
-                if dcfg.n_mels != cfg.n_mels:
+                if medusa is None and draft[1].n_mels != cfg.n_mels:
                     raise ValueError("chunked speculative decoding needs a "
                                      "draft with the target's n_mels")
-                return speculative_greedy_decode(
-                    dparams, dcfg, params, cfg, jnp.asarray(mel),
-                    jnp.asarray(ids), jnp.asarray(mask), k=dk,
-                    max_new=max_new, eot_id=tokenizer.eot,
-                    bias_spans=spans, bias_boost=bias_boost,
-                    span_pad_id=tokenizer.eot,
-                    no_speech_id=ns_id, sot_offset=sot_off)
+                return t0_verified_decode(
+                    params, cfg, tokenizer, mel, ids, mask, max_new=max_new,
+                    spans=spans, bias_boost=bias_boost, no_speech_id=ns_id,
+                    sot_offset=sot_off, medusa=medusa, draft=draft)
             return greedy_decode(
                 params, cfg, jnp.asarray(mel), jnp.asarray(ids),
                 jnp.asarray(mask), max_new=max_new, eot_id=tokenizer.eot,

@@ -240,27 +240,14 @@ def transcribe_long_batch(
                     no_speech_id=ns_id, sot_offset=so)
                 return _best_beam_as_greedy(res, length_penalty,
                                             beam_early_stopping)
-            if medusa is not None and temperature == 0.0:
-                from .medusa import medusa_greedy_decode
+            if temperature == 0.0 and (medusa is not None
+                                        or draft is not None):
+                from .speculative import t0_verified_decode
 
-                return medusa_greedy_decode(
-                    params, cfg, medusa, jnp.asarray(mel), jnp.asarray(ids),
-                    jnp.asarray(mask), max_new=max_new, eot_id=tokenizer.eot,
-                    bias_spans=sp, bias_boost=bias_boost,
-                    span_pad_id=tokenizer.eot,
-                    no_speech_id=ns_id, sot_offset=so)
-            if draft is not None and temperature == 0.0:
-                from .speculative import speculative_greedy_decode
-
-                dparams, dcfg, dk = draft
-                return speculative_greedy_decode(
-                    dparams, dcfg, params, cfg, jnp.asarray(mel),
-                    jnp.asarray(ids), jnp.asarray(mask), k=dk,
-                    max_new=max_new, eot_id=tokenizer.eot,
-                    bias_spans=sp, bias_boost=bias_boost,
-                    span_pad_id=tokenizer.eot,
-                    no_speech_id=ns_id, sot_offset=so,
-                )
+                return t0_verified_decode(
+                    params, cfg, tokenizer, mel, ids, mask, max_new=max_new,
+                    spans=sp, bias_boost=bias_boost, no_speech_id=ns_id,
+                    sot_offset=so, medusa=medusa, draft=draft)
             return greedy_decode(
                 params, cfg, jnp.asarray(mel), jnp.asarray(ids), jnp.asarray(mask),
                 max_new=max_new, eot_id=tokenizer.eot,

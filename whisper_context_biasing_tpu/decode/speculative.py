@@ -420,3 +420,45 @@ def drafted_pad(ds: jax.Array, k: int) -> jax.Array:
     drafts were accepted, and the correction's state advance happens in the
     carried-state pass)."""
     return ds[:, 1: k + 2]
+
+
+def t0_verified_decode(
+    params,
+    cfg,
+    tokenizer,
+    mel,
+    ids,
+    mask,
+    *,
+    max_new: int,
+    spans=None,
+    bias_boost: float = 0.0,
+    no_speech_id=None,
+    sot_offset=1,
+    medusa: dict | None = None,
+    draft: tuple | None = None,     # (params_draft, cfg_draft, k)
+):
+    """The shared temperature-0 accelerator dispatch used by the long-form,
+    chunked, and streaming ladders: medusa heads win over a draft model,
+    both fall back to plain greedy; every branch returns a GreedyResult
+    with identical token output (verification guarantees)."""
+    import jax.numpy as jnp
+
+    from .greedy import greedy_decode
+
+    common = dict(max_new=max_new, eot_id=tokenizer.eot, bias_spans=spans,
+                  bias_boost=bias_boost, span_pad_id=tokenizer.eot,
+                  no_speech_id=no_speech_id, sot_offset=sot_offset)
+    if medusa is not None:
+        from .medusa import medusa_greedy_decode
+
+        return medusa_greedy_decode(
+            params, cfg, medusa, jnp.asarray(mel), jnp.asarray(ids),
+            jnp.asarray(mask), **common)
+    if draft is not None:
+        dparams, dcfg, dk = draft
+        return speculative_greedy_decode(
+            dparams, dcfg, params, cfg, jnp.asarray(mel), jnp.asarray(ids),
+            jnp.asarray(mask), k=dk, **common)
+    return greedy_decode(params, cfg, jnp.asarray(mel), jnp.asarray(ids),
+                         jnp.asarray(mask), **common)

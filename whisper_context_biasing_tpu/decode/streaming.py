@@ -113,41 +113,30 @@ class StreamingTranscriber:
 
             spans = None if bias_spans is None else jnp.asarray(bias_spans)
             outer = self
-            if draft is not None and draft[1].n_mels != cfg.n_mels:
+            # the draft is unreachable when medusa is set (medusa wins)
+            if (medusa is None and draft is not None
+                    and draft[1].n_mels != cfg.n_mels):
                 raise ValueError("streaming speculative decoding needs a "
                                  "draft with the target's n_mels")
 
             def decode_fn(mel, ids, mask, temperature, key):
                 ns_id = (tokenizer.no_speech
                          if no_speech_threshold is not None else None)
-                if medusa is not None and temperature == 0.0:
-                    from .medusa import medusa_greedy_decode
+                if temperature == 0.0 and (medusa is not None
+                                           or draft is not None):
+                    from .speculative import t0_verified_decode
 
-                    return medusa_greedy_decode(
-                        params, cfg, medusa, jnp.asarray(mel),
-                        jnp.asarray(ids), jnp.asarray(mask), max_new=max_new,
-                        eot_id=tokenizer.eot, bias_spans=spans,
-                        bias_boost=bias_boost, span_pad_id=tokenizer.eot,
-                        no_speech_id=ns_id, sot_offset=len(outer.start))
-                if draft is not None and temperature == 0.0:
-                    from .speculative import speculative_greedy_decode
-
-                    dparams, dcfg, dk = draft
-                    return speculative_greedy_decode(
-                        dparams, dcfg, params, cfg, jnp.asarray(mel),
-                        jnp.asarray(ids), jnp.asarray(mask), k=dk,
-                        max_new=max_new, eot_id=tokenizer.eot,
-                        bias_spans=spans, bias_boost=bias_boost,
-                        span_pad_id=tokenizer.eot,
-                        no_speech_id=ns_id, sot_offset=len(outer.start))
+                    return t0_verified_decode(
+                        params, cfg, tokenizer, mel, ids, mask,
+                        max_new=max_new, spans=spans, bias_boost=bias_boost,
+                        no_speech_id=ns_id, sot_offset=len(outer.start),
+                        medusa=medusa, draft=draft)
                 return greedy_decode(
                     params, cfg, jnp.asarray(mel), jnp.asarray(ids),
                     jnp.asarray(mask), max_new=max_new, eot_id=tokenizer.eot,
                     bias_spans=spans, bias_boost=bias_boost,
                     span_pad_id=tokenizer.eot, temperature=temperature,
-                    rng_key=key,
-                    no_speech_id=(tokenizer.no_speech
-                                  if no_speech_threshold is not None else None),
+                    rng_key=key, no_speech_id=ns_id,
                     # read at call time: detection may rewrite the start
                     sot_offset=len(outer.start),
                 )

@@ -280,11 +280,18 @@ class Pipeline:
         # with a different mel frontend can't share the stream's mel_fn)
         if self.medusa is not None:
             kwargs.setdefault("medusa", self.medusa)
-        elif (self.draft_params is not None
-              and self.draft_cfg.n_mels == self.cfg.n_mels):
-            kwargs.setdefault(
-                "draft", (self.draft_params, self.draft_cfg,
-                          self.speculative_k))
+        elif self.draft_params is not None:
+            if self.draft_cfg.n_mels == self.cfg.n_mels:
+                kwargs.setdefault(
+                    "draft", (self.draft_params, self.draft_cfg,
+                              self.speculative_k))
+            else:
+                import warnings
+
+                warnings.warn(
+                    "streaming speculative decoding needs a draft with the "
+                    f"target's n_mels ({self.cfg.n_mels}); draft has "
+                    f"{self.draft_cfg.n_mels} — streaming plain")
         return StreamingTranscriber(self.params, self.cfg, self.tokenizer,
                                     **kwargs)
 
@@ -344,8 +351,10 @@ class Pipeline:
             # words owned by the same core tiling.
             from .decode import transcribe_chunked
 
+            # medusa wins over a draft, so only consider (and only warn
+            # about) the draft when no heads are loaded
             draft = None
-            if self.draft_params is not None:
+            if self.medusa is None and self.draft_params is not None:
                 if self.draft_cfg.n_mels == self.cfg.n_mels:
                     draft = (self.draft_params, self.draft_cfg,
                              self.speculative_k)
@@ -397,7 +406,7 @@ class Pipeline:
             from .decode import transcribe_long_batch
 
             draft = None
-            if self.draft_params is not None:
+            if self.medusa is None and self.draft_params is not None:
                 if self.draft_cfg.n_mels == self.cfg.n_mels:
                     draft = (self.draft_params, self.draft_cfg,
                              self.speculative_k)
