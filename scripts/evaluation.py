@@ -65,6 +65,10 @@ def parse_args():
     p.add_argument("--prompt_generation", action="store_true")
     p.add_argument("--bias_boost", type=float, default=0.0)
     p.add_argument("--num_beams", type=int, default=1)
+    p.add_argument("--medusa", type=str, default=None,
+                   help="medusa.npz (scripts/medusa.py): self-speculative "
+                        "greedy eval decode — identical tokens/WER, faster "
+                        "real-weight sweeps; ignored with --num_beams > 1")
     p.add_argument("--model_parallelism", type=int, default=1,
                    help="tensor-parallel degree over a (data, model) mesh "
                         "(decode batches sharded over 'data', weights over "
@@ -96,11 +100,16 @@ def run_eval(args, params, model_cfg, tokenizer, data_test, collator, bias_spans
     if mesh is not None:
         print(f"mesh: data={mesh.shape['data']} x model={mesh.shape['model']}")
         params = shard_params(params, mesh)
+    medusa = None
+    if args.medusa:
+        from whisper_context_biasing_tpu.models import load_medusa
+
+        medusa = load_medusa(args.medusa)
     result = evaluate_wer(
         params, model_cfg, tokenizer, data_test, collator, args.batch, 224,
         refs_pred_file=refs_pred_file,
         prompt_generation=args.prompt_generation, bias_boost=args.bias_boost,
-        num_beams=args.num_beams, mesh=mesh,
+        num_beams=args.num_beams, mesh=mesh, medusa=medusa,
     )
     if not args.only_eval_bias_wer:
         print(f"{model_name} Test set evaluation results:", result)

@@ -174,6 +174,30 @@ class TestEndToEnd:
             int(c.split("-")[1]) for c in first
         ) - 1
 
+    def test_evaluate_wer_medusa_matches_plain(self, corpus, tmp_path):
+        """evaluate_wer(medusa=...) writes identical predictions and WER —
+        the self-speculative eval path is output-invariant."""
+        from whisper_context_biasing_tpu.models import init_medusa_params
+        from whisper_context_biasing_tpu.train import evaluate_wer
+
+        tok = load_tokenizer()
+        cfg = tiny_test_config()
+        params = init_params(cfg, 0)
+        collator = SpeechSeq2SeqCollator(
+            pad_token_id=tok.pad_token_id, decoder_start_token_id=tok.sot,
+            decoder_prev_token_id=tok.sop, pad_to_multiple=16,
+        )
+        ds = _make_ds(corpus, tok, "test")
+        f1 = str(tmp_path / "plain.txt")
+        f2 = str(tmp_path / "medusa.txt")
+        r1 = evaluate_wer(params, cfg, tok, ds, collator, 2, 6,
+                          refs_pred_file=f1)
+        r2 = evaluate_wer(params, cfg, tok, ds, collator, 2, 6,
+                          refs_pred_file=f2,
+                          medusa=init_medusa_params(cfg, 2, 0))
+        assert r1 == r2
+        assert open(f1).read() == open(f2).read()
+
     def test_lora_training_end_to_end(self, corpus, tmp_path):
         """lora_rank>0: the loop trains adapters, checkpoints hold the tiny
         adapter tree, and the returned params are merged dense weights with

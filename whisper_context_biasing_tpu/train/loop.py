@@ -101,6 +101,7 @@ def evaluate_wer(
     num_beams: int = 1,
     num_workers: int = 4,
     mesh=None,
+    medusa: dict | None = None,  # Medusa heads: accelerated greedy eval
 ) -> dict:
     """Batched greedy (or beam, num_beams>1) decode over a dataset +
     compute_wer scoring.
@@ -138,7 +139,12 @@ def evaluate_wer(
 
     if collator.max_spans is None and collator.span_pad_multiple is None:
         collator.span_pad_multiple = 4
-    decode_fn = beam_decode if num_beams > 1 else greedy_decode
+    if num_beams > 1:
+        decode_fn = beam_decode
+    elif medusa is not None:
+        from ..decode.medusa import medusa_greedy_decode as decode_fn
+    else:
+        decode_fn = greedy_decode
     # public signature-count diagnostic (utils.compile_count.CountedJit)
     programs_before = decode_fn.cache_size()
     loader = BatchLoader(dataset, collate, batch_size, num_workers=num_workers)
@@ -146,6 +152,7 @@ def evaluate_wer(
         _eval_decode_batch(
             batch, all_preds, all_labels, params, model_cfg, tokenizer,
             collator, batch_size, max_new, bias_boost, num_beams, mesh,
+            medusa,
         )
     result = score_predictions(all_preds, all_labels, tokenizer, refs_pred_file)
     # static-shape discipline diagnostic: one eval pass should compile
@@ -168,7 +175,7 @@ def _pad_rows(a: np.ndarray, b_full: int) -> np.ndarray:
 
 def _eval_decode_batch(
     batch, all_preds, all_labels, params, model_cfg, tokenizer, collator,
-    batch_size, max_new, bias_boost, num_beams, mesh=None,
+    batch_size, max_new, bias_boost, num_beams, mesh=None, medusa=None,
 ):
     prefixes = batch.pop("_prefixes")
     b = len(prefixes)
@@ -203,6 +210,20 @@ def _eval_decode_batch(
         lens = np.asarray(
             np.cumprod(toks != tokenizer.eot, axis=1).sum(axis=1)
         )
+    elif medusa is not None:
+        # self-speculative eval decode: identical tokens, fewer weight reads
+        # per emitted token — real-weight WER sweeps finish faster
+        from ..decode.medusa import medusa_greedy_decode
+
+        res = medusa_greedy_decode(
+            params, model_cfg, medusa, jnp.asarray(feats),
+            jnp.asarray(ids), jnp.asarray(mask),
+            max_new=max_new, eot_id=tokenizer.eot,
+            bias_spans=spans, bias_boost=bias_boost,
+            span_pad_id=collator.bias_span_pad_id,
+        )
+        toks = np.asarray(res.tokens)
+        lens = np.asarray(res.lengths)
     else:
         res = greedy_decode(
             params, model_cfg, jnp.asarray(feats),
