@@ -91,6 +91,9 @@ def parse_args():
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--train_epochs", type=float, default=1)
     p.add_argument("--max_new", type=int, default=224)
+    p.add_argument("--medusa", default=os.environ.get("WCB_MEDUSA"),
+                   help="medusa.npz: self-speculative eval decode for the "
+                        "greedy configs (identical WER, faster sweep)")
     p.add_argument("--wer_tolerance", type=float, default=0.01,
                    help="relative WER delta allowed vs baseline (north star: 1%)")
     return p.parse_args()
@@ -237,10 +240,15 @@ def run_decode_config(num, model, args, tok, *, phase, jsonl_rel, prompt,
             n_mels=cfg.n_mels)
         rp = os.path.join(out_dir, "refs_and_pred.txt")
         t0 = time.monotonic()
+        medusa = None
+        if args.medusa and num_beams == 1:
+            from whisper_context_biasing_tpu.models import load_medusa
+
+            medusa = load_medusa(args.medusa)
         result = evaluate_wer(
             params, cfg, tok, ds, collator, min(args.batch, len(ds)),
             args.max_new, refs_pred_file=rp, prompt_generation=prompt,
-            bias_boost=bias_boost, num_beams=num_beams)
+            bias_boost=bias_boost, num_beams=num_beams, medusa=medusa)
         wall = time.monotonic() - t0
         bias = compute_bias_wer(rp, ds.all_bias_spans(), tok)
     finally:
