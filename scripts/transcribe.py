@@ -49,8 +49,8 @@ def parse_args():
     p.add_argument("--medusa", default=None,
                    help="medusa.npz from scripts/medusa.py: self-speculative "
                         "decoding with multi-token heads (no draft model; "
-                        "output exactly matches plain greedy). Short-form "
-                        "greedy path only")
+                        "output exactly matches plain greedy). Applies to "
+                        "the short-form and long-form greedy paths")
     p.add_argument("--beam_early_stopping",
                    choices=["off", "true", "false", "never"], default="off",
                    help="off = frozen-beam pool (fastest); true/false/never "
@@ -250,10 +250,18 @@ def main():
 
         # --num_beams > 1 composes with both long-form modes: beam search
         # drives the temperature-0 rung, sampling the fallback rungs
+        medusa_heads = None
+        if args.medusa:
+            from whisper_context_biasing_tpu.models import load_medusa
+
+            medusa_heads = load_medusa(args.medusa)
         draft = None
         if args.num_beams > 1 and args.draft_model:
             print("warning: --num_beams > 1 takes the beam path; "
                   "--draft_model ignored in long-form", file=sys.stderr)
+        elif medusa_heads is not None and args.draft_model:
+            print("warning: --medusa wins over --draft_model; draft ignored",
+                  file=sys.stderr)
         elif args.draft_model:
             from whisper_context_biasing_tpu.decode import load_draft
 
@@ -303,6 +311,7 @@ def main():
             compression_ratio_threshold=args.compression_ratio_threshold,
             logprob_threshold=lp_thresh, no_speech_threshold=ns_thresh,
             start_tokens=starts, return_segments=True, draft=draft,
+            medusa=medusa_heads,
             num_beams=args.num_beams,
             beam_early_stopping=args.beam_early_stopping,
             word_timestamps=args.word_timestamps, alignment_heads=heads)
