@@ -69,6 +69,10 @@ def parse_args():
                    help="medusa.npz (scripts/medusa.py): self-speculative "
                         "greedy eval decode — identical tokens/WER, faster "
                         "real-weight sweeps; ignored with --num_beams > 1")
+    p.add_argument("--medusa_chains", type=int, default=None,
+                   help="branch on head-1's top-S candidates per round "
+                        "(tree-attention chain mode; default: the value "
+                        "saved in medusa.npz, else 1)")
     p.add_argument("--model_parallelism", type=int, default=1,
                    help="tensor-parallel degree over a (data, model) mesh "
                         "(decode batches sharded over 'data', weights over "
@@ -105,6 +109,8 @@ def run_eval(args, params, model_cfg, tokenizer, data_test, collator, bias_spans
         from whisper_context_biasing_tpu.models import load_medusa
 
         medusa = load_medusa(args.medusa)
+        if args.medusa_chains:
+            medusa["n_chains"] = args.medusa_chains
     result = evaluate_wer(
         params, model_cfg, tokenizer, data_test, collator, args.batch, 224,
         refs_pred_file=refs_pred_file,

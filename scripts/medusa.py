@@ -57,6 +57,9 @@ def parse_args():
     p.add_argument("--init_checkpoint", type=str, default=None,
                    help="serving model weights (safetensors / checkpoint-N)")
     p.add_argument("--medusa_heads", type=int, default=4)
+    p.add_argument("--medusa_chains", type=int, default=1,
+                   help="stamped into medusa.npz: decode-time branching on "
+                        "head-1's top-S candidates (tree-attention chains)")
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--epoch", type=float, default=2)
@@ -107,6 +110,7 @@ def main():
     medusa = init_medusa_params(cfg, args.medusa_heads, args.seed)
     mcfg = MedusaConfig(
         output_dir=args.output, n_heads=args.medusa_heads,
+        n_chains=args.medusa_chains,
         per_device_train_batch_size=args.batch, learning_rate=args.lr,
         num_train_epochs=args.epoch, warmup_steps=args.warmup_steps,
         eval_steps=args.eval_steps, logging_steps=args.logging_steps,

@@ -68,6 +68,10 @@ def parse_args():
                         "multi-token heads — no draft model; output exactly "
                         "matches plain greedy. Applies to short-form, "
                         "long-form, and streaming greedy paths")
+    p.add_argument("--medusa_chains", type=int, default=None,
+                   help="branch on head-1's top-S candidates per round "
+                        "(tree-attention chain mode; default: the value "
+                        "saved in medusa.npz, else 1)")
     p.add_argument("--bias_words", nargs="*", default=None,
                    help="server-wide default bias words")
     p.add_argument("--bias_boost", type=float, default=0.0)
@@ -108,6 +112,7 @@ class Engine:
     """Compiled pipeline + micro-batching worker."""
 
     def __init__(self, args):
+        import jax
         import jax.numpy as jnp
 
         from whisper_context_biasing_tpu.audio import pad_or_trim
@@ -119,14 +124,24 @@ class Engine:
         from whisper_context_biasing_tpu.models import (
             get_config, init_params, load_checkpoint_or_safetensors,
         )
-        from whisper_context_biasing_tpu.ops.mel_kernel import log_mel_spectrogram_fused
         from whisper_context_biasing_tpu.tokenizer import load_tokenizer
         from whisper_context_biasing_tpu.utils import RtfMeter
 
         self.args = args
         self.jnp = jnp
         self.pad_or_trim = pad_or_trim
-        self.mel_fn = log_mel_spectrogram_fused
+        # the Pallas mel frontend only compiles on TPU; CPU/GPU take the
+        # bit-diffed pure-jnp frontend (same gate as Pipeline._mel)
+        dev = jax.config.jax_default_device or jax.devices()[0]
+        if getattr(dev, "platform", None) == "tpu":
+            from whisper_context_biasing_tpu.ops.mel_kernel import (
+                log_mel_spectrogram_fused as mel_frontend,
+            )
+        else:
+            from whisper_context_biasing_tpu.audio.mel import (
+                log_mel_spectrogram as mel_frontend,
+            )
+        self.mel_fn = mel_frontend
         self.decode_batch = decode_batch
         self.beam_decode_batch = beam_decode_batch
         self.transcribe_long_batch = transcribe_long_batch
@@ -164,6 +179,8 @@ class Engine:
             from whisper_context_biasing_tpu.models import load_medusa
 
             self.medusa = load_medusa(args.medusa)
+            if getattr(args, "medusa_chains", None):
+                self.medusa["n_chains"] = args.medusa_chains
 
         self.mesh = auto_mesh(args.model_parallelism)
         if self.mesh is not None:

@@ -51,6 +51,10 @@ def parse_args():
                         "decoding with multi-token heads (no draft model; "
                         "output exactly matches plain greedy). Applies to "
                         "the short-form and long-form greedy paths")
+    p.add_argument("--medusa_chains", type=int, default=None,
+                   help="branch on head-1's top-S candidates per round "
+                        "(tree-attention chain mode; default: the value "
+                        "saved in medusa.npz, else 1)")
     p.add_argument("--beam_early_stopping",
                    choices=["off", "true", "false", "never"], default="off",
                    help="off = frozen-beam pool (fastest); true/false/never "
@@ -227,7 +231,8 @@ def main():
     import jax
 
     dev = jax.config.jax_default_device or jax.devices()[0]
-    fast = getattr(dev, "platform", None) == "tpu" and not args.exact
+    on_tpu = getattr(dev, "platform", None) == "tpu"
+    fast = on_tpu and not args.exact
     fast_overrides = dict(
         # the serve.py fast path: Pallas kernels + int8 cross-KV
         flash_attention=fast, flash_block_q=1536 if fast else 256,
@@ -240,9 +245,18 @@ def main():
     else:
         params = init_params(cfg, 0)
 
-    def make_mel(chunk):
-        return np.asarray(log_mel_spectrogram_fused(jnp.asarray(chunk),
-                                                    n_mels=cfg.n_mels))
+    # the Pallas mel frontend only compiles on TPU; CPU/GPU take the
+    # bit-diffed pure-jnp frontend (same gate as Pipeline._mel)
+    if on_tpu:
+        mel_frontend = log_mel_spectrogram_fused
+    else:
+        from whisper_context_biasing_tpu.audio.mel import (
+            log_mel_spectrogram as mel_frontend,
+        )
+
+    def make_mel(chunk, n_mels=None):
+        return np.asarray(mel_frontend(jnp.asarray(chunk),
+                                       n_mels=n_mels or cfg.n_mels))
 
     t0 = time.time()
     if args.long:
@@ -255,6 +269,8 @@ def main():
             from whisper_context_biasing_tpu.models import load_medusa
 
             medusa_heads = load_medusa(args.medusa)
+            if args.medusa_chains:
+                medusa_heads["n_chains"] = args.medusa_chains
         draft = None
         if args.num_beams > 1 and args.draft_model:
             print("warning: --num_beams > 1 takes the beam path; "
@@ -395,8 +411,11 @@ def main():
         from whisper_context_biasing_tpu.decode import medusa_decode_batch
         from whisper_context_biasing_tpu.models import load_medusa
 
+        md = load_medusa(args.medusa)
+        if args.medusa_chains:
+            md["n_chains"] = args.medusa_chains
         hyps = medusa_decode_batch(
-            params, cfg, load_medusa(args.medusa), tokenizer, mel, **kwargs)
+            params, cfg, md, tokenizer, mel, **kwargs)
     elif args.draft_model:
         from whisper_context_biasing_tpu.decode import speculative_decode_batch
 
@@ -406,8 +425,7 @@ def main():
                                    overrides=fast_overrides, target_cfg=cfg)
         mel_d = None
         if dcfg.n_mels != cfg.n_mels:
-            mel_d = np.asarray(log_mel_spectrogram_fused(
-                jnp.asarray(audio), n_mels=dcfg.n_mels))
+            mel_d = make_mel(audio, n_mels=dcfg.n_mels)
         hyps = speculative_decode_batch(
             dparams, dcfg, params, cfg, tokenizer, mel, k=args.spec_k,
             input_features_draft=mel_d, **kwargs)

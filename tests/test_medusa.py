@@ -142,6 +142,73 @@ class TestMedusaExactness:
 
 
 @pytest.mark.slow
+class TestMedusaChains:
+    """n_chains>1: depth-1 branching on head-1's top-s candidates with a
+    tree-attention mask. Exactness must hold for any heads; accepting a
+    chain other than chain 0 must leave the KV cache consistent (any slot
+    corruption shows up as a bit-mismatch on later tokens)."""
+
+    def test_chains_match_greedy_untrained(self, setup):
+        cfg, params, mel = setup
+        medusa = init_medusa_params(cfg, 2, 4)
+        prefixes = [[50257], [50361, 99, 100, 50257], [50361, 7, 50257]]
+        ids, mask = pack_prefixes(prefixes, EOT)
+        spans = np.full((3, 2, 3), EOT, np.int32)
+        spans[:, 0, :2] = [500, 501]
+        kw = dict(bias_spans=jnp.asarray(spans), bias_boost=2.0)
+        ref_t, ref_l = _greedy(params, cfg, mel, ids, mask, 10, **kw)
+        for s in (2, 3):
+            res = medusa_greedy_decode(params, cfg, medusa, mel,
+                                       jnp.asarray(ids), jnp.asarray(mask),
+                                       max_new=10, n_chains=s, **kw)
+            np.testing.assert_array_equal(np.asarray(res.tokens), ref_t)
+            np.testing.assert_array_equal(np.asarray(res.lengths), ref_l)
+
+    def test_second_chain_rescues_corrupted_head(self, setup, monkeypatch):
+        """Corrupt head 1 so its argmax is its OLD second choice and vice
+        versa (logit-level top-1/top-2 swap). Chain 0 then proposes the
+        wrong token whenever the head was right, while its old (usually
+        correct) prediction rides chain 1 — so n_chains=2 must finish in
+        fewer rounds than n_chains=1 AND still bit-match greedy (proves the
+        relocated best!=0 cache slots are the ones later rounds attend).
+        Unique shapes (B=2, max_new=13) force a fresh jit trace under the
+        patched medusa_logits; monkeypatch restores the real one after."""
+        import whisper_context_biasing_tpu.decode.medusa as dm
+
+        cfg, params, mel = setup
+        mel2 = mel[:2]
+        max_new = 13
+        ids, mask = pack_prefixes([[50257]] * 2, EOT)
+        ref_t, ref_l = _greedy(params, cfg, mel2, ids, mask, max_new)
+
+        real = medusa_logits
+
+        def swapped(params_, md_, hidden_):
+            lg = real(params_, md_, hidden_)
+            l0 = lg[0]
+            v2, i2 = jax.lax.top_k(l0, 2)
+            v_dim = l0.shape[-1]
+            delta = (jax.nn.one_hot(i2[..., 0], v_dim, dtype=l0.dtype)
+                     * (v2[..., 1:2] - v2[..., 0:1])
+                     + jax.nn.one_hot(i2[..., 1], v_dim, dtype=l0.dtype)
+                     * (v2[..., 0:1] - v2[..., 1:2]))
+            return lg.at[0].set(l0 + delta)
+
+        monkeypatch.setattr(dm, "medusa_logits", swapped)
+        md = init_medusa_params(cfg, 2, 7)
+        r1 = medusa_greedy_decode(params, cfg, md, mel2, jnp.asarray(ids),
+                                  jnp.asarray(mask), max_new=max_new,
+                                  n_chains=1)
+        r2 = medusa_greedy_decode(params, cfg, md, mel2, jnp.asarray(ids),
+                                  jnp.asarray(mask), max_new=max_new,
+                                  n_chains=2)
+        np.testing.assert_array_equal(np.asarray(r1.tokens), ref_t)
+        np.testing.assert_array_equal(np.asarray(r2.tokens), ref_t)
+        np.testing.assert_array_equal(np.asarray(r2.lengths), ref_l)
+        assert int(r2.spec_rounds) < int(r1.spec_rounds)
+
+
+@pytest.mark.slow
 class TestMedusaLongForm:
     def test_long_form_and_chunked_match_plain(self, setup):
         """medusa= in both long-form loops reproduces the plain loops'
@@ -282,6 +349,22 @@ class TestMedusaParams:
         save_medusa(path, md)
         back = load_medusa(path)
         assert jnp.array_equal(back["w"], md["w"])
+
+    def test_n_chains_roundtrip_and_split(self, tmp_path):
+        from whisper_context_biasing_tpu.models import split_medusa
+
+        cfg = tiny_test_config()
+        md = init_medusa_params(cfg, 2, 0)
+        heads, n = split_medusa(md)
+        assert n == 1 and set(heads) == {"w", "b"}
+        md["n_chains"] = 3
+        path = str(tmp_path / "m.npz")
+        save_medusa(path, md)
+        back = load_medusa(path)
+        assert back["n_chains"] == 3
+        heads, n = split_medusa(back)
+        assert n == 3 and set(heads) == {"w", "b"}
+        assert jnp.array_equal(heads["w"], md["w"])
 
     def test_logits_shape_and_near_identity_at_init(self):
         cfg = tiny_test_config()

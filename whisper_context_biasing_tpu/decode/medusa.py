@@ -53,7 +53,7 @@ from .greedy import GreedyResult
 @functools.partial(
     counted_jit,
     static_argnames=("cfg", "max_new", "eot_id", "bias_boost", "span_pad_id",
-                     "no_speech_id"),
+                     "no_speech_id", "n_chains"),
 )
 def medusa_greedy_decode(
     params,
@@ -69,6 +69,7 @@ def medusa_greedy_decode(
     span_pad_id: int = 50256,
     no_speech_id: int | None = None,
     sot_offset=1,
+    n_chains: int = 1,
 ) -> GreedyResult:
     """Returns a ``GreedyResult`` whose tokens/lengths bit-match
     ``greedy_decode(params, cfg, ...)``; sum_logprob / no_speech_prob carry
@@ -80,7 +81,7 @@ def medusa_greedy_decode(
     max_new = min(max_new, cfg.n_text_ctx - p)
     if max_new < 1:
         raise ValueError(f"prefix length {p} leaves no room to generate")
-    cache_len = p + max_new + k + 1  # chunk overshoot margin
+    cache_len = p + max_new + 1 + int(n_chains) * k  # chunk overshoot margin
 
     # ---- prefill (greedy-style scalar offsets) ----------------------------
     enc = encode_audio(params, cfg, input_features)
@@ -145,48 +146,135 @@ def medusa_greedy_decode(
         sum_lp: jax.Array
         rounds: jax.Array
 
+    s_ch = int(n_chains)
+    if s_ch < 1:
+        raise ValueError(f"n_chains must be >= 1, got {n_chains}")
+    chunk_len = 1 + s_ch * k
+
     def round_step(c: Carry) -> Carry:
         slot_cur = p + c.n - 1  # (B,) cache slot of cur
 
-        # ---- propose: K head argmaxes from the carried hidden -----------
-        md = medusa_logits(params, medusa, c.hid[:, None, :])  # (K, B, 1, V)
-        heads = jnp.argmax(md[:, :, 0, :], axis=-1).astype(jnp.int32)  # (K, B)
-        chunk_in = jnp.concatenate([c.cur[:, None], heads.T], axis=1)  # (B,K+1)
-        proposed = chunk_in[:, 1:]                                     # (B, K)
+        # ---- propose: s_ch chains branching on head-1's top-s candidates
+        # (chain mode, Medusa tree attention restricted to depth-1
+        # branching); deeper depths take each head's argmax, shared across
+        # chains. s_ch=1 reduces exactly to the linear K-proposal round.
+        md = medusa_logits(params, medusa, c.hid[:, None, :])[:, :, 0, :]
+        _, top1 = jax.lax.top_k(md[0], s_ch)              # (B, s)
+        first = top1.astype(jnp.int32)[:, :, None]        # (B, s, 1)
+        if k > 1:
+            deep = jnp.argmax(md[1:], axis=-1).astype(jnp.int32)  # (K-1, B)
+            chains = jnp.concatenate(
+                [first, jnp.broadcast_to(deep.T[:, None, :],
+                                         (b, s_ch, k - 1))], axis=2)
+        else:
+            chains = first                                # (B, s, K)
+        chunk_in = jnp.concatenate(
+            [c.cur[:, None], chains.reshape(b, s_ch * k)], axis=1)
 
-        # ---- verify: ONE forward over k+1 positions ----------------------
+        # ---- verify: ONE forward over 1 + s*K positions ------------------
+        # per-depth position ids (same-depth chain tokens share a position)
+        depth = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32),
+             jnp.tile(jnp.arange(1, k + 1, dtype=jnp.int32), s_ch)])
+        # per-query chain mask over cache slots: a chain token sees the
+        # committed cache + cur + its OWN chain's earlier slots only (the
+        # tree-attention mask; sibling chains are invisible). Slot-causality
+        # inside decode_tokens hides stale/future slots.
+        t_idx = jnp.arange(cache_len, dtype=jnp.int32)
+        rel = t_idx[None, :] - (slot_cur[:, None] + 1)    # (B, T)
+        in_tail = (rel >= 0) & (rel < s_ch * k)
+        c_t = jnp.where(in_tail, rel // k, -1)
+        qi = jnp.arange(chunk_len, dtype=jnp.int32)
+        c_q = jnp.where(qi > 0, (qi - 1) // k, -2)        # (S,)
+        allow = (~in_tail[:, None, :]) | (c_t[:, None, :]
+                                          == c_q[None, :, None])
+        sm = key_mask[:, None, :] & allow                 # (B, S, T)
+
         lg, cache, hid = decode_tokens(
             params, cfg, chunk_in, cross_kv=cross, cache=c.cache,
             pos_offset=slot_cur,
-            token_positions=c.pos_cur[:, None] + jnp.arange(k + 1)[None, :],
-            self_mask=key_mask, return_hidden=True)
+            token_positions=c.pos_cur[:, None] + depth[None, :],
+            self_mask=sm, return_hidden=True)
+        lg = lg.astype(jnp.float32)
 
-        def verify_scan(state, xs):
-            lg_j, d_j = xs
-            blg = bonused(lg_j, state)
+        # shared depth-0 target: cur's logits predict the next committed
+        # token under the carried trie state (which has consumed cur)
+        lg0 = bonused(lg[:, 0], c.bias_state)
+        t0 = jnp.argmax(lg0, axis=-1).astype(jnp.int32)
+        lp0 = jnp.take_along_axis(
+            jax.nn.log_softmax(lg0, axis=-1), t0[:, None], axis=1)[:, 0]
+
+        # per-chain targets: flatten chains into the batch axis, tile the
+        # trie state, advance by the chain token BEFORE scoring its logits
+        flat_lg = lg[:, 1:].reshape(b, s_ch, k, v).reshape(b * s_ch, k, v)
+        flat_chains = chains.reshape(b * s_ch, k)
+        if use_bias:
+            st0 = BiasTrieState(
+                jnp.repeat(c.bias_state.matched, s_ch, axis=0),
+                jnp.repeat(c.bias_state.span_len, s_ch, axis=0))
+            spans_t = jnp.repeat(bias_spans, s_ch, axis=0)
+        else:
+            st0 = jnp.int32(0)
+
+        def chain_scan(state, xs):
+            lg_j, tok_j = xs
+            if use_bias:
+                state = advance_bias_state(state, spans_t, tok_j)
+                blg = lg_j + bias_bonus(state, spans_t, v, bias_boost)
+            else:
+                blg = lg_j
             t_j = jnp.argmax(blg, axis=-1).astype(jnp.int32)
             lp_j = jnp.take_along_axis(
                 jax.nn.log_softmax(blg, axis=-1), t_j[:, None], axis=1)[:, 0]
-            state = (advance_bias_state(state, bias_spans, d_j)
-                     if use_bias else state)
             return state, (t_j, lp_j)
 
-        # position j's trie state has consumed cur and proposals 1..j
-        scan_toks = jnp.concatenate(
-            [proposed, jnp.zeros((b, 1), jnp.int32)], axis=1)
-        _, (t_seq, lp_seq) = jax.lax.scan(
-            verify_scan, c.bias_state,
-            (jnp.swapaxes(lg.astype(jnp.float32), 0, 1),
-             jnp.swapaxes(scan_toks, 0, 1)))
-        t_seq = jnp.swapaxes(t_seq, 0, 1)    # (B, K+1)
-        lp_seq = jnp.swapaxes(lp_seq, 0, 1)
+        _, (t_c, lp_c) = jax.lax.scan(
+            chain_scan, st0,
+            (jnp.swapaxes(flat_lg, 0, 1), jnp.swapaxes(flat_chains, 0, 1)))
+        t_c = jnp.swapaxes(t_c, 0, 1).reshape(b, s_ch, k)
+        lp_c = jnp.swapaxes(lp_c, 0, 1).reshape(b, s_ch, k)
 
-        match = proposed == t_seq[:, :k]
-        acc = jnp.cumprod(match.astype(jnp.int32), axis=1)
-        a = jnp.sum(acc, axis=1)                                  # (B,) 0..K
+        # acceptance per chain: token d's target is t0 (d=1) / t_c[d-2]
+        targets = (jnp.concatenate(
+            [jnp.broadcast_to(t0[:, None, None], (b, s_ch, 1)),
+             t_c[:, :, : k - 1]], axis=2) if k > 1
+            else jnp.broadcast_to(t0[:, None, None], (b, s_ch, 1)))
+        acc = jnp.cumprod((chains == targets).astype(jnp.int32), axis=2)
+        a_ch = jnp.sum(acc, axis=2)                       # (B, s)
+        best = jnp.argmax(a_ch, axis=1)                   # (B,) first max
+        a = jnp.take_along_axis(a_ch, best[:, None], axis=1)[:, 0]
+        proposed = jnp.take_along_axis(
+            chains, best[:, None, None], axis=1)[:, 0]    # (B, K)
+        t_seq = jnp.concatenate(
+            [t0[:, None],
+             jnp.take_along_axis(t_c, best[:, None, None], axis=1)[:, 0]],
+            axis=1)                                       # (B, K+1)
+        lp_seq = jnp.concatenate(
+            [lp0[:, None],
+             jnp.take_along_axis(lp_c, best[:, None, None], axis=1)[:, 0]],
+            axis=1)
         correction = jnp.take_along_axis(t_seq, a[:, None], axis=1)[:, 0]
         # the hidden at the last ACCEPTED input position proposes next round
-        hid_new = jnp.take_along_axis(hid, a[:, None, None], axis=1)[:, 0]
+        hpos = jnp.where(a == 0, 0, 1 + best * k + (a - 1))
+        hid_new = jnp.take_along_axis(hid, hpos[:, None, None], axis=1)[:, 0]
+
+        # ---- cache relocation: committed slots must be contiguous --------
+        # The forward wrote chain c's K/V at slots slot_cur+1+c*k .. +k-1,
+        # but subsequent rounds' slot-causal attention assumes committed
+        # tokens occupy slot_cur+1 .. slot_cur+a contiguously. Move the best
+        # chain's k slots down to the front of the tail (identity when
+        # best==0; slots past the accept point are overwritten next round).
+        if s_ch > 1:
+            ar_k = jnp.arange(k, dtype=jnp.int32)
+            src = slot_cur[:, None] + 1 + best[:, None] * k + ar_k[None, :]
+            dst = slot_cur[:, None] + 1 + ar_k[None, :]
+            rows_k = jnp.broadcast_to(jnp.arange(b)[:, None], (b, k))
+
+            def reloc(x):  # (L, B, T, D)
+                vals = jnp.take_along_axis(x, src[None, :, :, None], axis=2)
+                return x.at[:, rows_k, dst].set(vals)
+
+            cache = {"k": reloc(cache["k"]), "v": reloc(cache["v"])}
 
         chunk_out = jnp.concatenate([proposed, correction[:, None]], axis=1)
         jidx = jnp.arange(k + 1)[None, :]
@@ -292,9 +380,12 @@ def medusa_decode_batch(
         feats = jnp.asarray(input_features)
         ids, mask = jnp.asarray(ids), jnp.asarray(mask)
         spans = None if spans is None else jnp.asarray(spans)
+    from ..models.medusa import split_medusa
+
+    heads, n_chains = split_medusa(medusa)
     res = medusa_greedy_decode(
-        params, cfg, medusa, feats, ids, mask,
-        max_new=max_new, eot_id=tokenizer.eot,
+        params, cfg, heads, feats, ids, mask,
+        max_new=max_new, eot_id=tokenizer.eot, n_chains=n_chains,
         bias_spans=spans, bias_boost=bias_boost, span_pad_id=tokenizer.eot)
     toks = np.asarray(res.tokens)
     lens = np.asarray(res.lengths)

@@ -450,11 +450,13 @@ def t0_verified_decode(
                   bias_boost=bias_boost, span_pad_id=tokenizer.eot,
                   no_speech_id=no_speech_id, sot_offset=sot_offset)
     if medusa is not None:
+        from ..models.medusa import split_medusa
         from .medusa import medusa_greedy_decode
 
+        heads, n_chains = split_medusa(medusa)
         return medusa_greedy_decode(
-            params, cfg, medusa, jnp.asarray(mel), jnp.asarray(ids),
-            jnp.asarray(mask), **common)
+            params, cfg, heads, jnp.asarray(mel), jnp.asarray(ids),
+            jnp.asarray(mask), n_chains=n_chains, **common)
     if draft is not None:
         dparams, dcfg, dk = draft
         return speculative_greedy_decode(

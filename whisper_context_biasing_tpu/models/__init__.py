@@ -16,6 +16,7 @@ from .medusa import (
     load_medusa,
     medusa_logits,
     save_medusa,
+    split_medusa,
 )
 from .load_hf import (
     load_checkpoint_or_safetensors,
@@ -43,6 +44,7 @@ __all__ = [
     "medusa_logits",
     "save_medusa",
     "load_medusa",
+    "split_medusa",
     "init_params",
     "sinusoids",
     "load_pretrained",

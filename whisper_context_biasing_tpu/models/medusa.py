@@ -55,9 +55,24 @@ def medusa_logits(params, medusa: dict, hidden: jax.Array) -> jax.Array:
 
 
 def save_medusa(path: str, medusa: dict) -> None:
-    np.savez(path, w=np.asarray(medusa["w"]), b=np.asarray(medusa["b"]))
+    extra = {}
+    if "n_chains" in medusa:
+        extra["n_chains"] = np.int32(medusa["n_chains"])
+    np.savez(path, w=np.asarray(medusa["w"]), b=np.asarray(medusa["b"]),
+             **extra)
 
 
 def load_medusa(path: str) -> dict:
     with np.load(path) as z:
-        return {"w": jnp.asarray(z["w"]), "b": jnp.asarray(z["b"])}
+        md = {"w": jnp.asarray(z["w"]), "b": jnp.asarray(z["b"])}
+        if "n_chains" in z:
+            md["n_chains"] = int(z["n_chains"])
+        return md
+
+
+def split_medusa(medusa: dict) -> tuple[dict, int]:
+    """(heads, n_chains): strip the optional ``n_chains`` decode setting
+    bundled in a medusa dict. n_chains is a STATIC jit argument
+    (decode/medusa.py) and must not reach the traced head pytree."""
+    return ({"w": medusa["w"], "b": medusa["b"]},
+            int(medusa.get("n_chains", 1)))

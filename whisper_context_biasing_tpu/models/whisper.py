@@ -385,7 +385,9 @@ def decode_tokens(
                                         # (speculative decode: rows advance
                                         # at different rates)
     token_positions: jax.Array | None = None,  # (B, S) explicit positions (left-pad support)
-    self_mask: jax.Array | None = None,  # extra key-side mask (B, T_cache) True=attend
+    self_mask: jax.Array | None = None,  # extra mask, True=attend:
+                                         # (B, T_cache) key-side, or
+                                         # (B, S, T_cache) per-query (trees)
     return_hidden: bool = False,  # also return the final-LN decoder states
 ):
     """Decoder forward.
@@ -483,7 +485,12 @@ def decode_tokens(
             query_slot = pos_offset + jnp.arange(s, dtype=jnp.int32)
             attn_mask = key_slot[None, None, :] <= query_slot[None, :, None]  # (1, S, T)
         if self_mask is not None:
-            attn_mask = attn_mask & self_mask[:, None, :]
+            # (B, T): key-side mask shared by all queries (left-pad support).
+            # (B, S, T): per-query mask — tree/chain verification, where
+            # sibling proposal slots must be invisible to each other
+            # (decode/medusa.py chain mode)
+            sm = self_mask if self_mask.ndim == 3 else self_mask[:, None, :]
+            attn_mask = attn_mask & sm
         else:
             attn_mask = jnp.broadcast_to(attn_mask, (b, s, t_cache))
         attn_mask = attn_mask[:, None]  # (B, 1, S, T_cache) -> broadcast heads

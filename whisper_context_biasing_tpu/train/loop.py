@@ -214,11 +214,13 @@ def _eval_decode_batch(
         # self-speculative eval decode: identical tokens, fewer weight reads
         # per emitted token — real-weight WER sweeps finish faster
         from ..decode.medusa import medusa_greedy_decode
+        from ..models.medusa import split_medusa
 
+        heads, n_chains = split_medusa(medusa)
         res = medusa_greedy_decode(
-            params, model_cfg, medusa, jnp.asarray(feats),
+            params, model_cfg, heads, jnp.asarray(feats),
             jnp.asarray(ids), jnp.asarray(mask),
-            max_new=max_new, eot_id=tokenizer.eot,
+            max_new=max_new, eot_id=tokenizer.eot, n_chains=n_chains,
             bias_spans=spans, bias_boost=bias_boost,
             span_pad_id=collator.bias_span_pad_id,
         )

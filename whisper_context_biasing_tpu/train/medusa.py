@@ -110,6 +110,8 @@ class MedusaConfig:
     logging_steps: int = 50
     eval_batches: int = 16
     seed: int = 42
+    n_chains: int = 1       # stamped into medusa.npz: decode-time chain
+                            # branching width (decode/medusa.py n_chains)
 
 
 def train_medusa_heads(
@@ -189,7 +191,10 @@ def train_medusa_heads(
                "eval_head_acc": [round(float(a), 4) for a in acc],
                "eval_tokens_per_round":
                    round(expected_tokens_per_round(acc), 3)}
-    save_medusa(os.path.join(mcfg.output_dir, "medusa.npz"), state.params)
+    to_save = dict(state.params)
+    if mcfg.n_chains > 1:
+        to_save["n_chains"] = mcfg.n_chains
+    save_medusa(os.path.join(mcfg.output_dir, "medusa.npz"), to_save)
     with open(os.path.join(mcfg.output_dir, "medusa_results.json"), "w") as f:
         json.dump(summary, f, indent=2)
     log_history.append(summary)
