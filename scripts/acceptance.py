@@ -94,6 +94,9 @@ def parse_args():
     p.add_argument("--medusa", default=os.environ.get("WCB_MEDUSA"),
                    help="medusa.npz: self-speculative eval decode for the "
                         "greedy configs (identical WER, faster sweep)")
+    p.add_argument("--medusa_chains", type=int, default=None,
+                   help="override the npz-stamped n_chains (tree-attention "
+                        "chain branching width)")
     p.add_argument("--wer_tolerance", type=float, default=0.01,
                    help="relative WER delta allowed vs baseline (north star: 1%)")
     return p.parse_args()
@@ -245,6 +248,8 @@ def run_decode_config(num, model, args, tok, *, phase, jsonl_rel, prompt,
             from whisper_context_biasing_tpu.models import load_medusa
 
             medusa = load_medusa(args.medusa)
+            if args.medusa_chains:
+                medusa["n_chains"] = args.medusa_chains
         result = evaluate_wer(
             params, cfg, tok, ds, collator, min(args.batch, len(ds)),
             args.max_new, refs_pred_file=rp, prompt_generation=prompt,

@@ -46,6 +46,25 @@ class TestMedusaPipeline:
         b = medusa.transcribe(audio, max_tokens=6)
         assert a.tokens == b.tokens
 
+    def test_medusa_chains_override(self):
+        """medusa_chains= overrides the stamped width without mutating the
+        caller's dict, and chain-mode output still matches plain greedy."""
+        from whisper_context_biasing_tpu.models import init_medusa_params
+
+        cfg = tiny_test_config()
+        params = init_params(cfg, 0)
+        tok = load_tokenizer()
+        audio = np.zeros(8000, np.float32)
+        heads = init_medusa_params(cfg, 2, 0)
+        plain = Pipeline("tiny.en", config=cfg, params=params, tokenizer=tok)
+        chained = Pipeline("tiny.en", config=cfg, params=params,
+                           tokenizer=tok, medusa=heads, medusa_chains=2)
+        assert chained.medusa["n_chains"] == 2
+        assert "n_chains" not in heads
+        a = plain.transcribe(audio, max_tokens=6)
+        b = chained.transcribe(audio, max_tokens=6)
+        assert a.tokens == b.tokens
+
 
 @pytest.mark.slow
 class TestSpeculativePipeline:

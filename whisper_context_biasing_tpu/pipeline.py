@@ -84,6 +84,9 @@ class Pipeline:
                                            # draft model when both given).
                                            # Composes with short-form,
                                            # long-form, chunked & streaming
+        medusa_chains: int | None = None,  # override the npz-stamped
+                                           # n_chains (tree-attention chain
+                                           # branching width)
     ):
         from .data.collator import SpeechSeq2SeqCollator
         from .models import get_config, init_params, load_checkpoint_or_safetensors
@@ -143,7 +146,9 @@ class Pipeline:
             from .models import load_medusa
 
             self.medusa = (load_medusa(medusa) if isinstance(medusa, str)
-                           else medusa)
+                           else dict(medusa))
+            if medusa_chains:
+                self.medusa["n_chains"] = medusa_chains
         self.draft_params = self.draft_cfg = None
         self.speculative_k = speculative_k
         if draft_model or draft_config is not None:
