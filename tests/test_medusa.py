@@ -140,6 +140,24 @@ class TestMedusaExactness:
         assert int(r1.spec_rounds) <= rounds_untrained
         assert int(r1.spec_rounds) < int(np.asarray(r1.lengths).max())
 
+    def test_quantized_cross_kv_matches_quantized_greedy(self, setup):
+        """The fast serving config (int8 cross-KV) rides the
+        _attention_quant_cross s>1 branch for medusa chunks; exactness
+        must hold within that numeric config, incl. chain mode."""
+        from whisper_context_biasing_tpu.models import tiny_test_config
+
+        _, params, mel = setup
+        cfgq = tiny_test_config(quantize_cross_kv=True)
+        medusa = init_medusa_params(cfgq, 2, 5)
+        ids, mask = pack_prefixes([[50257]] * 3, EOT)
+        ref_t, ref_l = _greedy(params, cfgq, mel, ids, mask, 9)
+        for s in (1, 2):
+            res = medusa_greedy_decode(params, cfgq, medusa, mel,
+                                       jnp.asarray(ids), jnp.asarray(mask),
+                                       max_new=9, n_chains=s)
+            np.testing.assert_array_equal(np.asarray(res.tokens), ref_t)
+            np.testing.assert_array_equal(np.asarray(res.lengths), ref_l)
+
 
 @pytest.mark.slow
 class TestMedusaChains:
