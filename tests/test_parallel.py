@@ -259,6 +259,11 @@ class TestShardedDecode:
         got = medusa_decode_batch(p_sh, cfg, md, tok, mel, max_new=5,
                                   mesh=mesh)
         assert got == ref
+        # chain mode (n_chains stamped in the head dict) under the same mesh
+        md2 = dict(md, n_chains=2)
+        got2 = medusa_decode_batch(p_sh, cfg, md2, tok, mel, max_new=5,
+                                   mesh=mesh)
+        assert got2 == ref
 
     def test_sequential_long_form_mesh_matches_single_device(self, setup):
         """transcribe_long_batch(mesh=...) shards every window call's file
