@@ -247,9 +247,7 @@ def run_decode_config(num, model, args, tok, *, phase, jsonl_rel, prompt,
         if args.medusa and num_beams == 1:
             from whisper_context_biasing_tpu.models import load_medusa
 
-            medusa = load_medusa(args.medusa)
-            if args.medusa_chains:
-                medusa["n_chains"] = args.medusa_chains
+            medusa = load_medusa(args.medusa, n_chains=args.medusa_chains)
         result = evaluate_wer(
             params, cfg, tok, ds, collator, min(args.batch, len(ds)),
             args.max_new, refs_pred_file=rp, prompt_generation=prompt,

@@ -108,9 +108,7 @@ def run_eval(args, params, model_cfg, tokenizer, data_test, collator, bias_spans
     if args.medusa:
         from whisper_context_biasing_tpu.models import load_medusa
 
-        medusa = load_medusa(args.medusa)
-        if args.medusa_chains:
-            medusa["n_chains"] = args.medusa_chains
+        medusa = load_medusa(args.medusa, n_chains=args.medusa_chains)
     result = evaluate_wer(
         params, model_cfg, tokenizer, data_test, collator, args.batch, 224,
         refs_pred_file=refs_pred_file,

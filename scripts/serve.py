@@ -112,7 +112,6 @@ class Engine:
     """Compiled pipeline + micro-batching worker."""
 
     def __init__(self, args):
-        import jax
         import jax.numpy as jnp
 
         from whisper_context_biasing_tpu.audio import pad_or_trim
@@ -130,18 +129,9 @@ class Engine:
         self.args = args
         self.jnp = jnp
         self.pad_or_trim = pad_or_trim
-        # the Pallas mel frontend only compiles on TPU; CPU/GPU take the
-        # bit-diffed pure-jnp frontend (same gate as Pipeline._mel)
-        dev = jax.config.jax_default_device or jax.devices()[0]
-        if getattr(dev, "platform", None) == "tpu":
-            from whisper_context_biasing_tpu.ops.mel_kernel import (
-                log_mel_spectrogram_fused as mel_frontend,
-            )
-        else:
-            from whisper_context_biasing_tpu.audio.mel import (
-                log_mel_spectrogram as mel_frontend,
-            )
-        self.mel_fn = mel_frontend
+        from whisper_context_biasing_tpu.audio.mel import select_mel_frontend
+
+        self.mel_fn = select_mel_frontend()  # Pallas on TPU, jnp elsewhere
         self.decode_batch = decode_batch
         self.beam_decode_batch = beam_decode_batch
         self.transcribe_long_batch = transcribe_long_batch
@@ -178,9 +168,8 @@ class Engine:
         if getattr(args, "medusa", None):
             from whisper_context_biasing_tpu.models import load_medusa
 
-            self.medusa = load_medusa(args.medusa)
-            if getattr(args, "medusa_chains", None):
-                self.medusa["n_chains"] = args.medusa_chains
+            self.medusa = load_medusa(
+                args.medusa, n_chains=getattr(args, "medusa_chains", None))
 
         self.mesh = auto_mesh(args.model_parallelism)
         if self.mesh is not None:

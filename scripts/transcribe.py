@@ -220,7 +220,6 @@ def main():
     from whisper_context_biasing_tpu.models import (
         get_config, init_params, load_checkpoint_or_safetensors,
     )
-    from whisper_context_biasing_tpu.ops.mel_kernel import log_mel_spectrogram_fused
     from whisper_context_biasing_tpu.tokenizer import load_tokenizer
     from whisper_context_biasing_tpu.utils.subtitles import (
         close_open_segments, words_to_segments,
@@ -228,10 +227,9 @@ def main():
 
     tokenizer = load_tokenizer(args.vocab, args.merges,
                                multilingual=not args.model.endswith(".en"))
-    import jax
+    from whisper_context_biasing_tpu.utils import effective_platform
 
-    dev = jax.config.jax_default_device or jax.devices()[0]
-    on_tpu = getattr(dev, "platform", None) == "tpu"
+    on_tpu = effective_platform() == "tpu"
     fast = on_tpu and not args.exact
     fast_overrides = dict(
         # the serve.py fast path: Pallas kernels + int8 cross-KV
@@ -245,14 +243,9 @@ def main():
     else:
         params = init_params(cfg, 0)
 
-    # the Pallas mel frontend only compiles on TPU; CPU/GPU take the
-    # bit-diffed pure-jnp frontend (same gate as Pipeline._mel)
-    if on_tpu:
-        mel_frontend = log_mel_spectrogram_fused
-    else:
-        from whisper_context_biasing_tpu.audio.mel import (
-            log_mel_spectrogram as mel_frontend,
-        )
+    from whisper_context_biasing_tpu.audio.mel import select_mel_frontend
+
+    mel_frontend = select_mel_frontend()  # Pallas on TPU, jnp elsewhere
 
     def make_mel(chunk, n_mels=None):
         return np.asarray(mel_frontend(jnp.asarray(chunk),
@@ -268,9 +261,12 @@ def main():
         if args.medusa:
             from whisper_context_biasing_tpu.models import load_medusa
 
-            medusa_heads = load_medusa(args.medusa)
-            if args.medusa_chains:
-                medusa_heads["n_chains"] = args.medusa_chains
+            medusa_heads = load_medusa(args.medusa,
+                                       n_chains=args.medusa_chains)
+            if args.num_beams > 1:
+                print("warning: --num_beams > 1 takes the beam path at "
+                      "temperature 0; --medusa heads unused in long-form",
+                      file=sys.stderr)
         draft = None
         if args.num_beams > 1 and args.draft_model:
             print("warning: --num_beams > 1 takes the beam path; "
@@ -401,6 +397,9 @@ def main():
         if args.draft_model:
             print("warning: --draft_model is greedy-only; ignored with "
                   "--num_beams > 1", file=sys.stderr)
+        if args.medusa:
+            print("warning: --medusa is greedy-only; ignored with "
+                  "--num_beams > 1", file=sys.stderr)
         hyps = beam_decode_batch(params, cfg, tokenizer, mel,
                                  num_beams=args.num_beams,
                                  early_stopping=args.beam_early_stopping,
@@ -411,9 +410,7 @@ def main():
         from whisper_context_biasing_tpu.decode import medusa_decode_batch
         from whisper_context_biasing_tpu.models import load_medusa
 
-        md = load_medusa(args.medusa)
-        if args.medusa_chains:
-            md["n_chains"] = args.medusa_chains
+        md = load_medusa(args.medusa, n_chains=args.medusa_chains)
         hyps = medusa_decode_batch(
             params, cfg, md, tokenizer, mel, **kwargs)
     elif args.draft_model:

@@ -182,7 +182,8 @@ class TestMedusaChains:
             np.testing.assert_array_equal(np.asarray(res.tokens), ref_t)
             np.testing.assert_array_equal(np.asarray(res.lengths), ref_l)
 
-    def test_second_chain_rescues_corrupted_head(self, setup, monkeypatch):
+    def test_second_chain_rescues_corrupted_head(self, setup, monkeypatch,
+                                                 request):
         """Corrupt head 1 so its argmax is its OLD second choice and vice
         versa (logit-level top-1/top-2 swap). Chain 0 then proposes the
         wrong token whenever the head was right, while its old (usually
@@ -190,8 +191,12 @@ class TestMedusaChains:
         fewer rounds than n_chains=1 AND still bit-match greedy (proves the
         relocated best!=0 cache slots are the ones later rounds attend).
         Unique shapes (B=2, max_new=13) force a fresh jit trace under the
-        patched medusa_logits; monkeypatch restores the real one after."""
+        patched medusa_logits; the compiled traces that baked the patched
+        head are dropped from the process-wide jit cache afterwards so no
+        later same-shape call can silently reuse them."""
         import whisper_context_biasing_tpu.decode.medusa as dm
+
+        request.addfinalizer(dm.medusa_greedy_decode.clear_cache)
 
         cfg, params, mel = setup
         mel2 = mel[:2]

@@ -165,3 +165,21 @@ def log_mel_spectrogram(audio: jax.Array, n_mels: int = 80) -> jax.Array:
     log_spec = jnp.maximum(log_spec, peak - 8.0)
     out = (log_spec + 4.0) / 4.0
     return jnp.transpose(out, (0, 2, 1)).reshape(b, n_mels, n_frames)
+
+
+def select_mel_frontend():
+    """The log-mel frontend for the effective dispatch platform.
+
+    The fused Pallas kernel on TPU, this module's bit-diffed pure-jnp
+    frontend everywhere else (the kernel only compiles on TPU). The ONE
+    gate shared by ``Pipeline._mel``, ``scripts/serve.py`` and
+    ``scripts/transcribe.py`` — fix platform handling here, not per caller.
+    Returns a callable ``(audio, n_mels=80) -> (B, n_mels, T)``.
+    """
+    from ..utils import effective_platform
+
+    if effective_platform() == "tpu":
+        from ..ops.mel_kernel import log_mel_spectrogram_fused
+
+        return log_mel_spectrogram_fused
+    return log_mel_spectrogram

@@ -62,12 +62,17 @@ def save_medusa(path: str, medusa: dict) -> None:
              **extra)
 
 
-def load_medusa(path: str) -> dict:
+def load_medusa(path: str, n_chains: int | None = None) -> dict:
+    """Load saved heads; ``n_chains`` (when truthy) overrides any stored
+    chain setting — the one place every CLI's ``--medusa_chains`` routes
+    through instead of stamping the dict by hand."""
     with np.load(path) as z:
         md = {"w": jnp.asarray(z["w"]), "b": jnp.asarray(z["b"])}
         if "n_chains" in z:
             md["n_chains"] = int(z["n_chains"])
-        return md
+    if n_chains:
+        md["n_chains"] = int(n_chains)
+    return md
 
 
 def split_medusa(medusa: dict) -> tuple[dict, int]:

@@ -95,11 +95,10 @@ class Pipeline:
         self.model_name = model
         self.tokenizer = tokenizer or load_tokenizer(
             vocab, merges, multilingual=not model.endswith(".en"))
-        import jax
-
         if fast is None:  # auto: serving approximations on real TPUs only
-            dev = jax.config.jax_default_device or jax.devices()[0]
-            fast = getattr(dev, "platform", None) == "tpu"
+            from .utils import effective_platform
+
+            fast = effective_platform() == "tpu"
         overrides = dict(config_overrides or {})
         if fast:
             # the serve.py fast path: Pallas kernels + int8 cross-KV +
@@ -145,9 +144,9 @@ class Pipeline:
         if medusa is not None:
             from .models import load_medusa
 
-            self.medusa = (load_medusa(medusa) if isinstance(medusa, str)
-                           else dict(medusa))
-            if medusa_chains:
+            self.medusa = (load_medusa(medusa, n_chains=medusa_chains)
+                           if isinstance(medusa, str) else dict(medusa))
+            if medusa_chains and not isinstance(medusa, str):
                 self.medusa["n_chains"] = medusa_chains
         self.draft_params = self.draft_cfg = None
         self.speculative_k = speculative_k
@@ -201,23 +200,13 @@ class Pipeline:
         return np.asarray(audio, np.float32)
 
     def _mel(self, chunk: np.ndarray, n_mels: int | None = None):
-        import jax
         import jax.numpy as jnp
 
-        n_mels = n_mels or self.cfg.n_mels
-        # the effective dispatch device, not the backend election winner
-        # (tests pin jax_default_device to CPU while a TPU plugin is present)
-        dev = jax.config.jax_default_device or jax.devices()[0]
-        if getattr(dev, "platform", None) == "tpu":
-            from .ops.mel_kernel import log_mel_spectrogram_fused
+        from .audio.mel import select_mel_frontend
 
-            return np.asarray(log_mel_spectrogram_fused(
-                jnp.asarray(chunk), n_mels=n_mels))
-        # CPU/GPU fallback: the pure-jnp frontend (bit-diffed vs the kernel)
-        from .audio.mel import log_mel_spectrogram
-
-        return np.asarray(log_mel_spectrogram(
-            jnp.asarray(chunk), n_mels=n_mels))
+        frontend = select_mel_frontend()  # Pallas kernel on TPU, jnp else
+        return np.asarray(frontend(jnp.asarray(chunk),
+                                   n_mels=n_mels or self.cfg.n_mels))
 
     def _encode(self, mel):
         import jax

@@ -9,6 +9,20 @@ from .debug import assert_shape, debug_assert_finite, finite_check
 from .hub import push_to_hub_if_exists, sync_from_hub, upload_results_to_hub
 
 
+def effective_platform() -> str:
+    """Platform of the EFFECTIVE dispatch device.
+
+    The ``jax_default_device`` pin when set (tests pin CPU while a TPU
+    plugin is present), else the default-backend election winner. The one
+    gate behind platform-dependent choices (Pallas mel frontend, serving
+    fast-path approximations, auto-mesh device enumeration).
+    """
+    import jax
+
+    dev = jax.config.jax_default_device or jax.devices()[0]
+    return getattr(dev, "platform", None) or "cpu"
+
+
 def warn_missing_assets(vocab_path, weights_path, entry: str = "") -> bool:
     """One-line warning when an entry point runs without real assets
     (docs/REAL_ASSETS.md lists exactly which files unlock full parity).
@@ -31,6 +45,7 @@ __all__ = [
     "setup_jax",
     "CountedJit",
     "counted_jit",
+    "effective_platform",
     "warn_missing_assets",
     "RunLogger",
     "RtfMeter",

@@ -45,6 +45,16 @@ class CountedJit:
         """Distinct call signatures seen (>= distinct XLA programs)."""
         return len(self._signatures)
 
+    def clear_cache(self) -> None:
+        """Drop compiled executables and the signature count.
+
+        Needed when a test monkeypatches a function the wrapped fn closes
+        over: traces compiled under the patch stay keyed only by
+        shapes/statics and would serve later same-shape calls after the
+        patch is undone."""
+        self._jitted.clear_cache()
+        self._signatures.clear()
+
     # legacy alias: earlier rounds read jax.jit's private ``_cache_size``
     def _cache_size(self) -> int:
         return self.cache_size()
