@@ -25,6 +25,10 @@ the reported ``decode_rtf_realistic``. With random weights EOT rarely fires,
 so this is a lower bound; with real weights rows exit early and the number
 rises toward the headline.
 
+Startup probe: the tunneled TPU intermittently wedges; ``wait_for_backend``
+retries a subprocess health probe for up to BENCH_PROBE_WAIT seconds before
+benching (and exits non-zero instead of hanging if it never recovers).
+
 Long-form mode (BENCH_LONG=1, opt-in — adds minutes of compile): one
 BENCH_LONG_SECONDS (default 900 s) file through the chunked parallel-window
 decoder (decode/chunked.py, padded max_batch=32 batches, single rung,
@@ -242,6 +246,47 @@ def run_realistic(jax, jnp, cfg, params, spans_j):
     }))
 
 
+def wait_for_backend():
+    """Wait out a wedged TPU tunnel instead of hanging forever.
+
+    The tunneled backend intermittently wedges: every jax program (even
+    CPU-pinned) stalls at plugin init, so a blind ``main()`` would hang the
+    driver's round-end bench indefinitely. Probe with a tiny op in a
+    throwaway subprocess under a deadline; retry for up to BENCH_PROBE_WAIT
+    seconds (default 30 min — observed recovery window), then fail loudly
+    with a non-zero exit so the caller sees a tunnel failure, not a silent
+    hang. ``BENCH_PROBE=0`` skips the probe entirely.
+    """
+    if os.environ.get("BENCH_PROBE", "1") != "1":
+        return
+    import subprocess
+
+    deadline = float(os.environ.get("BENCH_PROBE_TIMEOUT", "240"))
+    total = float(os.environ.get("BENCH_PROBE_WAIT", "1800"))
+    code = ("import jax, jax.numpy as jnp;"
+            "print(int((jnp.ones((8, 8)) @ jnp.ones((8, 8))).sum()))")
+    t0 = time.monotonic()
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            p = subprocess.run([sys.executable, "-c", code],
+                               capture_output=True, text=True,
+                               timeout=deadline)
+            if p.returncode == 0 and "512" in p.stdout:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        waited = time.monotonic() - t0
+        if waited >= total:
+            print(f"bench: backend probe failed for {int(waited)}s "
+                  "(wedged TPU tunnel?); giving up", file=sys.stderr)
+            sys.exit(1)
+        print(f"bench: backend probe attempt {attempt} failed; retrying "
+              f"({int(waited)}s/{int(total)}s)", file=sys.stderr)
+        time.sleep(min(60.0, total - waited))
+
+
 def run_train_bench():
     """Emit the training-throughput companion metric (bench_train.py) as an
     extra JSON line. Runs in a subprocess so the train program's HBM is
@@ -272,6 +317,7 @@ def run_train_bench():
 
 
 if __name__ == "__main__":
+    wait_for_backend()
     if os.environ.get("BENCH_TRAIN", "1") == "1":
         run_train_bench()
     main()
