@@ -88,6 +88,10 @@ def parse_args():
                         "DTW per decode call)")
     p.add_argument("--chunked_batch", type=int, default=32,
                    help="window-batch size for --long_chunked")
+    p.add_argument("--vad", action="store_true",
+                   help="host-side energy VAD: long-form/chunked windows "
+                        "and buffered stream windows with no detected "
+                        "speech skip all device work (audio/vad.py)")
     p.add_argument("--no_long_form", action="store_true",
                    help="truncate >30 s requests to one window instead of "
                         "routing them through the long-form seek loop")
@@ -392,6 +396,7 @@ class Engine:
             max_batch=self.args.chunked_batch, pad_batches=True,
             start_tokens=start_tokens, num_beams=self.args.num_beams,
             medusa=self.medusa, mesh=self.mesh,
+            vad=getattr(self.args, "vad", False),
             return_segments=want_words, word_timestamps=want_words)
         if want_words:
             hyps, _, words = out
@@ -436,7 +441,7 @@ class Engine:
             start_tokens=start_tokens,
             return_segments=want_words, word_timestamps=want_words,
             num_beams=self.args.num_beams, medusa=self.medusa,
-            mesh=self.mesh,
+            mesh=self.mesh, vad=getattr(self.args, "vad", False),
         )
         if want_words:
             hyps, _, words = out
@@ -498,6 +503,7 @@ class Engine:
             task=(opt.get("task", "transcribe") if tok.multilingual
                   else "transcribe"),
             word_timestamps=bool(opt.get("words")),
+            vad=getattr(self.args, "vad", False),
             medusa=self.medusa,
             draft=((self.draft_params, self.draft_cfg, self.args.spec_k)
                    if (self.medusa is None and self.draft_params is not None

@@ -71,6 +71,10 @@ def parse_args():
                         "without) — the throughput mode for long audio; "
                         "composes with --word_timestamps and --num_beams; "
                         "trades away history conditioning")
+    p.add_argument("--vad", action="store_true",
+                   help="host-side energy VAD: long-form/chunked windows "
+                        "with no detected speech skip all device work "
+                        "(audio/vad.py)")
     p.add_argument("--timestamps", action="store_true",
                    help="long-form: timestamp-conditioned seeking (window "
                         "advances to the last closed segment; straddling "
@@ -252,6 +256,9 @@ def main():
                                        n_mels=n_mels or cfg.n_mels))
 
     t0 = time.time()
+    if args.vad and not args.long:
+        print("warning: --vad gates long-form/chunked windows; ignored on "
+              "the single-window path (use --long)", file=sys.stderr)
     if args.long:
         from whisper_context_biasing_tpu.decode import transcribe_long_batch
 
@@ -326,7 +333,8 @@ def main():
             medusa=medusa_heads,
             num_beams=args.num_beams,
             beam_early_stopping=args.beam_early_stopping,
-            word_timestamps=args.word_timestamps, alignment_heads=heads)
+            word_timestamps=args.word_timestamps, alignment_heads=heads,
+            vad=args.vad)
         if args.chunked:
             from whisper_context_biasing_tpu.decode import transcribe_chunked
 

@@ -1,0 +1,237 @@
+"""Host-side energy VAD (audio/vad.py) and its silence-skipping
+integration into the long-form seek loop, chunked decoding, and streaming
+sessions. Model-free: decode paths are driven through injected scripted
+``decode_fn``s (the test_long_form.py pattern), so the assertions are about
+which windows reach the decoder, not about transcripts."""
+
+import numpy as np
+import pytest
+
+from whisper_context_biasing_tpu.audio.mel import SAMPLE_RATE
+from whisper_context_biasing_tpu.audio.vad import (
+    frame_rms_db,
+    has_speech,
+    next_onset,
+    resolve_vad,
+    speech_segments,
+)
+from whisper_context_biasing_tpu.decode.chunked import transcribe_chunked
+from whisper_context_biasing_tpu.decode.greedy import GreedyResult
+from whisper_context_biasing_tpu.decode.long_form import transcribe_long_batch
+from whisper_context_biasing_tpu.models import init_params, tiny_test_config
+from whisper_context_biasing_tpu.tokenizer import load_tokenizer
+
+RNG = np.random.default_rng(0)
+
+
+def _audio(*parts):
+    """Build 16 kHz audio from (kind, seconds) parts; kind 'sil'|'sp'."""
+    out = []
+    for kind, secs in parts:
+        n = int(secs * SAMPLE_RATE)
+        out.append(np.zeros(n, np.float32) if kind == "sil"
+                   else (RNG.standard_normal(n) * 0.1).astype(np.float32))
+    return np.concatenate(out) if out else np.zeros(0, np.float32)
+
+
+@pytest.fixture(scope="module")
+def tok():
+    return load_tokenizer()
+
+
+@pytest.fixture(scope="module")
+def model():
+    cfg = tiny_test_config()
+    return cfg, init_params(cfg, 0)
+
+
+def _zero_mel(c):
+    return np.zeros((c.shape[0], 80, 128), np.float32)
+
+
+class TestSpeechSegments:
+    def test_burst_between_silence(self):
+        a = _audio(("sil", 5), ("sp", 2), ("sil", 5))
+        segs = speech_segments(a)
+        assert len(segs) == 1
+        s, e = segs[0]
+        # within pad_ms (150 ms) + one frame of the true [5 s, 7 s) burst
+        assert abs(s / SAMPLE_RATE - 5.0) < 0.2
+        assert abs(e / SAMPLE_RATE - 7.0) < 0.2
+
+    def test_pure_silence_and_empty(self):
+        assert speech_segments(np.zeros(SAMPLE_RATE * 10, np.float32)) == []
+        assert speech_segments(np.zeros(0, np.float32)) == []
+
+    def test_uniform_audio_is_all_speech(self):
+        """Uniformly-loud audio must never be gated (the peak-6 dB clamp):
+        better to decode everything than clip speech."""
+        a = _audio(("sp", 20))
+        segs = speech_segments(a)
+        assert len(segs) == 1
+        assert segs[0][0] == 0 and segs[0][1] == len(a)
+
+    def test_close_bursts_merge_distant_stay(self):
+        near = _audio(("sil", 2), ("sp", 1), ("sil", 0.1), ("sp", 1), ("sil", 2))
+        assert len(speech_segments(near)) == 1      # gap < min_silence_ms
+        far = _audio(("sil", 2), ("sp", 1), ("sil", 2), ("sp", 1), ("sil", 2))
+        assert len(speech_segments(far)) == 2
+
+    def test_min_speech_drops_clicks(self):
+        a = _audio(("sil", 3), ("sp", 0.03), ("sil", 3))  # 30 ms click
+        assert speech_segments(a) == []
+
+    def test_frame_rms_db_levels(self):
+        db = frame_rms_db(_audio(("sil", 1), ("sp", 1)))
+        assert db.min() == pytest.approx(-100.0)  # digital-silence clamp
+        assert db.max() > -30.0                   # 0.1-amplitude noise
+
+    def test_resolve_vad_contract(self):
+        a = _audio(("sp", 1))
+        assert resolve_vad(False, a) is None and resolve_vad(None, a) is None
+        assert resolve_vad(True, a) == speech_segments(a)
+        assert resolve_vad({"pad_ms": 0.0}, a) == speech_segments(a, pad_ms=0.0)
+        with pytest.raises(ValueError, match="unknown vad option"):
+            resolve_vad({"nope": 1}, a)
+
+    def test_has_speech_and_next_onset(self):
+        segs = [(100, 200), (500, 900)]
+        assert has_speech(segs, 0, 150) and has_speech(segs, 150, 300)
+        assert not has_speech(segs, 200, 500) and not has_speech(segs, 900, 2000)
+        assert next_onset(segs, 0) == 100
+        assert next_onset(segs, 150) == 150      # inside the first segment
+        assert next_onset(segs, 300) == 500
+        assert next_onset(segs, 900) is None
+
+
+class TestLongFormVad:
+    def _run(self, tok, model, audio, vad):
+        cfg, params = model
+        calls = []
+
+        def decode_fn(mel, ids, mask, temperature, key):
+            calls.append(np.asarray(mel).shape)
+            row = tok.encode(" ok", add_special_tokens=False)
+            toks = np.full((mel.shape[0], 8), tok.eot, np.int32)
+            lens = np.zeros(mel.shape[0], np.int32)
+            toks[:, : len(row)] = row
+            lens[:] = len(row)
+            return GreedyResult(toks, lens, np.zeros(mel.shape[0], np.float32))
+
+        out = transcribe_long_batch(
+            params, cfg, tok, [audio], temperatures=(0.0,),
+            decode_fn=decode_fn, mel_fn=_zero_mel, vad=vad)
+        return out, len(calls)
+
+    def test_silence_heavy_file_skips_to_speech(self, tok, model):
+        """65 s of silence then 10 s of speech: without VAD the seek loop
+        decodes 3 windows; with VAD it jumps straight to the onset and
+        decodes 1."""
+        audio = _audio(("sil", 65), ("sp", 10))
+        out_plain, n_plain = self._run(tok, model, audio, vad=False)
+        out_vad, n_vad = self._run(tok, model, audio, vad=True)
+        assert n_plain == 3 and n_vad == 1
+        # the one decoded window still emits (scripted) tokens
+        assert out_vad[0] == out_plain[0][: len(out_vad[0])] and out_vad[0]
+
+    def test_pure_silence_decodes_nothing(self, tok, model):
+        out, n = self._run(tok, model, _audio(("sil", 70)), vad=True)
+        assert n == 0 and out == [[]]
+
+    def test_noop_on_speech_dense_audio(self, tok, model):
+        """All-speech audio: VAD must not change the decode schedule or the
+        output (gate-only, never clips)."""
+        audio = _audio(("sp", 70))
+        out_plain, n_plain = self._run(tok, model, audio, vad=False)
+        out_vad, n_vad = self._run(tok, model, audio, vad=True)
+        assert n_vad == n_plain == 3
+        assert out_vad == out_plain
+
+    def test_segment_times_stay_absolute(self, tok, model):
+        """A VAD seek jump must not shift segment timestamps: the window
+        decoded after skipping 65 s of silence reports times at ~65 s."""
+        cfg, params = model
+
+        def decode_fn(mel, ids, mask, temperature, key):
+            row = tok.encode(" late words", add_special_tokens=False)
+            toks = np.full((1, 4 + len(row)), tok.eot, np.int32)
+            toks[0, : len(row)] = row
+            return GreedyResult(toks, np.asarray([len(row)], np.int32),
+                                np.zeros(1, np.float32))
+
+        audio = _audio(("sil", 65), ("sp", 10))
+        _, segs = transcribe_long_batch(
+            params, cfg, tok, [audio], temperatures=(0.0,),
+            decode_fn=decode_fn, mel_fn=_zero_mel, vad=True,
+            return_segments=True)
+        assert len(segs[0]) == 1
+        start_s = segs[0][0][0]
+        assert 64.0 < start_s < 66.0
+
+
+class TestChunkedVad:
+    def test_silent_windows_never_enter_the_work_list(self, tok, model):
+        """90 s with speech only in the first 10 s: the overlapping window
+        layout has 4 windows, only the first overlaps speech."""
+        cfg, params = model
+        batches = []
+
+        def decode_fn(mel, ids, mask, temperature, key):
+            batches.append(mel.shape[0])
+            toks = np.full((mel.shape[0], 4), tok.eot, np.int32)
+            return GreedyResult(toks, np.zeros(mel.shape[0], np.int32),
+                                np.zeros(mel.shape[0], np.float32))
+
+        audio = _audio(("sp", 10), ("sil", 80))
+        transcribe_chunked(params, cfg, tok, [audio], temperatures=(0.0,),
+                           decode_fn=decode_fn, mel_fn=_zero_mel, vad=False)
+        plain_rows = sum(batches)
+        batches.clear()
+        transcribe_chunked(params, cfg, tok, [audio], temperatures=(0.0,),
+                           decode_fn=decode_fn, mel_fn=_zero_mel, vad=True)
+        assert plain_rows == 4 and sum(batches) == 1
+
+    def test_noop_on_speech_dense_audio(self, tok, model):
+        cfg, params = model
+        rows = tok.encode(" ok", add_special_tokens=False)
+
+        def decode_fn(mel, ids, mask, temperature, key):
+            toks = np.full((mel.shape[0], 8), tok.eot, np.int32)
+            lens = np.full(mel.shape[0], len(rows), np.int32)
+            toks[:, : len(rows)] = rows
+            return GreedyResult(toks, lens, np.zeros(mel.shape[0], np.float32))
+
+        audio = _audio(("sp", 90))
+        kw = dict(temperatures=(0.0,), decode_fn=decode_fn, mel_fn=_zero_mel,
+                  use_timestamps=False)
+        plain = transcribe_chunked(params, cfg, tok, [audio], vad=False, **kw)
+        gated = transcribe_chunked(params, cfg, tok, [audio], vad=True, **kw)
+        assert gated == plain
+
+
+class TestStreamingVad:
+    def test_silent_window_consumed_without_decode(self, tok, model):
+        from whisper_context_biasing_tpu.decode.streaming import (
+            StreamingTranscriber,
+        )
+
+        cfg, params = model
+        calls = []
+
+        def decode_fn(mel, ids, mask, temperature, key):
+            calls.append(1)
+            row = tok.encode(" hello", add_special_tokens=False)
+            toks = np.full((1, 8), tok.eot, np.int32)
+            toks[0, : len(row)] = row
+            return GreedyResult(toks, np.asarray([len(row)], np.int32),
+                                np.zeros(1, np.float32))
+
+        st = StreamingTranscriber(
+            params, cfg, tok, mel_fn=_zero_mel, decode_fn=decode_fn,
+            temperatures=(0.0,), use_timestamps=False, vad=True)
+        st.feed(_audio(("sil", 30)))     # full silent window: skipped
+        assert calls == [] and st.segments == []
+        st.feed(_audio(("sp", 30)))      # full speech window: decoded
+        assert len(calls) == 1
+        # the skipped window still advanced stream time: segment at ~30 s
+        assert st.segments and 29.0 < st.segments[0][0] < 31.0

@@ -1,0 +1,139 @@
+"""Host-side voice-activity detection: skip silent windows before device work.
+
+Real deployments feed silence-heavy audio (meetings, call recordings,
+podcasts); a 30 s window of silence costs the same encoder + decode work as
+one full of speech. Whisper's own silence rule (``P(<|nospeech|>)`` at the
+sot position, decode/long_form.py) only fires AFTER the encoder and decoder
+prefill have run — this module is the cheap gate that drops those windows on
+the host before any mel/encode/decode happens. No reference counterpart
+(`/root/reference` pads every clip to a single window;
+`data_utils/data_loader.py:170`).
+
+Adaptive-threshold energy VAD — the standard energy-gate recipe, no learned
+model, no external dependency:
+
+  1. frame RMS in dB (25 ms frames, 10 ms hop);
+  2. speech threshold = ``max(floor_db, min(noise_floor + margin_db,
+     peak - 6 dB))`` where the noise floor is the 10th-percentile frame.
+     The ``peak - 6`` clamp keeps uniformly-loud audio classified as speech
+     even when the percentile floor sits high (better to decode than clip);
+     ``floor_db`` keeps electrical noise in digital silence below the gate;
+  3. hangover smoothing: speech runs separated by less than
+     ``min_silence_ms`` merge, runs shorter than ``min_speech_ms`` drop,
+     and every kept segment is padded by ``pad_ms`` on both sides.
+
+Defaults are deliberately conservative: the gate should *skip only obvious
+silence*, never clip quiet speech — a missed skip costs one redundant
+window decode, a false skip loses transcript.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+SAMPLE_RATE = 16000
+
+#: kwargs accepted by :func:`speech_segments` (the ``vad=dict(...)`` surface)
+VAD_OPTION_KEYS = (
+    "frame_ms", "hop_ms", "margin_db", "floor_db",
+    "min_speech_ms", "min_silence_ms", "pad_ms",
+)
+
+
+def frame_rms_db(
+    audio: np.ndarray, sr: int = SAMPLE_RATE,
+    frame_ms: float = 25.0, hop_ms: float = 10.0,
+) -> np.ndarray:
+    """Per-frame RMS energy in dBFS, clamped at -100 (digital silence)."""
+    audio = np.asarray(audio, np.float32)
+    frame = max(1, int(sr * frame_ms / 1000.0))
+    hop = max(1, int(sr * hop_ms / 1000.0))
+    if len(audio) < frame:
+        audio = np.pad(audio, (0, frame - len(audio)))
+    n = 1 + (len(audio) - frame) // hop
+    idx = np.arange(n)[:, None] * hop + np.arange(frame)[None, :]
+    rms = np.sqrt(np.mean(audio[idx] ** 2, axis=1))
+    return 20.0 * np.log10(np.maximum(rms, 1e-5))
+
+
+def speech_segments(
+    audio: np.ndarray,
+    sr: int = SAMPLE_RATE,
+    *,
+    frame_ms: float = 25.0,
+    hop_ms: float = 10.0,
+    margin_db: float = 8.0,
+    floor_db: float = -55.0,
+    min_speech_ms: float = 100.0,
+    min_silence_ms: float = 300.0,
+    pad_ms: float = 150.0,
+) -> list[tuple[int, int]]:
+    """Speech regions as ``[(start_sample, end_sample), ...]``, sorted,
+    non-overlapping. Empty list = no speech anywhere."""
+    audio = np.asarray(audio, np.float32)
+    if len(audio) == 0:
+        return []
+    db = frame_rms_db(audio, sr, frame_ms, hop_ms)
+    noise_floor = float(np.percentile(db, 10.0))
+    peak = float(db.max())
+    thr = max(floor_db, min(noise_floor + margin_db, peak - 6.0))
+    speech = db > thr
+    if not speech.any():
+        return []
+
+    hop = max(1, int(sr * hop_ms / 1000.0))
+    frame = max(1, int(sr * frame_ms / 1000.0))
+    # frame runs -> sample segments
+    edges = np.flatnonzero(np.diff(np.concatenate(([0], speech.view(np.int8), [0]))))
+    segs = [(int(edges[i]) * hop, (int(edges[i + 1]) - 1) * hop + frame)
+            for i in range(0, len(edges), 2)]
+
+    # merge runs separated by < min_silence_ms
+    gap = int(sr * min_silence_ms / 1000.0)
+    merged: list[list[int]] = []
+    for s, e in segs:
+        if merged and s - merged[-1][1] < gap:
+            merged[-1][1] = e
+        else:
+            merged.append([s, e])
+    # drop runs shorter than min_speech_ms, then pad
+    min_len = int(sr * min_speech_ms / 1000.0)
+    pad = int(sr * pad_ms / 1000.0)
+    out = [(max(0, s - pad), min(len(audio), e + pad))
+           for s, e in merged if e - s >= min_len]
+    # padding can re-join neighbours
+    joined: list[tuple[int, int]] = []
+    for s, e in out:
+        if joined and s <= joined[-1][1]:
+            joined[-1] = (joined[-1][0], max(joined[-1][1], e))
+        else:
+            joined.append((s, e))
+    return joined
+
+
+def has_speech(segments: list[tuple[int, int]], start: int, end: int) -> bool:
+    """True when any speech segment overlaps ``[start, end)``."""
+    return any(s < end and e > start for s, e in segments)
+
+
+def next_onset(segments: list[tuple[int, int]], pos: int) -> int | None:
+    """Sample index of the first speech at or after ``pos`` (a segment
+    already containing ``pos`` returns ``pos``); None = no speech left."""
+    for s, e in segments:
+        if e > pos:
+            return max(s, pos)
+    return None
+
+
+def resolve_vad(vad, audio: np.ndarray) -> list[tuple[int, int]] | None:
+    """The ``vad=`` argument contract shared by the long-form entry points:
+    ``False``/``None`` → no gating (returns None), ``True`` → default
+    options, a dict → :func:`speech_segments` keyword overrides."""
+    if not vad:
+        return None
+    opts = dict(vad) if isinstance(vad, dict) else {}
+    unknown = set(opts) - set(VAD_OPTION_KEYS)
+    if unknown:
+        raise ValueError(f"unknown vad option(s): {sorted(unknown)}; "
+                         f"valid: {list(VAD_OPTION_KEYS)}")
+    return speech_segments(np.asarray(audio, np.float32), **opts)

@@ -190,6 +190,11 @@ def transcribe_chunked(
                                               # pre-sharded by the caller) —
                                               # SURVEY §5: windows decoded in
                                               # parallel ACROSS the mesh
+    vad: bool | dict = False,                 # host-side energy VAD
+                                              # (audio/vad.py): windows with
+                                              # no detected speech never
+                                              # enter the work list; dict =
+                                              # speech_segments() overrides
     word_timestamps: bool = False,            # per-word times via batched
                                               # cross-attention DTW, one
                                               # alignment call per decode
@@ -222,9 +227,19 @@ def transcribe_chunked(
     nfiles = len(audios)
 
     # ---- work list: (file, window start, core range) -----------------------
+    # VAD gate: a window with no detected speech never enters the work list
+    # (its core is silent too — core ⊆ window — so no segment is lost)
+    vad_segs = None
+    if vad:
+        from ..audio.vad import has_speech, resolve_vad
+
+        vad_segs = [resolve_vad(vad, a) for a in audios]
     work: list[tuple[int, int, int, int]] = []
     for fi, a in enumerate(audios):
         for s, c0, c1 in chunk_layout(len(a), window_samples, stride_samples):
+            if vad_segs is not None and not has_speech(
+                    vad_segs[fi], s, s + window_samples):
+                continue
             work.append((fi, s, c0, c1))
 
     # ---- per-window decode inputs -----------------------------------------

@@ -159,6 +159,11 @@ def transcribe_long_batch(
     alignment_heads: list[tuple[int, int]] | None = None,
     start_tokens: list[list[int]] | None = None,  # per-file decode starts
     window_samples: int = N_SAMPLES,  # 30 s for the standard configs
+    vad: bool | dict = False,    # host-side energy VAD (audio/vad.py):
+                                 # windows with no detected speech are
+                                 # skipped BEFORE mel/encode/decode and the
+                                 # seek jumps to the next speech onset;
+                                 # dict = speech_segments() overrides
     draft: tuple | None = None,  # (params_draft, cfg_draft, k): speculative
                                  # decoding for the temperature-0 pass
                                  # (decode/speculative.py; exact output)
@@ -195,6 +200,12 @@ def transcribe_long_batch(
     is treated as silence — nothing is emitted and the seek advances a full
     window (OpenAI's long-form silence rule; confident decodes override the
     silence signal).
+
+    ``vad=True`` (or a dict of ``audio.vad.speech_segments`` overrides)
+    gates windows on host-side energy VAD: silent regions are skipped
+    without any device work and the seek jumps to the next speech onset.
+    Audio with no detected speech at all produces no windows (empty
+    output). Complements — not replaces — the post-decode no-speech rule.
 
     ``decode_fn(mel, ids, mask, temperature, rng_key) -> GreedyResult`` can
     be injected (tests, beam variants); the default wraps ``greedy_decode``
@@ -267,6 +278,11 @@ def transcribe_long_batch(
 
     b = len(audios)
     audios = [np.asarray(a, np.float32) for a in audios]
+    vad_segs = None
+    if vad:
+        from ..audio.vad import has_speech, next_onset, resolve_vad
+
+        vad_segs = [resolve_vad(vad, a) for a in audios]
     seek = [0] * b                      # sample offset of each file's window
     started = [False] * b               # zero-length audio still gets 1 window
     histories: list[list[int]] = [[] for _ in range(b)]
@@ -278,6 +294,18 @@ def transcribe_long_batch(
         return not started[i] or seek[i] < len(audios[i])
 
     while any(active(i) for i in range(b)):
+        if vad_segs is not None:
+            # fast-forward silent regions: a window with no detected speech
+            # never reaches the device; the seek jumps straight to the next
+            # speech onset (or the end of the file)
+            for i in range(b):
+                if active(i) and not has_speech(
+                        vad_segs[i], seek[i], seek[i] + window_samples):
+                    onset = next_onset(vad_segs[i], seek[i])
+                    started[i] = True
+                    seek[i] = len(audios[i]) if onset is None else onset
+            if not any(active(i) for i in range(b)):
+                break
         chunk = np.zeros((b, window_samples), np.float32)
         for i in range(b):
             if active(i):

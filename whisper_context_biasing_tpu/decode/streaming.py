@@ -62,6 +62,9 @@ class StreamingTranscriber:
         word_timestamps: bool = False,  # align each window's words (absolute time)
         alignment_heads: list[tuple[int, int]] | None = None,
         window_samples: int = N_SAMPLES,
+        vad: bool | dict = False,     # host-side energy VAD (audio/vad.py):
+                                      # buffered windows with no detected
+                                      # speech are consumed without decoding
         prefix_pad_to_multiple: int | None = 32,
         decode_fn=None,
         rng_key=None,
@@ -99,6 +102,7 @@ class StreamingTranscriber:
                 self.start = starts[0] if starts else [tokenizer.sot]
                 self.language = langs[0]
         self.window_samples = int(window_samples)
+        self.vad = vad
         self.prefix_pad_to_multiple = prefix_pad_to_multiple
         self.rng_key = rng_key if rng_key is not None else jax.random.PRNGKey(0)
 
@@ -263,6 +267,16 @@ class StreamingTranscriber:
                 self._chunks, self._pending = [], 0
             chunk = self._buffer[: self.window_samples]
             window_audio_len = len(chunk)
+            if self.vad:
+                from ..audio.vad import resolve_vad
+
+                if not resolve_vad(self.vad, chunk):
+                    # no speech in this window: consume it without any
+                    # device work (mirrors the long-form VAD fast-forward)
+                    self._buffer = self._buffer[self.window_samples:]
+                    self._consumed += self.window_samples
+                    self._started = True
+                    continue
             if len(chunk) < self.window_samples:
                 chunk = np.pad(chunk, (0, self.window_samples - len(chunk)))
             row, advance, span = self._decode_window(chunk, window_audio_len)

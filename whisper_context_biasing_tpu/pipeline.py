@@ -303,6 +303,10 @@ class Pipeline:
         max_tokens: int = 224,
         long_form: bool | str = "auto",
         chunked_batch: int = 64,
+        vad: bool | dict = False,   # host-side energy VAD (audio/vad.py):
+                                    # long-form/chunked windows with no
+                                    # detected speech skip all device work
+
         timestamps: bool = False,
         word_timestamps: bool = False,
         temperatures: tuple = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0),
@@ -372,7 +376,7 @@ class Pipeline:
                 medusa=self.medusa,
                 num_beams=num_beams, beam_early_stopping=beam_early_stopping,
                 mesh=self.mesh, word_timestamps=word_timestamps,
-                alignment_heads=alignment_heads,
+                alignment_heads=alignment_heads, vad=vad,
                 # pad every window batch to one static shape: repeated
                 # library calls with varying audio lengths must reuse ONE
                 # compiled program (docs/PERF.md chunked pitfall)
@@ -421,7 +425,7 @@ class Pipeline:
                 word_timestamps=word_timestamps,
                 alignment_heads=alignment_heads,
                 prefix_pad_to_multiple=32, window_samples=win, draft=draft,
-                medusa=self.medusa,
+                medusa=self.medusa, vad=vad,
                 num_beams=num_beams, beam_early_stopping=beam_early_stopping,
                 mesh=self.mesh)
             if word_timestamps:
