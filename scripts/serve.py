@@ -102,6 +102,9 @@ def parse_args():
     p.add_argument("--temperatures", type=float, nargs="*",
                    default=[0.0, 0.2, 0.4, 0.6, 0.8, 1.0],
                    help="long-form quality-fallback ladder")
+    p.add_argument("--best_of", type=int, default=1,
+                   help="sampled fallback rungs draw N candidates per "
+                        "window; best average-logprob row wins")
     p.add_argument("--logprob_threshold", type=float, default=-1.0,
                    help="long-form: avg token logprob below this triggers "
                         "fallback; pass nan to disable")
@@ -391,6 +394,7 @@ class Engine:
             bias_spans=spans, bias_boost=self.args.bias_boost,
             use_timestamps=self.args.timestamps,
             temperatures=tuple(self.args.temperatures),
+            best_of=getattr(self.args, "best_of", 1),
             logprob_threshold=lp,
             prefix_pad_to_multiple=32,
             max_batch=self.args.chunked_batch, pad_batches=True,
@@ -436,6 +440,7 @@ class Engine:
             bias_spans=spans, bias_boost=self.args.bias_boost,
             use_timestamps=self.args.timestamps,
             temperatures=tuple(self.args.temperatures),
+            best_of=getattr(self.args, "best_of", 1),
             logprob_threshold=lp,
             prefix_pad_to_multiple=32,
             start_tokens=start_tokens,
@@ -496,6 +501,7 @@ class Engine:
             bias_boost=self.args.bias_boost,
             use_timestamps=self.args.timestamps,
             temperatures=tuple(self.args.temperatures),
+            best_of=getattr(self.args, "best_of", 1),
             logprob_threshold=(None if self.args.logprob_threshold
                                != self.args.logprob_threshold
                                else self.args.logprob_threshold),

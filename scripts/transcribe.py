@@ -83,6 +83,10 @@ def parse_args():
                    default=[0.0, 0.2, 0.4, 0.6, 0.8, 1.0],
                    help="long-form fallback ladder; a window failing the "
                         "quality checks retries at the next temperature")
+    p.add_argument("--best_of", type=int, default=1,
+                   help="sampled fallback rungs draw N candidates per "
+                        "window; the best average-logprob row wins "
+                        "(OpenAI long-form best_of; greedy rung unaffected)")
     p.add_argument("--compression_ratio_threshold", type=float, default=2.4)
     p.add_argument("--logprob_threshold", type=float, default=-1.0,
                    help="avg token logprob below this triggers fallback; "
@@ -326,7 +330,7 @@ def main():
             mel_fn=make_mel, max_new=args.max_tokens, contexts=contexts,
             bias_spans=spans, bias_boost=args.bias_boost,
             use_timestamps=args.timestamps,
-            temperatures=tuple(args.temperatures),
+            temperatures=tuple(args.temperatures), best_of=args.best_of,
             compression_ratio_threshold=args.compression_ratio_threshold,
             logprob_threshold=lp_thresh, no_speech_threshold=ns_thresh,
             start_tokens=starts, return_segments=True, draft=draft,

@@ -337,3 +337,29 @@ class TestRealModel:
             logprob_threshold=None)
         assert len(outs) == 2
         assert all(isinstance(o, list) for o in outs)
+
+
+class TestChunkedBestOf:
+    def test_sampled_rung_draws_n_and_picks_best(self, tok):
+        """best_of applies per window batch: the 0.5 rung runs 3 times and
+        the best average-logprob candidate wins (decode/long_form.
+        sample_best_of shared with the sequential loop)."""
+        calls = []
+
+        def decode_fn(mel, ids, mask, temperature, key):
+            calls.append(float(temperature))
+            b = mel.shape[0]
+            if temperature == 0.0:
+                return _result([_enc(tok, " junk")] * b,
+                               sum_logprob=[-100.0] * b)
+            i = sum(1 for t in calls if t > 0)
+            return _result([_enc(tok, f" pick {i}")] * b,
+                           sum_logprob=[-0.4 if i == 2 else -7.0] * b)
+
+        outs = transcribe_chunked(
+            None, tiny_test_config(), tok, [np.zeros(16000, np.float32)],
+            mel_fn=lambda c: np.zeros((c.shape[0], 80, 128), np.float32),
+            decode_fn=decode_fn, temperatures=(0.0, 0.5), best_of=3,
+            no_speech_threshold=None, use_timestamps=False)
+        assert calls == [0.0, 0.5, 0.5, 0.5]
+        assert tok.decode(outs[0], skip_special_tokens=True) == " pick 2"

@@ -439,3 +439,115 @@ class TestLongFormWordTimestamps:
         # the transcript reassembles from the aligned words
         text = "".join(w.word for w in words[0]).strip()
         assert text == tok.decode(tokens[0], skip_special_tokens=True).strip()
+
+
+class TestBestOf:
+    """OpenAI's best_of rule: sampled fallback rungs draw n candidates and
+    keep the best average-logprob row (decode/long_form.sample_best_of)."""
+
+    def test_picks_best_avg_logprob_candidate(self, tok, model):
+        cfg, params = model
+        calls = []
+
+        def decode_fn(mel, ids, mask, temperature, key):
+            calls.append(float(temperature))
+            if temperature == 0.0:
+                # fails the -1.0 logprob threshold -> ladder falls through
+                return _result([_enc(tok, " garbage")], sum_logprob=[-100.0])
+            i = sum(1 for t in calls if t > 0)  # 1, 2, 3 across samples
+            return _result([_enc(tok, f" candidate {i}")],
+                           sum_logprob=[-0.5 if i == 2 else -5.0], width=24)
+
+        audio = np.zeros(int(10 * SAMPLE_RATE), np.float32)
+        out = transcribe_long_batch(
+            params, cfg, tok, [audio], temperatures=(0.0, 0.5), best_of=3,
+            decode_fn=decode_fn, no_speech_threshold=None,
+            mel_fn=lambda c: np.zeros((c.shape[0], 80, 128), np.float32))
+        # 1 greedy call + 3 samples at the 0.5 rung (greedy never repeats)
+        assert calls == [0.0, 0.5, 0.5, 0.5]
+        assert tok.decode(out[0], skip_special_tokens=True) == " candidate 2"
+
+    def test_greedy_only_ladder_never_resamples(self, tok, model):
+        cfg, params = model
+        calls = []
+
+        def decode_fn(mel, ids, mask, temperature, key):
+            calls.append(float(temperature))
+            return _result([_enc(tok, " fine")], sum_logprob=[-0.1])
+
+        audio = np.zeros(int(10 * SAMPLE_RATE), np.float32)
+        transcribe_long_batch(
+            params, cfg, tok, [audio], temperatures=(0.0,), best_of=4,
+            decode_fn=decode_fn, no_speech_threshold=None,
+            mel_fn=lambda c: np.zeros((c.shape[0], 80, 128), np.float32))
+        assert calls == [0.0]
+
+    def test_per_row_selection_in_a_batch(self, tok, model):
+        """Row 0's best sample is the first, row 1's the second: selection
+        must be per row, not per call."""
+        cfg, params = model
+        n = [0]
+
+        def decode_fn(mel, ids, mask, temperature, key):
+            if temperature == 0.0:
+                return _result([_enc(tok, " bad")] * 2,
+                               sum_logprob=[-100.0, -100.0])
+            n[0] += 1
+            rows = [_enc(tok, f" r0 s{n[0]}"), _enc(tok, f" r1 s{n[0]}")]
+            slp = [-0.2, -8.0] if n[0] == 1 else [-8.0, -0.2]
+            return _result(rows, sum_logprob=slp, width=24)
+
+        audios = [np.zeros(int(5 * SAMPLE_RATE), np.float32)] * 2
+        out = transcribe_long_batch(
+            params, cfg, tok, audios, temperatures=(0.0, 0.7), best_of=2,
+            decode_fn=decode_fn, no_speech_threshold=None,
+            mel_fn=lambda c: np.zeros((c.shape[0], 80, 128), np.float32))
+        assert tok.decode(out[0], skip_special_tokens=True) == " r0 s1"
+        assert tok.decode(out[1], skip_special_tokens=True) == " r1 s2"
+
+    def test_streaming_best_of(self, tok, model):
+        from whisper_context_biasing_tpu.decode.streaming import (
+            StreamingTranscriber,
+        )
+
+        cfg, params = model
+        calls = []
+
+        def decode_fn(mel, ids, mask, temperature, key):
+            calls.append(float(temperature))
+            if temperature == 0.0:
+                return _result([_enc(tok, " junk")], sum_logprob=[-100.0])
+            i = sum(1 for t in calls if t > 0)
+            return _result([_enc(tok, f" take {i}")],
+                           sum_logprob=[-0.3 if i == 3 else -6.0], width=24)
+
+        st = StreamingTranscriber(
+            params, cfg, tok, decode_fn=decode_fn, temperatures=(0.0, 0.5),
+            best_of=3, use_timestamps=False, no_speech_threshold=None,
+            mel_fn=lambda c: np.zeros((c.shape[0], 80, 128), np.float32))
+        st.feed(np.zeros(st.window_samples, np.float32))
+        assert calls == [0.0, 0.5, 0.5, 0.5]
+        text = tok.decode(st.tokens, skip_special_tokens=True)
+        assert text == " take 3"
+
+    def test_no_sum_logprob_degrades_to_first_sample(self, tok, model):
+        cfg, params = model
+        n = [0]
+
+        def decode_fn(mel, ids, mask, temperature, key):
+            if temperature == 0.0:
+                # no sum_logprob at all: quality gate can't measure -> but
+                # compression is fine, so t=0 is accepted; force fallthrough
+                # with a repetitive transcript instead
+                return _result([_enc(tok, " loop" * 60)], width=512)
+            n[0] += 1
+            return _result([_enc(tok, f" sample {n[0]}")], width=24)
+
+        audio = np.zeros(int(5 * SAMPLE_RATE), np.float32)
+        out = transcribe_long_batch(
+            params, cfg, tok, [audio], temperatures=(0.0, 0.5), best_of=3,
+            decode_fn=decode_fn, no_speech_threshold=None,
+            logprob_threshold=None,
+            mel_fn=lambda c: np.zeros((c.shape[0], 80, 128), np.float32))
+        assert n[0] == 3  # still drew all samples, no crash
+        assert tok.decode(out[0], skip_special_tokens=True) == " sample 1"

@@ -166,6 +166,9 @@ def transcribe_chunked(
     bias_spans: np.ndarray | None = None,     # (B, N, K) per file
     bias_boost: float = 0.0,
     temperatures: tuple[float, ...] = DEFAULT_TEMPERATURES,
+    best_of: int = 1,                         # >1: sampled rungs draw n
+                                              # candidates, best avg-logprob
+                                              # per row wins (OpenAI best_of)
     compression_ratio_threshold: float | None = 2.4,
     logprob_threshold: float | None = -1.0,
     no_speech_threshold: float | None = 0.6,
@@ -335,7 +338,12 @@ def transcribe_chunked(
         nsp = None
         for ti, temperature in enumerate(temperatures):
             rng_key, sub = jax.random.split(rng_key)
-            res = run(temperature, sub)
+            if temperature > 0 and best_of > 1:
+                from .long_form import sample_best_of
+
+                res = sample_best_of(run, temperature, sub, best_of)
+            else:
+                res = run(temperature, sub)
             toks = np.asarray(res.tokens)
             lens = np.asarray(res.lengths)
             slp = (np.asarray(res.sum_logprob)

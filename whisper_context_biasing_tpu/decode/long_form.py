@@ -134,6 +134,46 @@ def _content_tokens(tokens: list[int], tokenizer) -> list[int]:
             if not tokenizer.is_special(t) and t < tokenizer.timestamp_begin]
 
 
+def sample_best_of(call, temperature: float, key, n: int) -> GreedyResult:
+    """OpenAI's ``best_of`` rule for sampled fallback rungs.
+
+    Draw ``n`` independent samples of the whole batch and keep, per row,
+    the candidate with the highest average token logprob (``sum/(len+1)``,
+    the same ranking the quality ladder uses). Serial calls on purpose:
+    each reuses the rung's already-compiled program, where batch-tiling
+    would compile a fresh ``B*n`` program per temperature (minutes on a
+    tunneled TPU). Callers route only ``temperature > 0`` here — greedy
+    rungs are deterministic, repeats would be identical.
+
+    ``call(temperature, rng_key) -> GreedyResult`` must populate
+    ``sum_logprob`` (all in-tree decode paths do); without it every sample
+    ties at zero and the first one wins.
+    """
+    import jax
+
+    best: list | None = None
+    for _ in range(max(1, n)):
+        key, sub = jax.random.split(key)
+        res = call(temperature, sub)
+        toks = np.asarray(res.tokens)
+        lens = np.asarray(res.lengths)
+        slp = (np.asarray(res.sum_logprob, np.float32)
+               if res.sum_logprob is not None
+               else np.zeros(len(lens), np.float32))
+        avg = slp / (lens + 1)
+        if best is None:
+            best = [toks.copy(), lens.copy(), slp.copy(), avg,
+                    res.no_speech_prob, res.spec_rounds]
+        else:
+            better = avg > best[3]
+            if better.any():
+                best[0][better] = toks[better]
+                best[1][better] = lens[better]
+                best[2][better] = slp[better]
+                best[3][better] = avg[better]
+    return GreedyResult(best[0], best[1], best[2], best[4], best[5])
+
+
 def transcribe_long_batch(
     params,
     cfg: WhisperConfig,
@@ -148,6 +188,9 @@ def transcribe_long_batch(
     bias_boost: float = 0.0,
     use_timestamps: bool = False,
     temperatures: tuple[float, ...] = DEFAULT_TEMPERATURES,
+    best_of: int = 1,            # >1: each SAMPLED rung draws n candidates
+                                 # and keeps the best avg-logprob per row
+                                 # (OpenAI's best_of; greedy rung unaffected)
     compression_ratio_threshold: float | None = 2.4,
     logprob_threshold: float | None = -1.0,
     no_speech_threshold: float | None = 0.6,
@@ -341,7 +384,12 @@ def transcribe_long_batch(
         nsp = None
         for ti, temperature in enumerate(temperatures):
             rng_key, sub = jax.random.split(rng_key)
-            res = decode_fn(mel, ids, mask, temperature, sub)
+            if temperature > 0 and best_of > 1:
+                res = sample_best_of(
+                    lambda t, k: decode_fn(mel, ids, mask, t, k),
+                    temperature, sub, best_of)
+            else:
+                res = decode_fn(mel, ids, mask, temperature, sub)
             toks = np.asarray(res.tokens)
             lens = np.asarray(res.lengths)
             slp = np.asarray(res.sum_logprob) if res.sum_logprob is not None else None

@@ -53,6 +53,8 @@ class StreamingTranscriber:
         condition_on_previous: bool = True,
         use_timestamps: bool = True,
         temperatures: tuple = DEFAULT_TEMPERATURES,
+        best_of: int = 1,             # >1: sampled rungs draw n candidates,
+                                      # best avg-logprob wins (OpenAI best_of)
         compression_ratio_threshold: float | None = 2.4,
         logprob_threshold: float | None = -1.0,
         no_speech_threshold: float | None = 0.6,
@@ -78,6 +80,7 @@ class StreamingTranscriber:
         self.condition_on_previous = condition_on_previous
         self.use_timestamps = use_timestamps
         self.temperatures = tuple(temperatures) or (0.0,)
+        self.best_of = int(best_of)
         self.compression_ratio_threshold = compression_ratio_threshold
         self.logprob_threshold = logprob_threshold
         self.no_speech_threshold = no_speech_threshold
@@ -194,7 +197,14 @@ class StreamingTranscriber:
         nsp = None
         for ti, temperature in enumerate(self.temperatures):
             self.rng_key, sub = jax.random.split(self.rng_key)
-            res = self.decode_fn(mel, ids, mask, temperature, sub)
+            if temperature > 0 and self.best_of > 1:
+                from .long_form import sample_best_of
+
+                res = sample_best_of(
+                    lambda t, k: self.decode_fn(mel, ids, mask, t, k),
+                    temperature, sub, self.best_of)
+            else:
+                res = self.decode_fn(mel, ids, mask, temperature, sub)
             row = np.asarray(res.tokens)[0, : int(np.asarray(res.lengths)[0])].tolist()
             last = row
             slp = res.sum_logprob

@@ -310,6 +310,8 @@ class Pipeline:
         timestamps: bool = False,
         word_timestamps: bool = False,
         temperatures: tuple = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0),
+        best_of: int = 1,           # sampled fallback rungs draw n
+                                    # candidates; best avg-logprob wins
         no_speech_threshold: float | None = 0.6,
         alignment_heads: list[tuple[int, int]] | None = None,
     ) -> list[TranscriptionResult]:
@@ -370,6 +372,7 @@ class Pipeline:
                 mel_fn=self._mel, max_new=max_tokens, contexts=ctx,
                 bias_spans=spans, bias_boost=boost,
                 use_timestamps=timestamps, temperatures=tuple(temperatures),
+                best_of=best_of,
                 no_speech_threshold=no_speech_threshold,
                 start_tokens=starts, return_segments=True,
                 prefix_pad_to_multiple=32, window_samples=win, draft=draft,
@@ -420,6 +423,7 @@ class Pipeline:
                 mel_fn=self._mel, max_new=max_tokens, contexts=ctx,
                 bias_spans=spans, bias_boost=boost,
                 use_timestamps=timestamps, temperatures=tuple(temperatures),
+                best_of=best_of,
                 no_speech_threshold=no_speech_threshold,
                 start_tokens=starts, return_segments=True,
                 word_timestamps=word_timestamps,
