@@ -83,6 +83,10 @@ def parse_args():
                    default=[0.0, 0.2, 0.4, 0.6, 0.8, 1.0],
                    help="long-form fallback ladder; a window failing the "
                         "quality checks retries at the next temperature")
+    p.add_argument("--prompt_reset_on_temperature", type=float, default=0.5,
+                   help="sequential long-form: a window produced by a rung "
+                        "hotter than this clears the history prompt so "
+                        "hallucinations don't propagate (nan disables)")
     p.add_argument("--best_of", type=int, default=1,
                    help="sampled fallback rungs draw N candidates per "
                         "window; the best average-logprob row wins "
@@ -345,7 +349,12 @@ def main():
             out = transcribe_chunked(params, cfg, tokenizer, raw,
                                      prefix_pad_to_multiple=32, **common)
         else:
-            out = transcribe_long_batch(params, cfg, tokenizer, raw, **common)
+            prt = args.prompt_reset_on_temperature
+            if prt is not None and prt != prt:  # nan disables
+                prt = None
+            out = transcribe_long_batch(params, cfg, tokenizer, raw,
+                                        prompt_reset_on_temperature=prt,
+                                        **common)
         if args.word_timestamps:
             hyps, segments, long_words = out
         else:

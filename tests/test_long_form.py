@@ -551,3 +551,64 @@ class TestBestOf:
             mel_fn=lambda c: np.zeros((c.shape[0], 80, 128), np.float32))
         assert n[0] == 3  # still drew all samples, no crash
         assert tok.decode(out[0], skip_special_tokens=True) == " sample 1"
+
+
+class TestPromptReset:
+    """faster-whisper's prompt_reset_on_temperature: a window produced by a
+    hot fallback rung must not feed its (possibly hallucinated) text into
+    later windows' history prompts."""
+
+    def _drive(self, tok, model, reset):
+        cfg, params = model
+        seen_prefix_lens = []
+
+        def decode_fn(mel, ids, mask, temperature, key):
+            seen_prefix_lens.append(int(np.asarray(mask).sum()))
+            if len(seen_prefix_lens) <= 2:  # window 1: t=0 fails, t=0.8 wins
+                lp = -100.0 if temperature == 0.0 else -0.1
+                return _result([_enc(tok, " hot window text")],
+                               sum_logprob=[lp], width=24)
+            return _result([_enc(tok, " second")], sum_logprob=[-0.1])
+
+        audio = np.zeros(int(45 * SAMPLE_RATE), np.float32)  # 2 windows
+        transcribe_long_batch(
+            params, cfg, tok, [audio], temperatures=(0.0, 0.8),
+            prompt_reset_on_temperature=reset, decode_fn=decode_fn,
+            no_speech_threshold=None,
+            mel_fn=lambda c: np.zeros((c.shape[0], 80, 128), np.float32))
+        return seen_prefix_lens
+
+    def test_hot_rung_clears_history(self, tok, model):
+        lens = self._drive(tok, model, reset=0.5)
+        # window 2's prefix is bare <|sot|> — no <|sop|>+history carried
+        assert lens[2] == 1
+
+    def test_disabled_keeps_history(self, tok, model):
+        lens = self._drive(tok, model, reset=None)
+        # window 2 conditions on window 1's text: sop + history + sot
+        assert lens[2] > 1
+
+    def test_streaming_matches_long_form_rule(self, tok, model):
+        from whisper_context_biasing_tpu.decode.streaming import (
+            StreamingTranscriber,
+        )
+
+        cfg, params = model
+        seen = []
+
+        def decode_fn(mel, ids, mask, temperature, key):
+            seen.append(int(np.asarray(mask).sum()))
+            if len(seen) <= 2:
+                lp = -100.0 if temperature == 0.0 else -0.1
+                return _result([_enc(tok, " hot window text")],
+                               sum_logprob=[lp], width=24)
+            return _result([_enc(tok, " second")], sum_logprob=[-0.1])
+
+        st = StreamingTranscriber(
+            params, cfg, tok, decode_fn=decode_fn, temperatures=(0.0, 0.8),
+            use_timestamps=False, no_speech_threshold=None,
+            prefix_pad_to_multiple=None,
+            mel_fn=lambda c: np.zeros((c.shape[0], 80, 128), np.float32))
+        st.feed(np.zeros(st.window_samples, np.float32))
+        st.feed(np.zeros(st.window_samples, np.float32))
+        assert seen[2] == 1  # default 0.5 reset: second window uncondit.

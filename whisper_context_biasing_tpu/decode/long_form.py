@@ -183,6 +183,12 @@ def transcribe_long_batch(
     mel_fn=None,
     max_new: int = 224,
     condition_on_previous: bool = True,
+    prompt_reset_on_temperature: float | None = 0.5,
+                                 # a window produced by a rung HOTTER than
+                                 # this clears the file's history prompt so
+                                 # possible hallucinations don't propagate
+                                 # into later windows (faster-whisper's
+                                 # rule and default); None disables
     contexts: list[list[int]] | None = None,   # static per-file context (e.g. bias desc)
     bias_spans: np.ndarray | None = None,       # (B, N, K) per file
     bias_boost: float = 0.0,
@@ -381,6 +387,7 @@ def transcribe_long_batch(
         accepted: list[list[int] | None] = [None] * b
         last: list[list[int]] = [[] for _ in range(b)]
         last_avg_lp: list[float | None] = [None] * b
+        last_temp: list[float] = [0.0] * b  # rung that produced each row
         nsp = None
         for ti, temperature in enumerate(temperatures):
             rng_key, sub = jax.random.split(rng_key)
@@ -403,6 +410,7 @@ def transcribe_long_batch(
                     continue
                 row = toks[i, : lens[i]].tolist()
                 last[i] = row
+                last_temp[i] = float(temperature)
                 avg_lp = None if slp is None else float(slp[i]) / (int(lens[i]) + 1)
                 last_avg_lp[i] = avg_lp
                 text = tokenizer.decode(row, skip_special_tokens=True)
@@ -487,8 +495,14 @@ def transcribe_long_batch(
                             (offset, offset + span / SAMPLE_RATE, text))
             started[i] = True
             seek[i] += advances[i]
-            content = _content_tokens(row, tokenizer)
-            histories[i] = (histories[i] + content)[-MAX_PROMPT_TOKENS:]
+            if (prompt_reset_on_temperature is not None
+                    and last_temp[i] > prompt_reset_on_temperature):
+                # a hot rung produced this window — do not propagate its
+                # (possibly hallucinated) text into later windows' prompts
+                histories[i] = []
+            else:
+                content = _content_tokens(row, tokenizer)
+                histories[i] = (histories[i] + content)[-MAX_PROMPT_TOKENS:]
             outputs[i].extend(row)
     if return_segments and word_timestamps:
         return outputs, segments, words

@@ -55,6 +55,10 @@ class StreamingTranscriber:
         temperatures: tuple = DEFAULT_TEMPERATURES,
         best_of: int = 1,             # >1: sampled rungs draw n candidates,
                                       # best avg-logprob wins (OpenAI best_of)
+        prompt_reset_on_temperature: float | None = 0.5,
+                                      # a window produced by a HOTTER rung
+                                      # clears the history prompt
+                                      # (faster-whisper's rule and default)
         compression_ratio_threshold: float | None = 2.4,
         logprob_threshold: float | None = -1.0,
         no_speech_threshold: float | None = 0.6,
@@ -81,6 +85,8 @@ class StreamingTranscriber:
         self.use_timestamps = use_timestamps
         self.temperatures = tuple(temperatures) or (0.0,)
         self.best_of = int(best_of)
+        self.prompt_reset_on_temperature = prompt_reset_on_temperature
+        self._last_temp = 0.0  # rung that produced the latest emitted row
         self.compression_ratio_threshold = compression_ratio_threshold
         self.logprob_threshold = logprob_threshold
         self.no_speech_threshold = no_speech_threshold
@@ -207,6 +213,7 @@ class StreamingTranscriber:
                 res = self.decode_fn(mel, ids, mask, temperature, sub)
             row = np.asarray(res.tokens)[0, : int(np.asarray(res.lengths)[0])].tolist()
             last = row
+            self._last_temp = float(temperature)
             slp = res.sum_logprob
             avg_lp = (None if slp is None
                       else float(np.asarray(slp)[0]) / (len(row) + 1))
@@ -253,8 +260,14 @@ class StreamingTranscriber:
                     (offset, offset + span_samples / SAMPLE_RATE, text))
         self.segments.extend(new_segments)
         self.tokens.extend(row)
-        content = _content_tokens(row, tok)
-        self._history = (self._history + content)[-MAX_PROMPT_TOKENS:]
+        if (self.prompt_reset_on_temperature is not None
+                and self._last_temp > self.prompt_reset_on_temperature):
+            # hot-rung window: do not propagate its text into later prompts
+            # (mirrors transcribe_long_batch exactly — equivalence-tested)
+            self._history = []
+        else:
+            content = _content_tokens(row, tok)
+            self._history = (self._history + content)[-MAX_PROMPT_TOKENS:]
         return new_segments
 
     def _drain(self, *, flush: bool) -> list:

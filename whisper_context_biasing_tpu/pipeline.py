@@ -312,6 +312,9 @@ class Pipeline:
         temperatures: tuple = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0),
         best_of: int = 1,           # sampled fallback rungs draw n
                                     # candidates; best avg-logprob wins
+        prompt_reset_on_temperature: float | None = 0.5,
+                                    # hot-rung windows clear the history
+                                    # prompt (sequential long-form only)
         no_speech_threshold: float | None = 0.6,
         alignment_heads: list[tuple[int, int]] | None = None,
     ) -> list[TranscriptionResult]:
@@ -424,6 +427,7 @@ class Pipeline:
                 bias_spans=spans, bias_boost=boost,
                 use_timestamps=timestamps, temperatures=tuple(temperatures),
                 best_of=best_of,
+                prompt_reset_on_temperature=prompt_reset_on_temperature,
                 no_speech_threshold=no_speech_threshold,
                 start_tokens=starts, return_segments=True,
                 word_timestamps=word_timestamps,
