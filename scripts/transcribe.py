@@ -75,6 +75,9 @@ def parse_args():
                    help="host-side energy VAD: long-form/chunked windows "
                         "with no detected speech skip all device work "
                         "(audio/vad.py)")
+    p.add_argument("--clip_timestamps", default=None,
+                   help='decode ONLY these second-ranges, e.g. "0-30,65-90" '
+                        "(long-form/chunked; wins over --vad)")
     p.add_argument("--timestamps", action="store_true",
                    help="long-form: timestamp-conditioned seeking (window "
                         "advances to the last closed segment; straddling "
@@ -170,6 +173,22 @@ def parse_alignment_heads(spec):
         raise SystemExit(
             f"--alignment_heads must be comma-separated layer:head pairs, "
             f"got {spec!r}")
+
+
+def parse_clip_timestamps(spec):
+    """'0-30,65-90' -> [(0.0, 30.0), (65.0, 90.0)] (None/empty -> None)."""
+    if not spec:
+        return None
+    try:
+        out = []
+        for rng in spec.split(","):
+            s, e = rng.split("-")
+            out.append((float(s), float(e)))
+        return out
+    except ValueError:
+        raise SystemExit(
+            f"--clip_timestamps must be comma-separated start-end second "
+            f"ranges like '0-30,65-90', got {spec!r}")
 
 
 def emit(args, fmt, path, text, segments, words, language=None):
@@ -342,7 +361,7 @@ def main():
             num_beams=args.num_beams,
             beam_early_stopping=args.beam_early_stopping,
             word_timestamps=args.word_timestamps, alignment_heads=heads,
-            vad=args.vad)
+            vad=parse_clip_timestamps(args.clip_timestamps) or args.vad)
         if args.chunked:
             from whisper_context_biasing_tpu.decode import transcribe_chunked
 

@@ -235,3 +235,42 @@ class TestStreamingVad:
         assert len(calls) == 1
         # the skipped window still advanced stream time: segment at ~30 s
         assert st.segments and 29.0 < st.segments[0][0] < 31.0
+
+
+class TestClipTimestamps:
+    """Explicit (start_s, end_s) ranges through the same vad= plumbing:
+    decode ONLY those ranges (the clip_timestamps idiom)."""
+
+    def test_resolve_ranges(self):
+        a = np.zeros(SAMPLE_RATE * 100, np.float32)
+        segs = resolve_vad([(0, 30), (65, 90)], a)
+        assert segs == [(0, 30 * SAMPLE_RATE),
+                        (65 * SAMPLE_RATE, 90 * SAMPLE_RATE)]
+        # overlapping/unsorted ranges merge; out-of-file tails clamp
+        assert resolve_vad([(50, 120), (10, 60)], a) == [
+            (10 * SAMPLE_RATE, 100 * SAMPLE_RATE)]
+        assert resolve_vad([], a) is None          # empty = no gating
+        with pytest.raises(ValueError, match="end must exceed start"):
+            resolve_vad([(30, 30)], a)
+
+    def test_long_form_decodes_only_the_clip(self, tok, model):
+        """100 s of uniform speech-like audio, clip = [65, 75]: one window
+        decoded, at the clip's onset."""
+        cfg, params = model
+        calls = []
+
+        def decode_fn(mel, ids, mask, temperature, key):
+            calls.append(1)
+            row = tok.encode(" clip", add_special_tokens=False)
+            toks = np.full((1, 8), tok.eot, np.int32)
+            toks[0, : len(row)] = row
+            return GreedyResult(toks, np.asarray([len(row)], np.int32),
+                                np.zeros(1, np.float32))
+
+        audio = _audio(("sp", 100))
+        _, segs = transcribe_long_batch(
+            params, cfg, tok, [audio], temperatures=(0.0,),
+            decode_fn=decode_fn, mel_fn=_zero_mel, vad=[(65.0, 75.0)],
+            return_segments=True)
+        assert len(calls) == 1
+        assert len(segs[0]) == 1 and 64.0 < segs[0][0][0] < 66.0

@@ -128,9 +128,32 @@ def next_onset(segments: list[tuple[int, int]], pos: int) -> int | None:
 def resolve_vad(vad, audio: np.ndarray) -> list[tuple[int, int]] | None:
     """The ``vad=`` argument contract shared by the long-form entry points:
     ``False``/``None`` → no gating (returns None), ``True`` → default
-    options, a dict → :func:`speech_segments` keyword overrides."""
-    if not vad:
+    options, a dict → :func:`speech_segments` keyword overrides, a
+    list/tuple of ``(start_s, end_s)`` second-ranges → used verbatim as the
+    speech segments (the clip_timestamps idiom: decode ONLY those ranges,
+    no energy detection at all)."""
+    if vad is None or vad is False or (isinstance(vad, (list, tuple))
+                                       and len(vad) == 0):
         return None
+    if isinstance(vad, (list, tuple)):
+        n = len(audio)
+        segs = []
+        for item in vad:
+            s, e = item
+            if e <= s:
+                raise ValueError(f"clip range end must exceed start: {item}")
+            s_i = max(0, int(float(s) * SAMPLE_RATE))
+            e_i = min(n, int(float(e) * SAMPLE_RATE))
+            if e_i > s_i:
+                segs.append((s_i, e_i))
+        segs.sort()
+        merged: list[tuple[int, int]] = []
+        for s_i, e_i in segs:
+            if merged and s_i <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e_i))
+            else:
+                merged.append((s_i, e_i))
+        return merged
     opts = dict(vad) if isinstance(vad, dict) else {}
     unknown = set(opts) - set(VAD_OPTION_KEYS)
     if unknown:

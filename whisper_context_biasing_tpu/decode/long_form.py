@@ -254,7 +254,9 @@ def transcribe_long_batch(
     gates windows on host-side energy VAD: silent regions are skipped
     without any device work and the seek jumps to the next speech onset.
     Audio with no detected speech at all produces no windows (empty
-    output). Complements — not replaces — the post-decode no-speech rule.
+    output). A list of ``(start_s, end_s)`` ranges decodes ONLY those
+    ranges (the clip_timestamps idiom — no energy detection involved).
+    Complements — not replaces — the post-decode no-speech rule.
 
     ``decode_fn(mel, ids, mask, temperature, rng_key) -> GreedyResult`` can
     be injected (tests, beam variants); the default wraps ``greedy_decode``
