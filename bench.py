@@ -33,7 +33,10 @@ Long-form mode (BENCH_LONG=1, opt-in — adds minutes of compile): one
 BENCH_LONG_SECONDS (default 900 s) file through the chunked parallel-window
 decoder (decode/chunked.py, padded max_batch=32 batches, single rung,
 32 tokens/window) -> ``long_form_rtf_chunked``. Off by default so the
-driver's bench stays bounded.
+driver's bench stays bounded. BENCH_VAD=1 additionally zeroes alternating
+30 s stretches and gates on the energy VAD (audio/vad.py) ->
+``long_form_rtf_chunked_vad``, the silence-skip win on a meeting-like
+50% duty cycle.
 """
 
 import json
@@ -161,6 +164,15 @@ def run_long_form(jax, jnp, cfg, params):
     tok = load_tokenizer()
     rng = np.random.default_rng(0)
     audio = (rng.standard_normal(16000 * secs) * 0.05).astype(np.float32)
+    # BENCH_VAD=1: zero out alternating 30 s stretches (half the file is
+    # silence) and gate on the energy VAD — measures the silence-skip win
+    # of audio/vad.py on a meeting-like duty cycle; metric name changes so
+    # the plain long-form number stays comparable round-over-round
+    vad = os.environ.get("BENCH_VAD", "0") == "1"
+    if vad:
+        win = 16000 * 30
+        for i in range(0, len(audio), 2 * win):
+            audio[i : i + win] = 0.0
 
     def mel_fn(chunk):
         return np.asarray(log_mel_spectrogram_fused(jnp.asarray(chunk),
@@ -169,19 +181,22 @@ def run_long_form(jax, jnp, cfg, params):
     kw = dict(mel_fn=mel_fn, max_new=DECODE_TOKENS, temperatures=(0.0,),
               logprob_threshold=None, no_speech_threshold=None,
               compression_ratio_threshold=None, use_timestamps=False,
-              max_batch=mb, pad_batches=True)
+              max_batch=mb, pad_batches=True, vad=vad)
     # warmup compiles the padded-batch program on a short file
-    transcribe_chunked(params, cfg, tok, [audio[: 16000 * 65]], **kw)
+    transcribe_chunked(params, cfg, tok, [np.abs(audio[: 16000 * 65]) + 0.01],
+                       **kw)
     t0 = time.perf_counter()
     transcribe_chunked(params, cfg, tok, [audio], **kw)
     wall = time.perf_counter() - t0
     print(json.dumps({
-        "metric": "long_form_rtf_chunked",
+        "metric": "long_form_rtf_chunked_vad" if vad else
+                  "long_form_rtf_chunked",
         "value": round(secs / wall, 2),
         "unit": "x_realtime",
         "vs_baseline": None,
         "detail": {"model": MODEL, "file_seconds": secs, "max_batch": mb,
                    "tokens_per_window": DECODE_TOKENS,
+                   "silence_fraction": 0.5 if vad else 0.0,
                    "wall_s": round(wall, 3)},
     }))
 
