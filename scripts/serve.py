@@ -374,7 +374,8 @@ class Engine:
 
     @staticmethod
     def _word_dicts(ws):
-        return [{"word": w.word.strip(), "start": w.start, "end": w.end}
+        return [{"word": w.word.strip(), "start": w.start, "end": w.end,
+                 "probability": w.probability}
                 for w in ws]
 
     def _run_long_chunked(self, audios, contexts, bias_word_lists, opts):

@@ -204,7 +204,8 @@ def emit(args, fmt, path, text, segments, words, language=None):
                                 "text": t.strip()} for a, e, t in segments]
         if words is not None:
             rec["words"] = [{"word": w.word.strip(), "start": w.start,
-                             "end": w.end} for w in words]
+                             "end": w.end, "probability": w.probability}
+                            for w in words]
         return json.dumps(rec)
     if fmt in ("srt", "vtt"):
         if segments is None:

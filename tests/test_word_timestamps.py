@@ -248,3 +248,45 @@ class TestDTWTieBreaking:
             ti, fi = dtw_path(cost)
             got = sum(cost[a, b] for a, b in zip(ti, fi))
             assert np.isclose(got, ref[n, m]), (cost, got, ref[n, m])
+
+
+class TestWordProbabilities:
+    def test_probabilities_present_and_bounded(self, setup):
+        import jax.numpy as jnp
+
+        tok, cfg, params = setup
+        rng = np.random.default_rng(5)
+        mel = (rng.standard_normal((1, cfg.n_mels, 128)) * 0.5).astype(np.float32)
+        hyp = tok.encode(" aspirin daily", add_special_tokens=False)
+        ws = find_word_timestamps(params, cfg, tok, jnp.asarray(mel), [hyp])[0]
+        assert ws
+        for w in ws:
+            assert w.probability is not None
+            assert 0.0 < w.probability <= 1.0
+
+    def test_matches_teacher_forced_forward(self, setup):
+        """WordTiming.probability must equal the mean softmax probability of
+        the word's tokens under a plain forward pass of the same model."""
+        import jax.numpy as jnp
+
+        from whisper_context_biasing_tpu.models.whisper import forward
+
+        tok, cfg, params = setup
+        rng = np.random.default_rng(6)
+        mel = (rng.standard_normal((1, cfg.n_mels, 128)) * 0.5).astype(np.float32)
+        hyp = tok.encode(" dose", add_special_tokens=False)
+        seq = [tok.sot] + hyp + [tok.eot]
+        logits = np.asarray(
+            forward(params, cfg, jnp.asarray(mel),
+                    jnp.asarray([seq], np.int32)), np.float64)[0]
+        ref = {}
+        lp = logits - np.log(np.exp(logits - logits.max(-1, keepdims=True))
+                             .sum(-1, keepdims=True)) - logits.max(-1, keepdims=True)
+        probs = np.exp([lp[t - 1, seq[t]] for t in range(1, len(seq))])
+        # words over hyp tokens: positions 1..len(hyp) in seq
+        ws = find_word_timestamps(params, cfg, tok, jnp.asarray(mel), [hyp])[0]
+        pos = 0
+        for w in ws:
+            expect = float(np.mean(probs[pos : pos + len(w.tokens)]))
+            assert w.probability == pytest.approx(expect, rel=0.02, abs=1e-8)
+            pos += len(w.tokens)

@@ -44,6 +44,9 @@ class WordTiming:
     start: float  # seconds
     end: float    # seconds
     tokens: list
+    probability: float | None = None  # mean P(token | context, audio) over
+                                      # the word's tokens (teacher-forced,
+                                      # models/alignment.py with_probs)
 
 
 def dtw_path(cost: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -223,11 +226,13 @@ def find_word_timestamps(
     frames = [max(2, min(int(f), total_frames)) for f in frames]
 
     static_frames = total_frames if pad_to is not None else max(frames)
-    matrix = np.asarray(alignment_matrix(
+    matrix, tok_probs = alignment_matrix(
         params, cfg, jnp.asarray(toks), enc, head_mask,
         jnp.asarray(tok_mask), num_frames=static_frames,
-        medfilt_width=medfilt_width,
-    ))  # (B, S, F)
+        medfilt_width=medfilt_width, with_probs=True,
+    )
+    matrix = np.asarray(matrix)  # (B, S, F)
+    tok_probs = np.asarray(tok_probs)  # (B, S)
 
     out: list[list[WordTiming]] = []
     for i in range(b):
@@ -250,9 +255,11 @@ def find_word_timestamps(
             start_t = float(jump_times[pos]) if pos < len(jump_times) else clip_end
             nxt = pos + len(wtoks)
             end_t = float(jump_times[nxt]) if nxt < len(jump_times) else clip_end
+            prob = float(np.mean(tok_probs[i, n_prefix + pos : n_prefix + nxt]))
             timings.append(WordTiming(word=word, start=round(start_t, 3),
                                       end=round(max(end_t, start_t), 3),
-                                      tokens=list(wtoks)))
+                                      tokens=list(wtoks),
+                                      probability=round(prob, 6)))
             pos = nxt
         out.append(timings)
     return out

@@ -32,6 +32,7 @@ from .whisper import (
     _split_heads,
     layer_norm,
     precompute_cross_kv,
+    project_vocab,
 )
 
 
@@ -69,7 +70,8 @@ def median_filter_time(w: jax.Array, width: int) -> jax.Array:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "num_frames", "medfilt_width")
+    jax.jit, static_argnames=("cfg", "num_frames", "medfilt_width",
+                              "with_probs")
 )
 def alignment_matrix(
     params,
@@ -81,6 +83,7 @@ def alignment_matrix(
     *,
     num_frames: int,          # content frames (<= T_audio); static
     medfilt_width: int = 7,
+    with_probs: bool = False,
 ) -> jax.Array:
     """Teacher-forced decoder pass returning the (B, S, num_frames) f32
     token-to-frame alignment matrix.
@@ -88,7 +91,14 @@ def alignment_matrix(
     Per alignment head: attention distribution over frames, standardized per
     frame column over the *valid* token rows (padding rows are excluded so a
     clip's matrix is identical however the batch is padded), median-filtered
-    over frames, then averaged across the selected heads of every layer."""
+    over frames, then averaged across the selected heads of every layer.
+
+    ``with_probs=True`` additionally returns a (B, S) f32 array of
+    ``P(tokens[t] | tokens[<t], audio)`` — the per-token probabilities of
+    the observed sequence under the same pass (position 0 has no
+    conditioning context and is fixed at 1.0). One extra vocab projection
+    on states the pass already computed; feeds word-level confidence
+    (decode/word_timestamps.py)."""
     dec = params["decoder"]
     dt = cfg.compute_dtype
     b, s = tokens.shape
@@ -157,6 +167,20 @@ def alignment_matrix(
         "mlp_ln": dec["mlp_ln"], "mlp": dec["mlp"],
         "ck": cross_k, "cv": cross_v, "hm": head_mask,
     }
-    _, contribs = jax.lax.scan(block, x, xs)  # (L, B, S, F)
+    h_final, contribs = jax.lax.scan(block, x, xs)  # (L, B, S, F)
     n_heads_sel = jnp.maximum(head_mask.sum(), 1.0)
-    return contribs.sum(axis=0) / n_heads_sel
+    matrix = contribs.sum(axis=0) / n_heads_sel
+    if not with_probs:
+        return matrix
+    # per-token probabilities of the observed sequence from the same pass:
+    # one extra vocab matmul on the final-LN states
+    hs = layer_norm(h_final, dec["ln"]["scale"], dec["ln"]["bias"])
+    logits = project_vocab(params, hs).astype(jnp.float32)  # (B, S, V)
+    lse = jax.scipy.special.logsumexp(logits, axis=-1)      # (B, S)
+    chosen = jnp.take_along_axis(
+        logits[:, :-1], tokens[:, 1:, None].astype(jnp.int32), axis=-1
+    )[..., 0]
+    probs = jnp.concatenate(
+        [jnp.ones((b, 1), jnp.float32),
+         jnp.exp(chosen - lse[:, :-1])], axis=1)
+    return matrix, probs
