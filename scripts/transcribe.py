@@ -284,9 +284,10 @@ def main():
                                        n_mels=n_mels or cfg.n_mels))
 
     t0 = time.time()
-    if args.vad and not args.long:
-        print("warning: --vad gates long-form/chunked windows; ignored on "
-              "the single-window path (use --long)", file=sys.stderr)
+    if (args.vad or args.clip_timestamps) and not args.long:
+        print("warning: --vad/--clip_timestamps gate long-form/chunked "
+              "windows; ignored on the single-window path (use --long)",
+              file=sys.stderr)
     if args.long:
         from whisper_context_biasing_tpu.decode import transcribe_long_batch
 

@@ -612,3 +612,22 @@ class TestPromptReset:
         st.feed(np.zeros(st.window_samples, np.float32))
         st.feed(np.zeros(st.window_samples, np.float32))
         assert seen[2] == 1  # default 0.5 reset: second window uncondit.
+
+
+class TestBestOfWidths:
+    def test_varying_sample_widths_are_padded(self, tok, model):
+        """decode_fns that size the token axis per call must not crash the
+        per-row accumulator (review regression)."""
+        from whisper_context_biasing_tpu.decode.long_form import sample_best_of
+
+        n = [0]
+
+        def call(temperature, key):
+            n[0] += 1
+            row = _enc(tok, f" w{n[0]}")
+            return _result([row], sum_logprob=[-0.1 * n[0]],
+                           width=8 + 4 * n[0])
+
+        res = sample_best_of(call, 0.5, jax.random.PRNGKey(0), 3)
+        row = np.asarray(res.tokens)[0, : int(np.asarray(res.lengths)[0])]
+        assert tok.decode(row.tolist(), skip_special_tokens=True) == " w1"

@@ -274,3 +274,65 @@ class TestClipTimestamps:
             return_segments=True)
         assert len(calls) == 1
         assert len(segs[0]) == 1 and 64.0 < segs[0][0][0] < 66.0
+
+
+class TestReviewRegressions:
+    def test_two_level_speech_never_gated(self):
+        """Loud talker then quiet talker, NO silence: the percentile noise
+        floor sits on the quiet speech — the dynamic-range guard must treat
+        the whole file as speech rather than clip the quiet half."""
+        loud = (RNG.standard_normal(SAMPLE_RATE * 35) * 0.11).astype(np.float32)
+        quiet = (RNG.standard_normal(SAMPLE_RATE * 35) * 0.025).astype(np.float32)
+        a = np.concatenate([loud, quiet])
+        segs = speech_segments(a)
+        assert segs == [(0, len(a))]
+
+    def test_silence_still_gated_with_quiet_speech(self):
+        """True silence + loud and quiet speech: the quiet talker survives
+        the gate (absolute floor_db protects it), the silence does not."""
+        a = _audio(("sil", 40), ("sp", 10)) * 1.0
+        quiet = (RNG.standard_normal(SAMPLE_RATE * 10) * 0.02).astype(np.float32)
+        a = np.concatenate([a, quiet])
+        segs = speech_segments(a)
+        assert segs and segs[0][0] > SAMPLE_RATE * 39
+        # both talkers covered
+        assert segs[-1][1] > SAMPLE_RATE * 55
+        assert not has_speech(segs, 0, SAMPLE_RATE * 39)
+
+    def test_empty_dict_means_default_vad(self, tok, model):
+        """vad={} is the documented 'defaults' form and must gate exactly
+        like vad=True (a falsy-dict guard would silently disable it)."""
+        cfg, params = model
+        calls = []
+
+        def decode_fn(mel, ids, mask, temperature, key):
+            calls.append(1)
+            toks = np.full((1, 4), tok.eot, np.int32)
+            return GreedyResult(toks, np.zeros(1, np.int32),
+                                np.zeros(1, np.float32))
+
+        audio = _audio(("sil", 65), ("sp", 10))
+        transcribe_long_batch(params, cfg, tok, [audio], temperatures=(0.0,),
+                              decode_fn=decode_fn, mel_fn=_zero_mel, vad={})
+        assert len(calls) == 1  # gated: one window, not three
+
+    def test_streaming_rejects_clip_ranges(self, tok, model):
+        from whisper_context_biasing_tpu.decode.streaming import (
+            StreamingTranscriber,
+        )
+
+        cfg, params = model
+        with pytest.raises(ValueError, match="not .*meaningful for a stream"):
+            StreamingTranscriber(params, cfg, tok, vad=[(0.0, 30.0)],
+                                 mel_fn=_zero_mel)
+
+    def test_frame_rms_db_linear_memory_matches_gather(self):
+        """The cumsum implementation must match the direct framed compute."""
+        a = _audio(("sil", 1), ("sp", 2), ("sil", 0.5))
+        db = frame_rms_db(a)
+        frame, hop = 400, 160
+        n = 1 + (len(a) - frame) // hop
+        idx = np.arange(n)[:, None] * hop + np.arange(frame)[None, :]
+        ref = 20.0 * np.log10(
+            np.maximum(np.sqrt(np.mean(a[idx] ** 2, axis=1)), 1e-5))
+        np.testing.assert_allclose(db, ref, rtol=1e-4, atol=1e-3)

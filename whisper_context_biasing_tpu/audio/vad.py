@@ -36,7 +36,7 @@ SAMPLE_RATE = 16000
 #: kwargs accepted by :func:`speech_segments` (the ``vad=dict(...)`` surface)
 VAD_OPTION_KEYS = (
     "frame_ms", "hop_ms", "margin_db", "floor_db",
-    "min_speech_ms", "min_silence_ms", "pad_ms",
+    "min_speech_ms", "min_silence_ms", "pad_ms", "min_dynamic_range_db",
 )
 
 
@@ -44,16 +44,33 @@ def frame_rms_db(
     audio: np.ndarray, sr: int = SAMPLE_RATE,
     frame_ms: float = 25.0, hop_ms: float = 10.0,
 ) -> np.ndarray:
-    """Per-frame RMS energy in dBFS, clamped at -100 (digital silence)."""
+    """Per-frame RMS energy in dBFS, clamped at -100 (digital silence).
+
+    O(n) memory via a cumulative sum of squares — VAD targets
+    meeting/podcast-length files, where a framed-gather matrix
+    (n_frames x frame_len) would transiently allocate gigabytes."""
     audio = np.asarray(audio, np.float32)
     frame = max(1, int(sr * frame_ms / 1000.0))
     hop = max(1, int(sr * hop_ms / 1000.0))
     if len(audio) < frame:
         audio = np.pad(audio, (0, frame - len(audio)))
     n = 1 + (len(audio) - frame) // hop
-    idx = np.arange(n)[:, None] * hop + np.arange(frame)[None, :]
-    rms = np.sqrt(np.mean(audio[idx] ** 2, axis=1))
-    return 20.0 * np.log10(np.maximum(rms, 1e-5))
+    cs = np.concatenate(([0.0], np.cumsum(np.square(audio, dtype=np.float64))))
+    starts = np.arange(n) * hop
+    energy = cs[starts + frame] - cs[starts]
+    rms = np.sqrt(np.maximum(energy / frame, 0.0))
+    return 20.0 * np.log10(np.maximum(rms, 1e-5)).astype(np.float32)
+
+
+def _merge_intervals(segs: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """Merge sorted, possibly-overlapping/touching intervals in place-order."""
+    merged: list[tuple[int, int]] = []
+    for s, e in segs:
+        if merged and s <= merged[-1][1]:
+            merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+        else:
+            merged.append((s, e))
+    return merged
 
 
 def speech_segments(
@@ -67,6 +84,7 @@ def speech_segments(
     min_speech_ms: float = 100.0,
     min_silence_ms: float = 300.0,
     pad_ms: float = 150.0,
+    min_dynamic_range_db: float = 35.0,
 ) -> list[tuple[int, int]]:
     """Speech regions as ``[(start_sample, end_sample), ...]``, sorted,
     non-overlapping. Empty list = no speech anywhere."""
@@ -76,6 +94,15 @@ def speech_segments(
     db = frame_rms_db(audio, sr, frame_ms, hop_ms)
     noise_floor = float(np.percentile(db, 10.0))
     peak = float(db.max())
+    if peak <= floor_db:
+        return []  # even the loudest frame is below the silence floor
+    if peak - noise_floor < min_dynamic_range_db:
+        # Not enough dynamic range for the percentile floor to be real
+        # silence — it may be sitting on quiet SPEECH (a far-from-mic
+        # talker under a loud one). Silence-vs-speech gaps in genuine
+        # recordings run 35 dB+; below that, gate nothing: a missed skip
+        # costs one window decode, a false skip loses transcript.
+        return [(0, len(audio))]
     thr = max(floor_db, min(noise_floor + margin_db, peak - 6.0))
     speech = db > thr
     if not speech.any():
@@ -96,19 +123,11 @@ def speech_segments(
             merged[-1][1] = e
         else:
             merged.append([s, e])
-    # drop runs shorter than min_speech_ms, then pad
+    # drop runs shorter than min_speech_ms, pad, re-join touching neighbours
     min_len = int(sr * min_speech_ms / 1000.0)
     pad = int(sr * pad_ms / 1000.0)
-    out = [(max(0, s - pad), min(len(audio), e + pad))
-           for s, e in merged if e - s >= min_len]
-    # padding can re-join neighbours
-    joined: list[tuple[int, int]] = []
-    for s, e in out:
-        if joined and s <= joined[-1][1]:
-            joined[-1] = (joined[-1][0], max(joined[-1][1], e))
-        else:
-            joined.append((s, e))
-    return joined
+    return _merge_intervals([(max(0, s - pad), min(len(audio), e + pad))
+                             for s, e in merged if e - s >= min_len])
 
 
 def has_speech(segments: list[tuple[int, int]], start: int, end: int) -> bool:
@@ -147,13 +166,7 @@ def resolve_vad(vad, audio: np.ndarray) -> list[tuple[int, int]] | None:
             if e_i > s_i:
                 segs.append((s_i, e_i))
         segs.sort()
-        merged: list[tuple[int, int]] = []
-        for s_i, e_i in segs:
-            if merged and s_i <= merged[-1][1]:
-                merged[-1] = (merged[-1][0], max(merged[-1][1], e_i))
-            else:
-                merged.append((s_i, e_i))
-        return merged
+        return _merge_intervals(segs)
     opts = dict(vad) if isinstance(vad, dict) else {}
     unknown = set(opts) - set(VAD_OPTION_KEYS)
     if unknown:

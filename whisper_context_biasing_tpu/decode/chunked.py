@@ -233,10 +233,12 @@ def transcribe_chunked(
     # VAD gate: a window with no detected speech never enters the work list
     # (its core is silent too — core ⊆ window — so no segment is lost)
     vad_segs = None
-    if vad:
+    if vad is not None and vad is not False:  # NB: vad={} means defaults
         from ..audio.vad import has_speech, resolve_vad
 
         vad_segs = [resolve_vad(vad, a) for a in audios]
+        if all(s is None for s in vad_segs):  # e.g. vad=[] — no gating
+            vad_segs = None
     work: list[tuple[int, int, int, int]] = []
     for fi, a in enumerate(audios):
         for s, c0, c1 in chunk_layout(len(a), window_samples, stride_samples):

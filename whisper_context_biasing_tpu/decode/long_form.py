@@ -165,6 +165,13 @@ def sample_best_of(call, temperature: float, key, n: int) -> GreedyResult:
             best = [toks.copy(), lens.copy(), slp.copy(), avg,
                     res.no_speech_prob, res.spec_rounds]
         else:
+            if toks.shape[1] != best[0].shape[1]:
+                # injected decode_fns may size the token axis per call;
+                # grow both to the wider width (pad value is never read —
+                # rows are consumed as toks[i, :lens[i]])
+                w = max(toks.shape[1], best[0].shape[1])
+                toks = np.pad(toks, ((0, 0), (0, w - toks.shape[1])))
+                best[0] = np.pad(best[0], ((0, 0), (0, w - best[0].shape[1])))
             better = avg > best[3]
             if better.any():
                 best[0][better] = toks[better]
@@ -330,10 +337,12 @@ def transcribe_long_batch(
     b = len(audios)
     audios = [np.asarray(a, np.float32) for a in audios]
     vad_segs = None
-    if vad:
+    if vad is not None and vad is not False:  # NB: vad={} means defaults
         from ..audio.vad import has_speech, next_onset, resolve_vad
 
         vad_segs = [resolve_vad(vad, a) for a in audios]
+        if all(s is None for s in vad_segs):  # e.g. vad=[] — no gating
+            vad_segs = None
     seek = [0] * b                      # sample offset of each file's window
     started = [False] * b               # zero-length audio still gets 1 window
     histories: list[list[int]] = [[] for _ in range(b)]

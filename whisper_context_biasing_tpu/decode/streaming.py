@@ -111,6 +111,12 @@ class StreamingTranscriber:
                 self.start = starts[0] if starts else [tokenizer.sot]
                 self.language = langs[0]
         self.window_samples = int(window_samples)
+        if isinstance(vad, (list, tuple)):
+            raise ValueError(
+                "clip ranges (vad=[(start_s, end_s), ...]) are not "
+                "meaningful for a streaming session — windows are gated in "
+                "stream-relative time as they arrive; use vad=True or a "
+                "speech_segments() override dict")
         self.vad = vad
         self.prefix_pad_to_multiple = prefix_pad_to_multiple
         self.rng_key = rng_key if rng_key is not None else jax.random.PRNGKey(0)
@@ -290,7 +296,7 @@ class StreamingTranscriber:
                 self._chunks, self._pending = [], 0
             chunk = self._buffer[: self.window_samples]
             window_audio_len = len(chunk)
-            if self.vad:
+            if self.vad is not None and self.vad is not False:  # {} = defaults
                 from ..audio.vad import resolve_vad
 
                 if not resolve_vad(self.vad, chunk):

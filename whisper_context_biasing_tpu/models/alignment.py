@@ -173,14 +173,32 @@ def alignment_matrix(
     if not with_probs:
         return matrix
     # per-token probabilities of the observed sequence from the same pass:
-    # one extra vocab matmul on the final-LN states
+    # one extra vocab projection on the final-LN states, chunked over the
+    # sequence axis so the (B, S, V) logits tensor is never materialized
+    # whole (B=32, S=232, V=51.9k would be a 1.5 GB f32 spike)
     hs = layer_norm(h_final, dec["ln"]["scale"], dec["ln"]["bias"])
-    logits = project_vocab(params, hs).astype(jnp.float32)  # (B, S, V)
-    lse = jax.scipy.special.logsumexp(logits, axis=-1)      # (B, S)
-    chosen = jnp.take_along_axis(
-        logits[:, :-1], tokens[:, 1:, None].astype(jnp.int32), axis=-1
-    )[..., 0]
+    cs = 16  # (B, cs, V) peak: ~100 MB f32 at B=32
+    n_chunks = -(-s // cs)
+    pad_s = n_chunks * cs - s
+    hs_p = jnp.pad(hs, ((0, 0), (0, pad_s), (0, 0)))
+    # + cs so the lo+1 next-token slice never reads past the array; the
+    # padded zeros are valid indices and their probs land in discarded
+    # positions
+    tok_p = jnp.pad(tokens, ((0, 0), (0, pad_s + cs)))
+
+    def chunk_probs(lo):
+        h_c = jax.lax.dynamic_slice_in_dim(hs_p, lo, cs, 1)
+        t_c = jax.lax.dynamic_slice_in_dim(tok_p, lo + 1, cs, 1)  # next tok
+        lg = project_vocab(params, h_c).astype(jnp.float32)  # (B, cs, V)
+        lse = jax.scipy.special.logsumexp(lg, axis=-1)
+        chosen = jnp.take_along_axis(
+            lg, t_c[..., None].astype(jnp.int32), axis=-1)[..., 0]
+        return jnp.exp(chosen - lse)  # (B, cs): P(tokens[lo+i+1] | ..<=lo+i)
+
+    chunks = jax.lax.map(chunk_probs, jnp.arange(n_chunks) * cs)  # (N, B, cs)
+    nxt = jnp.moveaxis(chunks, 0, 1).reshape(b, n_chunks * cs)[:, :s]
+    # nxt[t] = P(tokens[t+1] | context); shift right, position 0 has no
+    # conditioning context and is fixed at 1.0
     probs = jnp.concatenate(
-        [jnp.ones((b, 1), jnp.float32),
-         jnp.exp(chosen - lse[:, :-1])], axis=1)
+        [jnp.ones((b, 1), jnp.float32), nxt[:, : s - 1]], axis=1)
     return matrix, probs
