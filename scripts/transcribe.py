@@ -111,6 +111,10 @@ def parse_args():
                    help="translate = any-language speech -> English text "
                         "(multilingual models; auto-detects the source "
                         "language unless --language is given)")
+    p.add_argument("--window_info", action="store_true",
+                   help="long-form modes: add per-window QC dicts "
+                        "(temperature, avg_logprob, no_speech_prob, "
+                        "compression_ratio, accepted) to the JSON output")
     p.add_argument("--word_timestamps", action="store_true",
                    help="per-word start/end times via cross-attention DTW "
                         "alignment (decode/word_timestamps.py); short-form "
@@ -191,7 +195,7 @@ def parse_clip_timestamps(spec):
             f"ranges like '0-30,65-90', got {spec!r}")
 
 
-def emit(args, fmt, path, text, segments, words, language=None):
+def emit(args, fmt, path, text, segments, words, language=None, windows=None):
     """One input file's output in the chosen format; returns the string."""
     from whisper_context_biasing_tpu.utils.subtitles import format_srt, format_vtt
 
@@ -199,6 +203,8 @@ def emit(args, fmt, path, text, segments, words, language=None):
         rec = {"file": path, "text": text}
         if language:
             rec["language"] = language
+        if windows is not None:
+            rec["windows"] = windows
         if segments is not None:
             rec["segments"] = [{"start": round(a, 3), "end": round(e, 3),
                                 "text": t.strip()} for a, e, t in segments]
@@ -288,6 +294,9 @@ def main():
         print("warning: --vad/--clip_timestamps gate long-form/chunked "
               "windows; ignored on the single-window path (use --long)",
               file=sys.stderr)
+    if args.window_info and not args.long:
+        print("warning: --window_info reports long-form window QC; ignored "
+              "on the single-window path (use --long)", file=sys.stderr)
     if args.long:
         from whisper_context_biasing_tpu.decode import transcribe_long_batch
 
@@ -363,7 +372,8 @@ def main():
             num_beams=args.num_beams,
             beam_early_stopping=args.beam_early_stopping,
             word_timestamps=args.word_timestamps, alignment_heads=heads,
-            vad=parse_clip_timestamps(args.clip_timestamps) or args.vad)
+            vad=parse_clip_timestamps(args.clip_timestamps) or args.vad,
+            return_window_info=args.window_info)
         if args.chunked:
             from whisper_context_biasing_tpu.decode import transcribe_chunked
 
@@ -376,6 +386,9 @@ def main():
             out = transcribe_long_batch(params, cfg, tokenizer, raw,
                                         prompt_reset_on_temperature=prt,
                                         **common)
+        winfo = None
+        if args.window_info:
+            *out, winfo = out
         if args.word_timestamps:
             hyps, segments, long_words = out
         else:
@@ -392,7 +405,8 @@ def main():
             if lw is not None and not args.timestamps:
                 segs = words_to_segments(lw)  # word-derived cues
             rendered.append(emit(args, fmt, path, text, segs, lw,
-                                 language=langs[i]))
+                                 language=langs[i],
+                                 windows=winfo[i] if winfo else None))
         write_outputs(args, fmt, rendered)
         print(f"[{len(raw)} files, {audio_seconds:.1f}s audio in {wall:.2f}s "
               f"= {audio_seconds / max(wall, 1e-9):.1f}x realtime]", file=sys.stderr)

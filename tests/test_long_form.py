@@ -631,3 +631,95 @@ class TestBestOfWidths:
         res = sample_best_of(call, 0.5, jax.random.PRNGKey(0), 3)
         row = np.asarray(res.tokens)[0, : int(np.asarray(res.lengths)[0])]
         assert tok.decode(row.tolist(), skip_special_tokens=True) == " w1"
+
+
+class TestWindowInfo:
+    """return_window_info appends per-window QC dicts as the LAST return
+    element: start_s, temperature, avg_logprob, no_speech_prob,
+    compression_ratio, accepted."""
+
+    def test_sequential_reports_ladder_outcome(self, tok, model):
+        cfg, params = model
+        good = _enc(tok, " the scan was clear")
+
+        def decode_fn(mel, ids, mask, temperature, key):
+            n_win = 1 if ids.shape == (1, 1) else 2  # history => window 2
+            if n_win == 1 and temperature == 0.0:
+                return _result([_enc(tok, " junk")], sum_logprob=[-100.0])
+            return _result([good], sum_logprob=[-0.2 * (len(good) + 1)],
+                           width=32)
+
+        audio = np.zeros(int(45 * SAMPLE_RATE), np.float32)
+        out = transcribe_long_batch(
+            params, cfg, tok, [audio], temperatures=(0.0, 0.5),
+            decode_fn=decode_fn, no_speech_threshold=None,
+            return_window_info=True,
+            mel_fn=lambda c: np.zeros((c.shape[0], 80, 128), np.float32))
+        hyps, info = out
+        assert len(info[0]) == 2
+        w1, w2 = info[0]
+        assert w1["start_s"] == 0.0 and w1["temperature"] == 0.5
+        assert w1["accepted"] and w1["avg_logprob"] == pytest.approx(-0.2)
+        assert w2["start_s"] == 30.0 and w2["temperature"] == 0.0
+        assert w2["compression_ratio"] > 0
+        assert hyps[0]  # tokens still returned first
+
+    def test_compose_with_segments_and_words_ordering(self, tok, model):
+        """info rides LAST after segments (and words when requested)."""
+        cfg, params = model
+
+        def decode_fn(mel, ids, mask, temperature, key):
+            return _result([_enc(tok, " ok")], sum_logprob=[-0.1])
+
+        audio = np.zeros(int(5 * SAMPLE_RATE), np.float32)
+        out = transcribe_long_batch(
+            params, cfg, tok, [audio], temperatures=(0.0,),
+            decode_fn=decode_fn, no_speech_threshold=None,
+            return_segments=True, return_window_info=True,
+            mel_fn=lambda c: np.zeros((c.shape[0], 80, 128), np.float32))
+        hyps, segs, info = out
+        assert isinstance(info[0][0], dict) and len(info[0]) == 1
+
+    def test_chunked_window_info_grouped_by_file(self, tok, model):
+        from whisper_context_biasing_tpu.decode.chunked import (
+            transcribe_chunked,
+        )
+
+        cfg, params = model
+
+        def decode_fn(mel, ids, mask, temperature, key):
+            return _result([_enc(tok, " ok")] * mel.shape[0],
+                           sum_logprob=[-0.3 * 3] * mel.shape[0])
+
+        audios = [np.zeros(int(45 * SAMPLE_RATE), np.float32),
+                  np.zeros(int(5 * SAMPLE_RATE), np.float32)]
+        out = transcribe_chunked(
+            params, cfg, tok, audios, temperatures=(0.0,),
+            decode_fn=decode_fn, no_speech_threshold=None,
+            use_timestamps=False, return_window_info=True,
+            mel_fn=lambda c: np.zeros((c.shape[0], 80, 128), np.float32))
+        hyps, info = out
+        assert len(info) == 2
+        assert len(info[0]) >= 2 and len(info[1]) == 1  # 45 s vs 5 s
+        starts = [d["start_s"] for d in info[0]]
+        assert starts == sorted(starts)
+        assert all(d["accepted"] for d in info[0] + info[1])
+
+    def test_streaming_window_info(self, tok, model):
+        from whisper_context_biasing_tpu.decode.streaming import (
+            StreamingTranscriber,
+        )
+
+        cfg, params = model
+
+        def decode_fn(mel, ids, mask, temperature, key):
+            return _result([_enc(tok, " hi")], sum_logprob=[-0.2 * 3])
+
+        st = StreamingTranscriber(
+            params, cfg, tok, decode_fn=decode_fn, temperatures=(0.0,),
+            use_timestamps=False, no_speech_threshold=None,
+            mel_fn=lambda c: np.zeros((c.shape[0], 80, 128), np.float32))
+        st.feed(np.zeros(st.window_samples * 2, np.float32))
+        assert len(st.window_info) == 2
+        assert st.window_info[1]["start_s"] == pytest.approx(30.0)
+        assert st.window_info[0]["accepted"]

@@ -47,7 +47,12 @@ import jax.numpy as jnp
 from ..audio.mel import N_SAMPLES, SAMPLE_RATE, log_mel_spectrogram_np
 from ..models.config import WhisperConfig
 from .greedy import greedy_decode, pack_prefixes
-from .long_form import DEFAULT_TEMPERATURES, MAX_PROMPT_TOKENS, window_quality_ok
+from .long_form import (
+    DEFAULT_TEMPERATURES,
+    MAX_PROMPT_TOKENS,
+    compression_ratio,
+    window_quality_ok,
+)
 
 
 def chunk_layout(
@@ -177,6 +182,9 @@ def transcribe_chunked(
     rng_key=None,
     prefix_pad_to_multiple: int | None = None,
     return_segments: bool = False,
+    return_window_info: bool = False,         # per-window QC dicts (file-
+                                              # grouped) appended as the
+                                              # LAST return element
     draft: tuple | None = None,               # (params, cfg, k) speculative
     pad_batches: bool = False,                # pad every call to max_batch so
                                               # ONE compiled program serves
@@ -258,6 +266,7 @@ def transcribe_chunked(
 
     results: list[list[int] | None] = [None] * len(work)
     window_words: list[list] = [[] for _ in range(len(work))]
+    win_info: list[dict | None] = [None] * len(work)
 
     for lo in range(0, len(work), max_batch):
         batch = work[lo : lo + max_batch]
@@ -337,6 +346,7 @@ def transcribe_chunked(
         accepted: list[list[int] | None] = [None] * nb_real
         last: list[list[int]] = [[] for _ in range(nb_real)]
         last_avg_lp: list[float | None] = [None] * nb_real
+        last_temp: list[float] = [0.0] * nb_real
         nsp = None
         for ti, temperature in enumerate(temperatures):
             rng_key, sub = jax.random.split(rng_key)
@@ -359,6 +369,7 @@ def transcribe_chunked(
                     continue
                 row = toks[j, : lens[j]].tolist()
                 last[j] = row
+                last_temp[j] = float(temperature)
                 avg_lp = (None if slp is None
                           else float(slp[j]) / (int(lens[j]) + 1))
                 last_avg_lp[j] = avg_lp
@@ -382,6 +393,17 @@ def transcribe_chunked(
                         and last_avg_lp[j] > logprob_threshold):
                     row = []  # silent window
             results[lo + j] = row
+            if return_window_info:
+                win_info[lo + j] = {
+                    "start_s": round(batch[j][1] / SAMPLE_RATE, 3),
+                    "temperature": last_temp[j],
+                    "avg_logprob": last_avg_lp[j],
+                    "no_speech_prob": (float(nsp[j]) if nsp is not None
+                                       else None),
+                    "compression_ratio": round(compression_ratio(
+                        tokenizer.decode(row, skip_special_tokens=True)), 3),
+                    "accepted": accepted[j] is not None,
+                }
 
         if word_timestamps:
             # one batched DTW alignment per decode batch, full decoded rows
@@ -459,8 +481,17 @@ def transcribe_chunked(
                         w.end = round(w.end + offset, 3)
                         words[fi].append(w)
 
-    if return_segments and word_timestamps:
-        return outputs, segments, words
+    out: tuple = (outputs,)
     if return_segments:
-        return outputs, segments
-    return outputs
+        out += (segments,)
+        if word_timestamps:
+            out += (words,)
+    if return_window_info:
+        info_by_file: list[list[dict]] = [[] for _ in range(nfiles)]
+        for (fi, *_), info in zip(work, win_info):
+            if info is not None:
+                info_by_file[fi].append(info)
+        for fi in range(nfiles):
+            info_by_file[fi].sort(key=lambda d: d["start_s"])
+        out += (info_by_file,)
+    return out if len(out) > 1 else outputs

@@ -211,6 +211,11 @@ def transcribe_long_batch(
     rng_key=None,
     prefix_pad_to_multiple: int | None = None,
     return_segments: bool = False,
+    return_window_info: bool = False,  # per-window QC dicts appended as the
+                                       # LAST return element: start_s,
+                                       # temperature, avg_logprob,
+                                       # no_speech_prob, compression_ratio,
+                                       # accepted (quality-ladder verdict)
     word_timestamps: bool = False,   # per-window cross-attention alignment
     alignment_heads: list[tuple[int, int]] | None = None,
     start_tokens: list[list[int]] | None = None,  # per-file decode starts
@@ -349,6 +354,7 @@ def transcribe_long_batch(
     outputs: list[list[int]] = [[] for _ in range(b)]
     segments: list[list[tuple[float, float | None, str]]] = [[] for _ in range(b)]
     words: list[list] = [[] for _ in range(b)]
+    window_info: list[list[dict]] = [[] for _ in range(b)]
 
     def active(i):
         return not started[i] or seek[i] < len(audios[i])
@@ -492,6 +498,17 @@ def transcribe_long_batch(
                     words[i].extend(ws)
 
         for i, row in kept_rows.items():
+            if return_window_info:
+                window_info[i].append({
+                    "start_s": round(seek[i] / SAMPLE_RATE, 3),
+                    "temperature": last_temp[i],
+                    "avg_logprob": last_avg_lp[i],
+                    "no_speech_prob": (float(nsp[i]) if nsp is not None
+                                       else None),
+                    "compression_ratio": round(compression_ratio(
+                        tokenizer.decode(row, skip_special_tokens=True)), 3),
+                    "accepted": accepted[i] is not None,
+                })
             if return_segments:
                 offset = seek[i] / SAMPLE_RATE
                 if use_timestamps:
@@ -515,11 +532,14 @@ def transcribe_long_batch(
                 content = _content_tokens(row, tokenizer)
                 histories[i] = (histories[i] + content)[-MAX_PROMPT_TOKENS:]
             outputs[i].extend(row)
-    if return_segments and word_timestamps:
-        return outputs, segments, words
+    out: tuple = (outputs,)
     if return_segments:
-        return outputs, segments
-    return outputs
+        out += (segments,)
+        if word_timestamps:
+            out += (words,)
+    if return_window_info:
+        out += (window_info,)
+    return out if len(out) > 1 else outputs
 
 
 def transcribe_long(

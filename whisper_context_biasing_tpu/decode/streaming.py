@@ -25,6 +25,7 @@ from .long_form import (
     DEFAULT_TEMPERATURES,
     MAX_PROMPT_TOKENS,
     _content_tokens,
+    compression_ratio,
     timestamp_seek,
     window_quality_ok,
 )
@@ -174,6 +175,11 @@ class StreamingTranscriber:
         self.tokens: list[int] = []
         self.segments: list[tuple[float, float | None, str]] = []
         self.words: list = []       # WordTiming in absolute stream time
+        self.window_info: list[dict] = []  # per decoded window: start_s,
+                                    # temperature, avg_logprob,
+                                    # no_speech_prob, compression_ratio,
+                                    # accepted (VAD-skipped windows decode
+                                    # nothing and record nothing)
         self._finished = False
 
     # -- internals --------------------------------------------------------
@@ -249,6 +255,15 @@ class StreamingTranscriber:
             if adv_s is not None:
                 advance = max(int(adv_s * SAMPLE_RATE), self.window_samples // 100)
                 row = kept
+        self.window_info.append({
+            "start_s": round(self._consumed / SAMPLE_RATE, 3),
+            "temperature": self._last_temp,
+            "avg_logprob": last_avg_lp,
+            "no_speech_prob": nsp,
+            "compression_ratio": round(compression_ratio(
+                tok.decode(row, skip_special_tokens=True)), 3),
+            "accepted": accepted is not None,
+        })
         return row, advance, window_audio_len
 
     def _emit(self, row: list[int], span_samples: int):

@@ -30,6 +30,10 @@ class TranscriptionResult:
     segments: list | None = None
     # word-level timings (decode/word_timestamps.WordTiming)
     words: list | None = None
+    # per-window QC dicts (transcribe(window_info=True), long-form modes):
+    # start_s, temperature, avg_logprob, no_speech_prob, compression_ratio,
+    # accepted
+    windows: list | None = None
 
     def srt(self) -> str:
         from .utils.subtitles import format_srt
@@ -306,6 +310,8 @@ class Pipeline:
         vad: bool | dict = False,   # host-side energy VAD (audio/vad.py):
                                     # long-form/chunked windows with no
                                     # detected speech skip all device work
+        window_info: bool = False,  # long-form modes: per-window QC dicts
+                                    # on result.windows
 
         timestamps: bool = False,
         word_timestamps: bool = False,
@@ -386,7 +392,11 @@ class Pipeline:
                 # pad every window batch to one static shape: repeated
                 # library calls with varying audio lengths must reuse ONE
                 # compiled program (docs/PERF.md chunked pitfall)
-                max_batch=chunked_batch, pad_batches=True)
+                max_batch=chunked_batch, pad_batches=True,
+                return_window_info=window_info)
+            winfo = None
+            if window_info:
+                *out, winfo = out
             if word_timestamps:
                 hyps, segs, long_words = out
             else:
@@ -401,7 +411,8 @@ class Pipeline:
                     segments = words_to_segments(lw)
                 results.append(TranscriptionResult(
                     text=text, tokens=list(h), language=langs[i],
-                    words=lw, segments=segments))
+                    words=lw, segments=segments,
+                    windows=winfo[i] if winfo is not None else None))
             return results[0] if single else results
 
         if use_long:
@@ -435,7 +446,10 @@ class Pipeline:
                 prefix_pad_to_multiple=32, window_samples=win, draft=draft,
                 medusa=self.medusa, vad=vad,
                 num_beams=num_beams, beam_early_stopping=beam_early_stopping,
-                mesh=self.mesh)
+                mesh=self.mesh, return_window_info=window_info)
+            winfo = None
+            if window_info:
+                *out, winfo = out
             if word_timestamps:
                 hyps, segs, long_words = out
             else:
@@ -451,7 +465,8 @@ class Pipeline:
                     segments = words_to_segments(lw)
                 results.append(TranscriptionResult(
                     text=text, tokens=list(h), language=langs[i],
-                    words=lw, segments=segments))
+                    words=lw, segments=segments,
+                    windows=winfo[i] if winfo is not None else None))
             return results[0] if single else results
 
         from .decode import beam_decode_batch, decode_batch, find_word_timestamps
