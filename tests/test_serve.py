@@ -186,7 +186,7 @@ class TestServeLongChunked:
                 opts=[{"words": True}])
             assert len(results) == 1
             assert called["chunked"]
-            assert all(set(w) == {"word", "start", "end"}
+            assert all(set(w) == {"word", "start", "end", "probability"}
                        for w in results[0].get("words", []))
         finally:
             engine.args.long_chunked = False
@@ -207,7 +207,7 @@ class TestServeOptions:
                               opts=[{"words": True}, {}])
         assert "words" in results[0] and "words" not in results[1]
         for w in results[0]["words"]:
-            assert set(w) == {"word", "start", "end"}
+            assert set(w) == {"word", "start", "end", "probability"}
             assert 0.0 <= w["start"] <= w["end"] <= 8000 / 16000 + 1e-6
 
     def test_language_forced(self, ml_engine):
