@@ -18,6 +18,7 @@ POST /transcribe accepts a WAV or MP3 body; optional headers:
     X-Language:        language code or "auto" (multilingual models)
     X-Task:            "translate" for speech -> English (multilingual models)
     X-Word-Timestamps: "1" adds per-word start/end times (any length)
+    X-Window-Info:     "1" adds per-window QC dicts (>30 s requests)
 
 Streaming (incremental) sessions — decode/streaming.py:
     POST /stream            -> {"session": id}   (same option headers)
@@ -388,6 +389,7 @@ class Engine:
         ctx, spans, mel_fn, start_tokens, langs, draft, lp = self._prep_long(
             audios, contexts, bias_word_lists, opts)
         want_words = any(o.get("words") for o in opts[:n])
+        want_info = any(o.get("window_info") for o in opts[:n])
         out = self.transcribe_chunked(
             self.params, self.cfg, tok, audios, mel_fn=mel_fn, draft=draft,
             max_new=self.args.max_tokens,
@@ -402,7 +404,12 @@ class Engine:
             start_tokens=start_tokens, num_beams=self.args.num_beams,
             medusa=self.medusa, mesh=self.mesh,
             vad=getattr(self.args, "vad", False),
-            return_segments=want_words, word_timestamps=want_words)
+            return_segments=want_words, word_timestamps=want_words,
+            return_window_info=want_info)
+        winfo = None
+        if want_info:
+            *rest, winfo = out
+            out = rest if len(rest) > 1 else rest[0]
         if want_words:
             hyps, _, words = out
         else:
@@ -414,6 +421,8 @@ class Engine:
                 r["language"] = lang
             if words is not None and opts[i].get("words"):
                 r["words"] = self._word_dicts(words[i])
+            if winfo is not None and opts[i].get("window_info"):
+                r["windows"] = winfo[i]
         return results
 
     def _run_long(self, audios, contexts, bias_word_lists, opts=None):
@@ -434,6 +443,7 @@ class Engine:
         ctx, spans, mel_fn, start_tokens, langs, draft, lp = self._prep_long(
             audios, contexts, bias_word_lists, opts)
         want_words = any(o.get("words") for o in opts[:n])
+        want_info = any(o.get("window_info") for o in opts[:n])
         out = self.transcribe_long_batch(
             self.params, self.cfg, tok, audios, mel_fn=mel_fn, draft=draft,
             max_new=self.args.max_tokens,
@@ -448,7 +458,12 @@ class Engine:
             return_segments=want_words, word_timestamps=want_words,
             num_beams=self.args.num_beams, medusa=self.medusa,
             mesh=self.mesh, vad=getattr(self.args, "vad", False),
+            return_window_info=want_info,
         )
+        winfo = None
+        if want_info:
+            *rest, winfo = out
+            out = rest if len(rest) > 1 else rest[0]
         if want_words:
             hyps, _, words = out
         else:
@@ -460,6 +475,8 @@ class Engine:
                 r["language"] = lang
             if words is not None and opts[i].get("words"):
                 r["words"] = self._word_dicts(words[i])
+            if winfo is not None and opts[i].get("window_info"):
+                r["windows"] = winfo[i]
         return results
 
     # -- streaming sessions (decode/streaming.py) -------------------------
@@ -705,6 +722,8 @@ def _parse_opt_headers(headers) -> dict:
         opt["task"] = headers["X-Task"].strip()
     if (headers.get("X-Word-Timestamps") or "").strip() in ("1", "true", "yes"):
         opt["words"] = True
+    if (headers.get("X-Window-Info") or "").strip() in ("1", "true", "yes"):
+        opt["window_info"] = True  # long-form only: per-window QC dicts
     return opt
 
 

@@ -297,6 +297,18 @@ class TestServeLongFormWords:
         for w in results[0]["words"]:
             assert 0.0 <= w["start"] <= w["end"] <= total + 1e-6
 
+    def test_long_request_honors_window_info_option(self, engine):
+        """X-Window-Info on a >30 s request returns per-window QC dicts."""
+        audios = [np.ones(N_SAMPLES + 16000, np.float32) * 0.1,
+                  np.ones(N_SAMPLES + 16000, np.float32) * 0.1]
+        results = engine._run_long(audios, [None, None], [None, None],
+                                   opts=[{"window_info": True}, {}])
+        assert "windows" in results[0] and "windows" not in results[1]
+        wins = results[0]["windows"]
+        assert wins and all(
+            {"start_s", "temperature", "avg_logprob", "no_speech_prob",
+             "compression_ratio", "accepted"} <= set(d) for d in wins)
+
 
 class TestAudioBytesRouting:
     def test_wav_magic(self):
