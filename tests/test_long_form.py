@@ -723,3 +723,54 @@ class TestWindowInfo:
         assert len(st.window_info) == 2
         assert st.window_info[1]["start_s"] == pytest.approx(30.0)
         assert st.window_info[0]["accepted"]
+
+
+class TestWindowInfoAcceptedSemantics:
+    def test_silenced_window_reports_ladder_verdict(self, tok, model):
+        """A window every rung FAILED that the silence rule then dropped
+        must report accepted=False — identically in the sequential loop and
+        chunked mode (the confidence-filter recipe depends on it)."""
+        from whisper_context_biasing_tpu.decode.chunked import (
+            transcribe_chunked,
+        )
+
+        cfg, params = model
+
+        def decode_fn(mel, ids, mask, temperature, key):
+            b = mel.shape[0]
+            res = _result([_enc(tok, " mumble")] * b,
+                          sum_logprob=[-100.0] * b)
+            # high no-speech prior at every rung (prefill-derived)
+            return GreedyResult(res.tokens, res.lengths, res.sum_logprob,
+                                np.full(b, 0.99, np.float32))
+
+        audio = np.zeros(int(5 * SAMPLE_RATE), np.float32)
+        kw = dict(temperatures=(0.0, 0.5), decode_fn=decode_fn,
+                  no_speech_threshold=0.6, logprob_threshold=-1.0,
+                  return_window_info=True,
+                  mel_fn=lambda c: np.zeros((c.shape[0], 80, 128), np.float32))
+        hyps, info = transcribe_long_batch(params, cfg, tok, [audio], **kw)
+        assert hyps[0] == [] and info[0][0]["accepted"] is False
+        kw.pop("temperatures")
+        hyps_c, info_c = transcribe_chunked(
+            params, cfg, tok, [audio], temperatures=(0.0, 0.5),
+            use_timestamps=False, **kw)
+        assert info_c[0][0]["accepted"] is False
+
+    def test_streaming_empty_clip_list_is_no_gating(self, tok, model):
+        from whisper_context_biasing_tpu.decode.streaming import (
+            StreamingTranscriber,
+        )
+
+        cfg, params = model
+
+        def decode_fn(mel, ids, mask, temperature, key):
+            return _result([_enc(tok, " ok")], sum_logprob=[-0.1])
+
+        st = StreamingTranscriber(
+            params, cfg, tok, decode_fn=decode_fn, vad=[],  # no ranges
+            temperatures=(0.0,), use_timestamps=False,
+            no_speech_threshold=None,
+            mel_fn=lambda c: np.zeros((c.shape[0], 80, 128), np.float32))
+        st.feed(np.zeros(st.window_samples, np.float32))
+        assert st.tokens  # decoded normally, no ValueError, no gating

@@ -487,11 +487,11 @@ def transcribe_chunked(
         if word_timestamps:
             out += (words,)
     if return_window_info:
+        # work is built file-major with ascending window starts, so each
+        # file's info lands already ordered by start_s
         info_by_file: list[list[dict]] = [[] for _ in range(nfiles)]
         for (fi, *_), info in zip(work, win_info):
             if info is not None:
                 info_by_file[fi].append(info)
-        for fi in range(nfiles):
-            info_by_file[fi].sort(key=lambda d: d["start_s"])
         out += (info_by_file,)
     return out if len(out) > 1 else outputs

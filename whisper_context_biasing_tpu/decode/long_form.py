@@ -442,6 +442,12 @@ def transcribe_long_batch(
             if not pending:
                 break
 
+        # snapshot the ladder's verdict BEFORE the silence rule overwrites
+        # accepted[i] — window_info's "accepted" field is the quality-ladder
+        # verdict on every surface (chunked never overwrites, so this keeps
+        # the two long-form modes reporting identically)
+        ladder_ok = [accepted[i] is not None for i in range(b)]
+
         # OpenAI's silence rule, applied AFTER the fallback ladder to its
         # final result: high P(<|nospeech|>) drops the window unless the
         # (possibly retried) decode ended up confident
@@ -507,7 +513,7 @@ def transcribe_long_batch(
                                        else None),
                     "compression_ratio": round(compression_ratio(
                         tokenizer.decode(row, skip_special_tokens=True)), 3),
-                    "accepted": accepted[i] is not None,
+                    "accepted": ladder_ok[i],
                 })
             if return_segments:
                 offset = seek[i] / SAMPLE_RATE

@@ -112,6 +112,8 @@ class StreamingTranscriber:
                 self.start = starts[0] if starts else [tokenizer.sot]
                 self.language = langs[0]
         self.window_samples = int(window_samples)
+        if isinstance(vad, (list, tuple)) and len(vad) == 0:
+            vad = False  # resolve_vad contract: no ranges -> no gating
         if isinstance(vad, (list, tuple)):
             raise ValueError(
                 "clip ranges (vad=[(start_s, end_s), ...]) are not "
@@ -241,6 +243,7 @@ class StreamingTranscriber:
             ):
                 accepted = row
                 break
+        ladder_ok = accepted is not None  # snapshot BEFORE the silence rule
         # OpenAI's silence rule, applied AFTER the ladder to its final result
         if nsp is not None and nsp > self.no_speech_threshold:
             if not (self.logprob_threshold is not None
@@ -262,7 +265,7 @@ class StreamingTranscriber:
             "no_speech_prob": nsp,
             "compression_ratio": round(compression_ratio(
                 tok.decode(row, skip_special_tokens=True)), 3),
-            "accepted": accepted is not None,
+            "accepted": ladder_ok,
         })
         return row, advance, window_audio_len
 
