@@ -389,7 +389,12 @@ class Engine:
         ctx, spans, mel_fn, start_tokens, langs, draft, lp = self._prep_long(
             audios, contexts, bias_word_lists, opts)
         want_words = any(o.get("words") for o in opts[:n])
-        want_info = any(o.get("window_info") for o in opts[:n])
+        # window QC is a LONG-request feature: gate on each request's own
+        # audio length so a <=30 s request gets the same response shape
+        # whether it batched with a long request or alone (the micro-batch
+        # routes whole batches here when ANY member is long)
+        want_info = any(o.get("window_info") and len(a) > 480000
+                        for o, a in zip(opts[:n], audios[:n]))
         out = self.transcribe_chunked(
             self.params, self.cfg, tok, audios, mel_fn=mel_fn, draft=draft,
             max_new=self.args.max_tokens,
@@ -406,14 +411,11 @@ class Engine:
             vad=getattr(self.args, "vad", False),
             return_segments=want_words, word_timestamps=want_words,
             return_window_info=want_info)
-        winfo = None
-        if want_info:
-            *rest, winfo = out
-            out = rest if len(rest) > 1 else rest[0]
-        if want_words:
-            hyps, _, words = out
-        else:
-            hyps, words = out, None
+        from whisper_context_biasing_tpu.decode import unpack_long_form
+
+        hyps, _, words, winfo = unpack_long_form(
+            out, return_segments=want_words, word_timestamps=want_words,
+            return_window_info=want_info)
         results = [{"text": tok.decode(h, skip_special_tokens=True).strip()}
                    for h in hyps]
         for i, (r, lang) in enumerate(zip(results, langs)):
@@ -421,7 +423,8 @@ class Engine:
                 r["language"] = lang
             if words is not None and opts[i].get("words"):
                 r["words"] = self._word_dicts(words[i])
-            if winfo is not None and opts[i].get("window_info"):
+            if (winfo is not None and opts[i].get("window_info")
+                    and len(audios[i]) > 480000):
                 r["windows"] = winfo[i]
         return results
 
@@ -443,7 +446,10 @@ class Engine:
         ctx, spans, mel_fn, start_tokens, langs, draft, lp = self._prep_long(
             audios, contexts, bias_word_lists, opts)
         want_words = any(o.get("words") for o in opts[:n])
-        want_info = any(o.get("window_info") for o in opts[:n])
+        # same per-request gate as _run_long_chunked: QC only for requests
+        # that are themselves long, so batching can't change response shape
+        want_info = any(o.get("window_info") and len(a) > 480000
+                        for o, a in zip(opts[:n], audios[:n]))
         out = self.transcribe_long_batch(
             self.params, self.cfg, tok, audios, mel_fn=mel_fn, draft=draft,
             max_new=self.args.max_tokens,
@@ -460,14 +466,11 @@ class Engine:
             mesh=self.mesh, vad=getattr(self.args, "vad", False),
             return_window_info=want_info,
         )
-        winfo = None
-        if want_info:
-            *rest, winfo = out
-            out = rest if len(rest) > 1 else rest[0]
-        if want_words:
-            hyps, _, words = out
-        else:
-            hyps, words = out, None
+        from whisper_context_biasing_tpu.decode import unpack_long_form
+
+        hyps, _, words, winfo = unpack_long_form(
+            out, return_segments=want_words, word_timestamps=want_words,
+            return_window_info=want_info)
         results = [{"text": tok.decode(h, skip_special_tokens=True).strip()}
                    for h in hyps[:n]]
         for i, (r, lang) in enumerate(zip(results, langs[:n])):
@@ -475,7 +478,8 @@ class Engine:
                 r["language"] = lang
             if words is not None and opts[i].get("words"):
                 r["words"] = self._word_dicts(words[i])
-            if winfo is not None and opts[i].get("window_info"):
+            if (winfo is not None and opts[i].get("window_info")
+                    and len(audios[i]) > 480000):
                 r["windows"] = winfo[i]
         return results
 

@@ -386,13 +386,11 @@ def main():
             out = transcribe_long_batch(params, cfg, tokenizer, raw,
                                         prompt_reset_on_temperature=prt,
                                         **common)
-        winfo = None
-        if args.window_info:
-            *out, winfo = out
-        if args.word_timestamps:
-            hyps, segments, long_words = out
-        else:
-            (hyps, segments), long_words = out, None
+        from whisper_context_biasing_tpu.decode import unpack_long_form
+
+        hyps, segments, long_words, winfo = unpack_long_form(
+            out, return_segments=True, word_timestamps=args.word_timestamps,
+            return_window_info=args.window_info)
         wall = time.time() - t0
         texts = [tokenizer.decode(h, skip_special_tokens=True).strip()
                  for h in hyps]

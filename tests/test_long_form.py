@@ -725,6 +725,58 @@ class TestWindowInfo:
         assert st.window_info[0]["accepted"]
 
 
+class TestUnpackLongForm:
+    """The shared normalizer every caller of transcribe_long_batch /
+    transcribe_chunked unpacks through (fixed 4-tuple, Nones for absent
+    elements) — one place to extend when a new optional element lands."""
+
+    def test_all_flag_combinations(self):
+        from whisper_context_biasing_tpu.decode import unpack_long_form
+
+        hyps, segs, words, winfo = [[1]], [[(0.0, 1.0, "x")]], [[]], [[{}]]
+        # bare outputs (no flags): the library returns the list itself
+        assert unpack_long_form(hyps) == (hyps, None, None, None)
+        assert unpack_long_form(
+            (hyps, segs), return_segments=True
+        ) == (hyps, segs, None, None)
+        assert unpack_long_form(
+            (hyps, segs, words), return_segments=True, word_timestamps=True
+        ) == (hyps, segs, words, None)
+        assert unpack_long_form(
+            (hyps, winfo), return_window_info=True
+        ) == (hyps, None, None, winfo)
+        assert unpack_long_form(
+            (hyps, segs, words, winfo), return_segments=True,
+            word_timestamps=True, return_window_info=True
+        ) == (hyps, segs, words, winfo)
+        # word_timestamps without return_segments: library adds nothing
+        assert unpack_long_form(
+            (hyps, winfo), word_timestamps=True, return_window_info=True
+        ) == (hyps, None, None, winfo)
+
+    def test_matches_real_return_shapes(self, tok, model):
+        from whisper_context_biasing_tpu.decode import unpack_long_form
+
+        cfg, params = model
+
+        def decode_fn(mel, ids, mask, temperature, key):
+            return _result([_enc(tok, " ok")], sum_logprob=[-0.1])
+
+        audio = np.zeros(int(5 * SAMPLE_RATE), np.float32)
+        mel_fn = lambda c: np.zeros((c.shape[0], 80, 128), np.float32)
+        for flags in ({}, {"return_segments": True},
+                      {"return_window_info": True},
+                      {"return_segments": True, "return_window_info": True}):
+            out = transcribe_long_batch(
+                params, cfg, tok, [audio], temperatures=(0.0,),
+                decode_fn=decode_fn, no_speech_threshold=None,
+                mel_fn=mel_fn, **flags)
+            hyps, segs, words, winfo = unpack_long_form(out, **flags)
+            assert hyps[0]
+            assert (segs is not None) == flags.get("return_segments", False)
+            assert (winfo is not None) == flags.get("return_window_info", False)
+
+
 class TestWindowInfoAcceptedSemantics:
     def test_silenced_window_reports_ladder_verdict(self, tok, model):
         """A window every rung FAILED that the silence rule then dropped
@@ -756,6 +808,12 @@ class TestWindowInfoAcceptedSemantics:
             params, cfg, tok, [audio], temperatures=(0.0, 0.5),
             use_timestamps=False, **kw)
         assert info_c[0][0]["accepted"] is False
+        # compression_ratio reports what the ladder GATED ON — the final
+        # rung's full row (" mumble"), not the emptied post-silence row —
+        # and identically in both long-form modes
+        want = round(compression_ratio(" mumble"), 3)
+        assert info[0][0]["compression_ratio"] == want
+        assert info_c[0][0]["compression_ratio"] == want
 
     def test_streaming_empty_clip_list_is_no_gating(self, tok, model):
         from whisper_context_biasing_tpu.decode.streaming import (

@@ -161,6 +161,23 @@ class TestPipeline:
         assert res[0].words is not None
         assert all(w.end >= w.start >= 0 for w in res[0].words)
 
+    def test_window_info_short_form_warns(self, pipe):
+        """window_info=True on the short-form route can't be honored (QC is
+        per long-form window) — the Pipeline warns instead of silently
+        leaving result.windows None (the CLI has the same warning)."""
+        with pytest.warns(UserWarning, match="short-form route"):
+            res = pipe.transcribe(np.zeros(4000, np.float32), max_tokens=4,
+                                  window_info=True)
+        assert res.windows is None
+        # forcing the windowed path honors it, no warning
+        import warnings as _w
+
+        with _w.catch_warnings():
+            _w.simplefilter("error")
+            res = pipe.transcribe(np.zeros(4000, np.float32), max_tokens=4,
+                                  long_form=True, window_info=True)
+        assert res.windows is not None and len(res.windows) == 1
+
     def test_srt_without_segments_raises(self, pipe):
         res = pipe.transcribe(np.zeros(8000, np.float32), max_tokens=4)
         with pytest.raises(ValueError, match="segments"):

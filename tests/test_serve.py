@@ -309,6 +309,18 @@ class TestServeLongFormWords:
             {"start_s", "temperature", "avg_logprob", "no_speech_prob",
              "compression_ratio", "accepted"} <= set(d) for d in wins)
 
+    def test_short_request_in_long_batch_gets_no_windows(self, engine):
+        """Regression: a <=30 s request asking for X-Window-Info got a
+        'windows' field only when it happened to micro-batch with a >30 s
+        request (the worker routes whole batches to _run_long when ANY
+        member is long). The gate is per-request audio length, so response
+        shape can't depend on batch composition."""
+        audios = [np.ones(N_SAMPLES + 16000, np.float32) * 0.1,
+                  np.ones(16000, np.float32) * 0.1]
+        results = engine._run_long(audios, [None, None], [None, None],
+                                   opts=[{}, {"window_info": True}])
+        assert "windows" not in results[1]  # short request: never present
+
 
 class TestAudioBytesRouting:
     def test_wav_magic(self):

@@ -20,7 +20,8 @@ from .beam import BeamResult, beam_decode, beam_decode_batch
 from .language import detect_language, resolve_start_tokens
 from .chunked import chunk_layout, merge_longest_common_sequence, transcribe_chunked
 from .medusa import medusa_decode_batch, medusa_greedy_decode
-from .long_form import split_windows, transcribe_long, transcribe_long_batch
+from .long_form import (split_windows, transcribe_long, transcribe_long_batch,
+                        unpack_long_form)
 from .streaming import StreamingTranscriber
 from .word_timestamps import WordTiming, find_word_timestamps
 
@@ -52,6 +53,7 @@ __all__ = [
     "chunk_layout",
     "merge_longest_common_sequence",
     "transcribe_long_batch",
+    "unpack_long_form",
     "StreamingTranscriber",
     "WordTiming",
     "find_word_timestamps",

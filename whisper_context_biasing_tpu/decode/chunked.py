@@ -400,8 +400,13 @@ def transcribe_chunked(
                     "avg_logprob": last_avg_lp[j],
                     "no_speech_prob": (float(nsp[j]) if nsp is not None
                                        else None),
+                    # CR the ladder gated on: final rung's full row, before
+                    # the silence rule empties ``row`` (same rule as the
+                    # sequential/streaming surfaces)
                     "compression_ratio": round(compression_ratio(
-                        tokenizer.decode(row, skip_special_tokens=True)), 3),
+                        tokenizer.decode(
+                            accepted[j] if accepted[j] is not None else last[j],
+                            skip_special_tokens=True)), 3),
                     "accepted": accepted[j] is not None,
                 }
 

@@ -43,6 +43,28 @@ MAX_PROMPT_TOKENS = 190  # the reference's desc-prompt truncation bound
 DEFAULT_TEMPERATURES = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0)
 
 
+def unpack_long_form(out, *, return_segments: bool = False,
+                     word_timestamps: bool = False,
+                     return_window_info: bool = False):
+    """Normalize the flag-dependent variadic return of
+    ``transcribe_long_batch`` / ``transcribe_chunked`` (which both emit
+    ``(outputs[, segments[, words]][, window_info])``, collapsing to bare
+    ``outputs`` when no flag is set) into a fixed 4-tuple
+    ``(outputs, segments, words, window_info)`` with ``None`` for elements
+    the flags did not request. Call with the same flag values the transcribe
+    call used — every caller should unpack through this instead of
+    positional ``*rest`` dances, so adding a future optional element can't
+    silently shift positions at a stale call site."""
+    if not isinstance(out, tuple):
+        return out, None, None, None
+    parts = list(out)
+    winfo = parts.pop() if return_window_info else None
+    hyps = parts[0]
+    segs = parts[1] if return_segments else None
+    words = parts[2] if (return_segments and word_timestamps) else None
+    return hyps, segs, words, winfo
+
+
 def split_windows(audio: np.ndarray, window: int = N_SAMPLES) -> list[np.ndarray]:
     """Non-overlapping fixed windows; the tail is zero-padded."""
     audio = np.asarray(audio, dtype=np.float32)
@@ -447,6 +469,15 @@ def transcribe_long_batch(
         # verdict on every surface (chunked never overwrites, so this keeps
         # the two long-form modes reporting identically)
         ladder_ok = [accepted[i] is not None for i in range(b)]
+        # window_info reports the compression ratio the ladder actually gated
+        # on — the final rung's FULL row, before the silence rule empties it
+        # and before timestamp_seek trims the incomplete trailing segment.
+        # All three long-form surfaces compute this identically.
+        ladder_cr = (
+            [round(compression_ratio(tokenizer.decode(
+                accepted[i] if accepted[i] is not None else last[i],
+                skip_special_tokens=True)), 3) for i in range(b)]
+            if return_window_info else None)
 
         # OpenAI's silence rule, applied AFTER the fallback ladder to its
         # final result: high P(<|nospeech|>) drops the window unless the
@@ -511,8 +542,7 @@ def transcribe_long_batch(
                     "avg_logprob": last_avg_lp[i],
                     "no_speech_prob": (float(nsp[i]) if nsp is not None
                                        else None),
-                    "compression_ratio": round(compression_ratio(
-                        tokenizer.decode(row, skip_special_tokens=True)), 3),
+                    "compression_ratio": ladder_cr[i],
                     "accepted": ladder_ok[i],
                 })
             if return_segments:

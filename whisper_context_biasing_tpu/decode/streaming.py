@@ -244,6 +244,11 @@ class StreamingTranscriber:
                 accepted = row
                 break
         ladder_ok = accepted is not None  # snapshot BEFORE the silence rule
+        # CR the ladder gated on: final rung's full row, pre-silence/pre-trim
+        # (identical rule in transcribe_long_batch / transcribe_chunked)
+        ladder_cr = round(compression_ratio(tok.decode(
+            accepted if accepted is not None else last,
+            skip_special_tokens=True)), 3)
         # OpenAI's silence rule, applied AFTER the ladder to its final result
         if nsp is not None and nsp > self.no_speech_threshold:
             if not (self.logprob_threshold is not None
@@ -263,8 +268,7 @@ class StreamingTranscriber:
             "temperature": self._last_temp,
             "avg_logprob": last_avg_lp,
             "no_speech_prob": nsp,
-            "compression_ratio": round(compression_ratio(
-                tok.decode(row, skip_special_tokens=True)), 3),
+            "compression_ratio": ladder_cr,
             "accepted": ladder_ok,
         })
         return row, advance, window_audio_len

@@ -350,6 +350,16 @@ class Pipeline:
         chunked = long_form == "chunked"
         use_long = (long_form is True) or chunked or (
             long_form == "auto" and any(len(c) > win for c in clips))
+        if window_info and not use_long:
+            # same contract as the CLI (scripts/transcribe.py): QC dicts are
+            # per long-form window; short-form has none, say so out loud
+            import warnings
+
+            warnings.warn(
+                "window_info=True reports long-form window QC; this call "
+                "took the short-form route (all clips <= one window) — "
+                "result.windows stays None. Pass long_form=True to force "
+                "the windowed path.")
 
         if chunked:
             # parallel-window mode: all windows of all clips decode in one
@@ -358,7 +368,7 @@ class Pipeline:
             # merges by segment-core ownership, False by LCS token merge;
             # word_timestamps aligns each decode batch in one DTW call with
             # words owned by the same core tiling.
-            from .decode import transcribe_chunked
+            from .decode import transcribe_chunked, unpack_long_form
 
             # medusa wins over a draft, so only consider (and only warn
             # about) the draft when no heads are loaded
@@ -394,13 +404,9 @@ class Pipeline:
                 # compiled program (docs/PERF.md chunked pitfall)
                 max_batch=chunked_batch, pad_batches=True,
                 return_window_info=window_info)
-            winfo = None
-            if window_info:
-                *out, winfo = out
-            if word_timestamps:
-                hyps, segs, long_words = out
-            else:
-                (hyps, segs), long_words = out, None
+            hyps, segs, long_words, winfo = unpack_long_form(
+                out, return_segments=True, word_timestamps=word_timestamps,
+                return_window_info=window_info)
             results = []
             for i, h in enumerate(hyps):
                 text = self.tokenizer.decode(h, skip_special_tokens=True).strip()
@@ -418,7 +424,7 @@ class Pipeline:
         if use_long:
             import warnings
 
-            from .decode import transcribe_long_batch
+            from .decode import transcribe_long_batch, unpack_long_form
 
             draft = None
             if self.medusa is None and self.draft_params is not None:
@@ -447,13 +453,9 @@ class Pipeline:
                 medusa=self.medusa, vad=vad,
                 num_beams=num_beams, beam_early_stopping=beam_early_stopping,
                 mesh=self.mesh, return_window_info=window_info)
-            winfo = None
-            if window_info:
-                *out, winfo = out
-            if word_timestamps:
-                hyps, segs, long_words = out
-            else:
-                (hyps, segs), long_words = out, None
+            hyps, segs, long_words, winfo = unpack_long_form(
+                out, return_segments=True, word_timestamps=word_timestamps,
+                return_window_info=window_info)
             results = []
             for i, h in enumerate(hyps):
                 text = self.tokenizer.decode(h, skip_special_tokens=True).strip()
