@@ -103,6 +103,36 @@ class TestSpeechSegments:
         assert next_onset(segs, 300) == 500
         assert next_onset(segs, 900) is None
 
+    def test_has_speech_tolerance(self):
+        """Overlap of <= tol samples does not count as speech — the rule
+        that stops segment pad bleed keeping every window of regularly
+        tiled audio alive."""
+        segs = [(100, 200)]
+        assert not has_speech(segs, 150, 300, tol=50)   # overlap exactly tol
+        assert has_speech(segs, 149, 300, tol=50)       # one sample more
+        assert not has_speech(segs, 200, 400, tol=50)
+
+    def test_next_onset_tolerance(self):
+        """A segment whose remainder past pos is <= tol is exhausted —
+        otherwise a seek sitting tol samples before a segment end would be
+        returned verbatim and the skip loop could never advance."""
+        segs = [(100, 200), (500, 900)]
+        assert next_onset(segs, 150, tol=50) == 500     # 50 left in seg 0
+        assert next_onset(segs, 149, tol=50) == 149     # 51 left: still in
+        assert next_onset(segs, 860, tol=50) is None
+
+    def test_vad_overlap_tol_contract(self):
+        from whisper_context_biasing_tpu.audio.vad import vad_overlap_tol
+
+        # default detector: pad 150 ms + frame 25 ms + hop 10 ms = 185 ms
+        assert vad_overlap_tol(True) == int(SAMPLE_RATE * 0.185)
+        assert vad_overlap_tol({}) == vad_overlap_tol(True)
+        assert vad_overlap_tol({"pad_ms": 0.0}) == int(SAMPLE_RATE * 0.035)
+        # explicit clip ranges / no gating: user ranges are verbatim
+        assert vad_overlap_tol(None) == 0
+        assert vad_overlap_tol(False) == 0
+        assert vad_overlap_tol([(0.0, 1.0)]) == 0
+
 
 class TestLongFormVad:
     def _run(self, tok, model, audio, vad):
@@ -137,6 +167,17 @@ class TestLongFormVad:
     def test_pure_silence_decodes_nothing(self, tok, model):
         out, n = self._run(tok, model, _audio(("sil", 70)), vad=True)
         assert n == 0 and out == [[]]
+
+    def test_tiled_silence_skips_the_silent_windows(self, tok, model):
+        """Alternating ~30 s speech / silence on the aligned grid: pure pad
+        bleed must not keep the silent windows alive (regression for the
+        has_speech tolerance — before it, this pattern gated nothing).
+        Speech ends 2 s before each window boundary so the padded-onset
+        shift cannot push a real sliver past the second window."""
+        audio = _audio(("sp", 28), ("sil", 32), ("sp", 28), ("sil", 32))
+        _, n_plain = self._run(tok, model, audio, vad=False)
+        _, n_vad = self._run(tok, model, audio, vad=True)
+        assert n_plain == 4 and n_vad == 2
 
     def test_noop_on_speech_dense_audio(self, tok, model):
         """All-speech audio: VAD must not change the decode schedule or the
@@ -190,6 +231,28 @@ class TestChunkedVad:
         transcribe_chunked(params, cfg, tok, [audio], temperatures=(0.0,),
                            decode_fn=decode_fn, mel_fn=_zero_mel, vad=True)
         assert plain_rows == 4 and sum(batches) == 1
+
+    def test_pad_bleed_does_not_keep_a_window(self, tok, model):
+        """10 s speech / 60 s silence / 10 s speech, overlapped layout
+        [0,30) [20,50) [40,70) [50,80): window [40,70)'s only overlap with
+        speech is the second segment's 170 ms onset pad — before the
+        has_speech tolerance it was kept (regression)."""
+        cfg, params = model
+        batches = []
+
+        def decode_fn(mel, ids, mask, temperature, key):
+            batches.append(mel.shape[0])
+            toks = np.full((mel.shape[0], 4), tok.eot, np.int32)
+            return GreedyResult(toks, np.zeros(mel.shape[0], np.int32),
+                                np.zeros(mel.shape[0], np.float32))
+
+        audio = _audio(("sp", 10), ("sil", 60), ("sp", 10))
+        kw = dict(temperatures=(0.0,), decode_fn=decode_fn, mel_fn=_zero_mel)
+        transcribe_chunked(params, cfg, tok, [audio], vad=False, **kw)
+        plain_rows = sum(batches)
+        batches.clear()
+        transcribe_chunked(params, cfg, tok, [audio], vad=True, **kw)
+        assert plain_rows == 4 and sum(batches) == 2
 
     def test_noop_on_speech_dense_audio(self, tok, model):
         cfg, params = model

@@ -130,16 +130,52 @@ def speech_segments(
                              for s, e in merged if e - s >= min_len])
 
 
-def has_speech(segments: list[tuple[int, int]], start: int, end: int) -> bool:
-    """True when any speech segment overlaps ``[start, end)``."""
-    return any(s < end and e > start for s, e in segments)
+def has_speech(segments: list[tuple[int, int]], start: int, end: int,
+               tol: int = 0) -> bool:
+    """True when a speech segment overlaps ``[start, end)`` by more than
+    ``tol`` samples.
+
+    ``tol`` exists because :func:`speech_segments` pads every segment by
+    ``pad_ms`` on each side (word-edge protection for the window that will
+    decode it). A window whose only overlap with speech is that pad contains
+    no speech frames at all — with the any-overlap rule (``tol=0``) the pad
+    bleeds into both neighbouring windows and regularly-tiled audio never
+    skips ANY window (measured: the 50 %-silence long-form bench gated
+    nothing). Callers gating fixed windows should pass
+    ``tol=vad_overlap_tol(vad)``; explicit clip ranges keep any-overlap
+    semantics (their tol is 0 — user ranges are verbatim)."""
+    return any(min(e, end) - max(s, start) > tol for s, e in segments)
 
 
-def next_onset(segments: list[tuple[int, int]], pos: int) -> int | None:
+def vad_overlap_tol(vad, sr: int = SAMPLE_RATE) -> int:
+    """Overlap tolerance (samples) matching the boundary bleed
+    :func:`resolve_vad` introduces around real speech: the explicit
+    ``pad_ms`` plus the detection extent of one RMS frame (a frame whose
+    tail clips the onset can already cross the threshold) plus one hop of
+    quantization — honouring dict overrides. 0 for explicit clip ranges /
+    no gating (user ranges are verbatim)."""
+    if vad is None or vad is False or isinstance(vad, (list, tuple)):
+        return 0
+    pad_ms, frame_ms, hop_ms = 150.0, 25.0, 10.0
+    if isinstance(vad, dict):
+        pad_ms = float(vad.get("pad_ms", pad_ms))
+        frame_ms = float(vad.get("frame_ms", frame_ms))
+        hop_ms = float(vad.get("hop_ms", hop_ms))
+    return int(sr * (pad_ms + frame_ms + hop_ms) / 1000.0)
+
+
+def next_onset(segments: list[tuple[int, int]], pos: int,
+               tol: int = 0) -> int | None:
     """Sample index of the first speech at or after ``pos`` (a segment
-    already containing ``pos`` returns ``pos``); None = no speech left."""
+    already containing ``pos`` returns ``pos``); None = no speech left.
+
+    With ``tol > 0``, segments whose remainder past ``pos`` is ``<= tol``
+    samples are treated as exhausted — the :func:`has_speech` tolerance
+    contract, without which a seek sitting ``tol`` samples before a segment
+    end would be returned verbatim and the caller's skip loop would never
+    advance."""
     for s, e in segments:
-        if e > pos:
+        if e - max(s, pos) > tol:
             return max(s, pos)
     return None
 

@@ -247,11 +247,15 @@ def transcribe_chunked(
         vad_segs = [resolve_vad(vad, a) for a in audios]
         if all(s is None for s in vad_segs):  # e.g. vad=[] — no gating
             vad_segs = None
+    # ignore overlap that is only the detector's word-edge pad (clamped so a
+    # pathological pad_ms override can never blind the gate to real speech)
+    from ..audio.vad import vad_overlap_tol as _vot
+    vad_tol = min(_vot(vad), window_samples // 4)
     work: list[tuple[int, int, int, int]] = []
     for fi, a in enumerate(audios):
         for s, c0, c1 in chunk_layout(len(a), window_samples, stride_samples):
             if vad_segs is not None and not has_speech(
-                    vad_segs[fi], s, s + window_samples):
+                    vad_segs[fi], s, s + window_samples, tol=vad_tol):
                 continue
             work.append((fi, s, c0, c1))
 

@@ -365,11 +365,14 @@ def transcribe_long_batch(
     audios = [np.asarray(a, np.float32) for a in audios]
     vad_segs = None
     if vad is not None and vad is not False:  # NB: vad={} means defaults
-        from ..audio.vad import has_speech, next_onset, resolve_vad
+        from ..audio.vad import (
+            has_speech, next_onset, resolve_vad, vad_overlap_tol)
 
         vad_segs = [resolve_vad(vad, a) for a in audios]
         if all(s is None for s in vad_segs):  # e.g. vad=[] — no gating
             vad_segs = None
+        # pad-only overlap is not speech (clamped: see chunked.py)
+        vad_tol = min(vad_overlap_tol(vad), window_samples // 4)
     seek = [0] * b                      # sample offset of each file's window
     started = [False] * b               # zero-length audio still gets 1 window
     histories: list[list[int]] = [[] for _ in range(b)]
@@ -388,8 +391,9 @@ def transcribe_long_batch(
             # speech onset (or the end of the file)
             for i in range(b):
                 if active(i) and not has_speech(
-                        vad_segs[i], seek[i], seek[i] + window_samples):
-                    onset = next_onset(vad_segs[i], seek[i])
+                        vad_segs[i], seek[i], seek[i] + window_samples,
+                        tol=vad_tol):
+                    onset = next_onset(vad_segs[i], seek[i], tol=vad_tol)
                     started[i] = True
                     seek[i] = len(audios[i]) if onset is None else onset
             if not any(active(i) for i in range(b)):
