@@ -59,13 +59,17 @@ def main():
     for s in (1, 2, 4):
         r = medusa_greedy_decode(params, cfg, md, mel, ids, mask,
                                  max_new=tokens, eot_id=-1, n_chains=s)
-        jax.block_until_ready(r.tokens)  # compile + warm
+        np.asarray(r.tokens)  # compile + warm (full host sync)
         iters = 3
         t0 = time.perf_counter()
         for _ in range(iters):
             r = medusa_greedy_decode(params, cfg, md, mel, ids, mask,
                                      max_new=tokens, eot_id=-1, n_chains=s)
-            jax.block_until_ready(r.tokens)
+            # host transfer, not block_until_ready: the tunneled device has
+            # been observed to release block_until_ready before execution
+            # finished (a 0.83 ms "call" for a 145 ms program); a D2H copy
+            # of the result cannot lie about completion.
+            np.asarray(r.tokens)
         dt = (time.perf_counter() - t0) / iters
         print(json.dumps({
             "metric": "medusa_chain_rtf", "value": round(audio_s / dt, 1),
