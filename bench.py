@@ -175,8 +175,11 @@ def run_long_form(jax, jnp, cfg, params):
             audio[i : i + win] = 0.0
 
     def mel_fn(chunk):
-        return np.asarray(log_mel_spectrogram_fused(jnp.asarray(chunk),
-                                                    n_mels=cfg.n_mels))
+        # stays on device: chunk arrives as a device window gather and the
+        # mel feeds the decode directly — no host round-trip (docs/PERF.md
+        # round 3: D2H+H2D of the mel cost ~2x the decode itself)
+        return log_mel_spectrogram_fused(jnp.asarray(chunk),
+                                         n_mels=cfg.n_mels)
 
     kw = dict(mel_fn=mel_fn, max_new=DECODE_TOKENS, temperatures=(0.0,),
               logprob_threshold=None, no_speech_threshold=None,

@@ -355,8 +355,10 @@ class Engine:
         ])
 
         def mel_fn(chunk):
-            return np.asarray(self.mel_fn(self.jnp.asarray(chunk),
-                                          n_mels=self.cfg.n_mels))
+            # stays on device: feeds the decode directly; D2H only happens
+            # where a host consumer needs it (word-timestamp DTW)
+            return self.mel_fn(self.jnp.asarray(chunk),
+                               n_mels=self.cfg.n_mels)
 
         start_tokens = None
         langs = [None] * len(audios)
@@ -514,8 +516,10 @@ class Engine:
                if context else None)
 
         def mel_fn(chunk):
-            return np.asarray(self.mel_fn(self.jnp.asarray(chunk),
-                                          n_mels=self.cfg.n_mels))
+            # stays on device: feeds the decode directly; D2H only happens
+            # where a host consumer needs it (word-timestamp DTW)
+            return self.mel_fn(self.jnp.asarray(chunk),
+                               n_mels=self.cfg.n_mels)
 
         st = StreamingTranscriber(
             self.params, self.cfg, tok, mel_fn=mel_fn,

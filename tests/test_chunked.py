@@ -283,6 +283,73 @@ class TestTranscribeChunked:
         assert text.count("aspirin") == 1
 
 
+class TestDeviceWindows:
+    def test_device_and_host_windows_bit_match(self, tok):
+        """device_windows=True gathers the SAME float32 samples the host
+        path copies: with a mel that hashes the raw window bytes, the two
+        paths must produce identical transcripts (and the real default mel
+        sees identical inputs)."""
+        cfg = tiny_test_config()
+        params = init_params(cfg, 0)
+        win = cfg.n_audio_ctx * 320
+        rng = np.random.default_rng(3)
+        # two files: one 2.6 windows long (overlapped layout + tail padding),
+        # one shorter than a window (zero-padded tail)
+        audios = [rng.standard_normal(int(win * 2.6)).astype(np.float32),
+                  rng.standard_normal(win // 3).astype(np.float32)]
+        seen: list[np.ndarray] = []
+
+        def mel_fn(chunk):
+            c = np.asarray(chunk)
+            seen.append(c.copy())
+            out = np.zeros((c.shape[0], 80, 128), np.float32)
+            # fold the window bytes into the mel so any sample mismatch
+            # changes the decode input
+            out += c.sum(axis=1, dtype=np.float64).astype(np.float32)[
+                :, None, None] * 1e-3
+            return out
+
+        kw = dict(mel_fn=mel_fn, max_new=4, temperatures=(0.0,),
+                  logprob_threshold=None, no_speech_threshold=None,
+                  compression_ratio_threshold=None, window_samples=win,
+                  use_timestamps=False)
+        host = transcribe_chunked(params, cfg, tok, audios,
+                                  device_windows=False, **kw)
+        host_chunks = [c for c in seen]
+        seen.clear()
+        dev = transcribe_chunked(params, cfg, tok, audios,
+                                 device_windows=True, **kw)
+        assert dev == host
+        assert len(seen) == len(host_chunks)
+        for a, b in zip(seen, host_chunks):
+            np.testing.assert_array_equal(a, b)
+
+    def test_pad_batch_rows_gather_zeros(self, tok):
+        """pad_batches rows point at the zero pad region, matching the host
+        path's zero rows exactly."""
+        cfg = tiny_test_config()
+        win = cfg.n_audio_ctx * 320
+        audio = np.ones(win // 2, np.float32) * 0.1
+        seen = []
+
+        def mel_fn(chunk):
+            seen.append(np.asarray(chunk))
+            return np.zeros((np.asarray(chunk).shape[0], 80, 128), np.float32)
+
+        def decode_fn(mel, ids, mask, temperature, key):
+            return _result([[tok.eot]] * np.asarray(mel).shape[0])
+
+        transcribe_chunked(
+            None, cfg, tok, [audio], decode_fn=decode_fn, mel_fn=mel_fn,
+            temperatures=(0.0,), logprob_threshold=None,
+            no_speech_threshold=None, window_samples=win,
+            max_batch=4, pad_batches=True, device_windows=True)
+        assert seen[0].shape == (4, win)
+        np.testing.assert_array_equal(seen[0][1:], 0.0)  # pad rows all-zero
+        np.testing.assert_array_equal(seen[0][0, : win // 2], audio)
+        np.testing.assert_array_equal(seen[0][0, win // 2:], 0.0)
+
+
 @pytest.mark.slow
 class TestChunkedWordTimestamps:
     def test_words_owned_once_absolute_times(self, tok):

@@ -44,6 +44,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from functools import partial
+
 from ..audio.mel import N_SAMPLES, SAMPLE_RATE, log_mel_spectrogram_np
 from ..models.config import WhisperConfig
 from .greedy import greedy_decode, pack_prefixes
@@ -53,6 +55,44 @@ from .long_form import (
     compression_ratio,
     window_quality_ok,
 )
+
+
+@partial(jax.jit, static_argnames=("window",))
+def _gather_windows(buf, starts, window: int):
+    """(nb,) start offsets into the flat audio buffer -> (nb, window) slices.
+
+    Device-side windowing: the caller uploads each file's samples ONCE (with
+    a window of zero padding after each file so no slice can cross into the
+    next file) and every window batch is a vmapped dynamic_slice — instead of
+    re-uploading the overlapped window tensor per batch, which ships ~1.5x
+    the file per pass and dominates wall time on bandwidth-limited
+    host<->device links (measured: 61 MB H2D ~ 1 s vs 0.84 s for the whole
+    batch-32 decode on the tunneled chip)."""
+    return jax.vmap(
+        lambda s: jax.lax.dynamic_slice(buf, (s,), (window,)))(starts)
+
+
+def _flat_audio_buffer(audios, window_samples):
+    """Concatenate files with ``window_samples`` of zero padding after each;
+    returns (device buffer, per-file base offsets, offset of a known-zero
+    window for batch-padding rows)."""
+    parts, base, off = [], [], 0
+    pad = np.zeros(window_samples, np.float32)
+    for a in audios:
+        base.append(off)
+        parts.append(a)
+        parts.append(pad)
+        off += len(a) + window_samples
+    flat = np.concatenate(parts)
+    # bucket the buffer length (2^21 samples = 131 s granularity) so the
+    # gather program compiles per bucket, not per request length
+    bucket = 1 << 21
+    n = ((len(flat) + bucket - 1) // bucket) * bucket
+    if n > len(flat):
+        flat = np.concatenate([flat, np.zeros(n - len(flat), np.float32)])
+    buf = jnp.asarray(flat)
+    zero_off = base[-1] + len(audios[-1])  # the last file's zero pad
+    return buf, base, zero_off
 
 
 def chunk_layout(
@@ -212,6 +252,11 @@ def transcribe_chunked(
                                               # batch; words owned by the
                                               # same core tiling as segments
     alignment_heads: list[tuple[int, int]] | None = None,
+    device_windows: bool | None = None,       # upload each file ONCE and
+                                              # gather window batches on
+                                              # device (default off-mesh);
+                                              # mel_fn then receives a jax
+                                              # array, not numpy
 ):
     """Returns per-file token lists; with ``return_segments`` a
     ``(tokens, segments)`` pair, and with ``word_timestamps`` too a
@@ -223,9 +268,16 @@ def transcribe_chunked(
     tokens are gathered per window, so heterogeneous files batch together.
     Output token streams keep window-relative timestamp tokens (exactly as
     the sequential loop does); ``segments`` carry absolute times."""
+    if device_windows is None:
+        device_windows = mesh is None
     if mel_fn is None:
-        mel_fn = lambda a: np.stack(  # noqa: E731
-            [log_mel_spectrogram_np(x, cfg.n_mels) for x in a])
+        if device_windows:
+            from ..audio.mel import log_mel_spectrogram
+
+            mel_fn = jax.jit(partial(log_mel_spectrogram, n_mels=cfg.n_mels))
+        else:
+            mel_fn = lambda a: np.stack(  # noqa: E731
+                [log_mel_spectrogram_np(x, cfg.n_mels) for x in a])
     # words are only reachable through the (tokens, segments, words) return:
     # without return_segments the DTW alignment would be pure wasted compute
     word_timestamps = word_timestamps and return_segments
@@ -272,14 +324,25 @@ def transcribe_chunked(
     window_words: list[list] = [[] for _ in range(len(work))]
     win_info: list[dict | None] = [None] * len(work)
 
+    # device-side windowing: upload once, slice per batch on device — the
+    # mesh path keeps host windows (shard_decode_inputs places host arrays)
+    if device_windows and work:
+        buf, base, zero_off = _flat_audio_buffer(audios, window_samples)
+
     for lo in range(0, len(work), max_batch):
         batch = work[lo : lo + max_batch]
         nb_real = len(batch)
         nb = max_batch if pad_batches else nb_real
-        chunk = np.zeros((nb, window_samples), np.float32)
-        for j, (fi, s, _, _) in enumerate(batch):
-            part = audios[fi][s : s + window_samples]
-            chunk[j, : len(part)] = part
+        if device_windows:
+            starts = np.asarray(
+                [base[fi] + s for fi, s, _, _ in batch]
+                + [zero_off] * (nb - nb_real), np.int32)
+            chunk = _gather_windows(buf, jnp.asarray(starts), window_samples)
+        else:
+            chunk = np.zeros((nb, window_samples), np.float32)
+            for j, (fi, s, _, _) in enumerate(batch):
+                part = audios[fi][s : s + window_samples]
+                chunk[j, : len(part)] = part
         mel = mel_fn(chunk)
 
         prefixes = [prefix_for(fi) for fi, _, _, _ in batch]
