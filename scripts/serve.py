@@ -365,7 +365,11 @@ class Engine:
         if tok.multilingual and any(
             o.get("language") or o.get("task") == "translate" for o in opts
         ):
-            first = np.stack([self.pad_or_trim(a) for a in audios])
+            # int16 pass-through audio (chunked path) needs a normalized
+            # host view for the detection window
+            first = np.stack([self.pad_or_trim(
+                a.astype(np.float32) / 32768.0 if a.dtype == np.int16 else a)
+                for a in audios])
             start_tokens, langs = self._starts_for(mel_fn(first), opts)
         draft = None
         if (self.draft_params is not None
@@ -655,11 +659,15 @@ class Engine:
                 print(f"batch failed: {e}", file=sys.stderr)
 
 
-def decode_audio_bytes(data: bytes) -> np.ndarray:
+def decode_audio_bytes(data: bytes, keep_int16: bool = False) -> np.ndarray:
     """Route an uploaded body by magic bytes: WAV, or MP3 (the corpus's
-    format, decoded via the libmpg123 binding when present)."""
+    format, decoded via the libmpg123 binding when present).
+
+    ``keep_int16``: mono 16-bit 16 kHz WAV returns raw int16 samples (the
+    chunked long-form decoder normalizes on device, halving the upload —
+    audio/io.py's load_audio(keep_int16=True) contract)."""
     if data[:4] == b"RIFF":
-        return decode_wav_bytes(data)
+        return decode_wav_bytes(data, keep_int16=keep_int16)
     if data[:3] == b"ID3" or (
         len(data) > 1 and data[0] == 0xFF and (data[1] & 0xE0) == 0xE0
     ):
@@ -681,12 +689,14 @@ def decode_audio_bytes(data: bytes) -> np.ndarray:
     raise ValueError("unsupported audio container (expect WAV or MP3)")
 
 
-def decode_wav_bytes(data: bytes) -> np.ndarray:
+def decode_wav_bytes(data: bytes, keep_int16: bool = False) -> np.ndarray:
     with wave.open(io.BytesIO(data), "rb") as w:
         sr = w.getframerate()
         ch = w.getnchannels()
         width = w.getsampwidth()
         raw = w.readframes(w.getnframes())
+    if keep_int16 and width == 2 and ch == 1 and sr == 16000:
+        return np.frombuffer(raw, dtype="<i2")
     if width == 2:
         sig = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
     elif width == 4:
@@ -765,7 +775,16 @@ def make_handler(engine: Engine):
                 return
             try:
                 n = int(self.headers.get("Content-Length", 0))
-                audio = decode_audio_bytes(self.rfile.read(n))
+                # int16 pass-through is only valid for requests that will
+                # route to the chunked long path (it normalizes on device);
+                # short requests take the host-windowed short path, so they
+                # must arrive as float32
+                keep = (getattr(engine.args, "long_chunked", False)
+                        and not getattr(engine.args, "no_long_form", False))
+                audio = decode_audio_bytes(self.rfile.read(n),
+                                           keep_int16=keep)
+                if audio.dtype == np.int16 and len(audio) <= 480000:
+                    audio = audio.astype(np.float32) / 32768.0
                 ctx = self.headers.get("X-Context")
                 words = self.headers.get("X-Bias-Words")
                 words = [w for w in words.split(",")] if words else None

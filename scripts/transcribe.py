@@ -332,7 +332,15 @@ def main():
             else:
                 draft = (dparams, dcfg, args.spec_k)
 
-        raw = [load_audio(p) for p in args.audio]
+        # chunked mode normalizes on device, so mono 16 kHz 16-bit wavs can
+        # upload raw int16 (half the bytes); host-side consumers below
+        # (language detection) normalize their own view
+        raw = [load_audio(p, keep_int16=args.chunked) for p in args.audio]
+
+        def _f32(a):
+            return (a.astype(np.float32) / 32768.0
+                    if a.dtype == np.int16 else a)
+
         contexts = None
         if args.context:
             ctx_ids = tokenizer.encode(args.context.lower(), add_special_tokens=False)
@@ -351,7 +359,7 @@ def main():
         # language detection (lazy) reads the first 30 s window of each file
         starts, langs = build_starts(
             args, tokenizer, params, cfg, len(raw),
-            lambda: make_mel(np.stack([pad_or_trim(a) for a in raw])))
+            lambda: make_mel(np.stack([pad_or_trim(_f32(a)) for a in raw])))
 
         lp_thresh = args.logprob_threshold
         if lp_thresh is not None and lp_thresh != lp_thresh:  # nan disables
@@ -377,6 +385,10 @@ def main():
         if args.chunked:
             from whisper_context_biasing_tpu.decode import transcribe_chunked
 
+            # stays on device: the window gather feeds the decode directly,
+            # no mel D2H/H2D round-trip (docs/PERF.md round 3)
+            common["mel_fn"] = lambda chunk: mel_frontend(
+                jnp.asarray(chunk), n_mels=cfg.n_mels)
             out = transcribe_chunked(params, cfg, tokenizer, raw,
                                      prefix_pad_to_multiple=32, **common)
         else:

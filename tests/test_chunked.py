@@ -349,6 +349,40 @@ class TestDeviceWindows:
         np.testing.assert_array_equal(seen[0][0, : win // 2], audio)
         np.testing.assert_array_equal(seen[0][0, win // 2:], 0.0)
 
+    @pytest.mark.parametrize("device_windows", [True, False])
+    def test_int16_audio_bit_matches_float(self, tok, device_windows):
+        """int16 PCM input decodes identically to its float32 (i16/32768)
+        view on both paths: the device gather normalizes on-chip with an
+        exact power-of-two scale, the host path normalizes at entry."""
+        cfg = tiny_test_config()
+        win = cfg.n_audio_ctx * 320
+        rng = np.random.default_rng(7)
+        pcm = (rng.standard_normal(int(win * 1.7)) * 8000).astype(np.int16)
+        as_float = pcm.astype(np.float32) / 32768.0
+        seen: list[np.ndarray] = []
+
+        def mel_fn(chunk):
+            c = np.asarray(chunk)
+            seen.append(c.copy())
+            out = np.zeros((c.shape[0], 80, 128), np.float32)
+            out += c.sum(axis=1, dtype=np.float64).astype(np.float32)[
+                :, None, None] * 1e-3
+            return out
+
+        params = init_params(cfg, 0)
+        kw = dict(mel_fn=mel_fn, max_new=4, temperatures=(0.0,),
+                  logprob_threshold=None, no_speech_threshold=None,
+                  compression_ratio_threshold=None, window_samples=win,
+                  use_timestamps=False, device_windows=device_windows)
+        got_f = transcribe_chunked(params, cfg, tok, [as_float], **kw)
+        f_chunks = list(seen)
+        seen.clear()
+        got_i = transcribe_chunked(params, cfg, tok, [pcm], **kw)
+        assert got_i == got_f
+        assert all(c.dtype == np.float32 for c in seen)
+        for a, b in zip(seen, f_chunks):
+            np.testing.assert_array_equal(a, b)
+
 
 @pytest.mark.slow
 class TestChunkedWordTimestamps:

@@ -140,6 +140,32 @@ class TestPadTrimAndIO:
         x = _test_signal(8, 16000)
         assert resample(x, 16000, 16000) is x
 
+    def test_keep_int16_passthrough_and_fallback(self, tmp_path):
+        """keep_int16 returns raw PCM only when no processing is needed;
+        a file requiring resample falls back to the float32 contract."""
+        import wave
+
+        sig = (_test_signal(9, 16000) * 32767).astype(np.int16)
+        p = tmp_path / "i.wav"
+        with wave.open(str(p), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes(sig.tobytes())
+        raw = load_audio(str(p), keep_int16=True)
+        assert raw.dtype == np.int16
+        np.testing.assert_array_equal(raw, sig)
+
+        q = tmp_path / "r.wav"
+        with wave.open(str(q), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(32000)
+            w.writeframes(sig.tobytes())
+        out = load_audio(str(q), sample_rate=16000, keep_int16=True)
+        assert out.dtype == np.float32
+        assert abs(len(out) - len(sig) // 2) <= 1
+
 
 @pytest.mark.slow
 class TestShortWindows:

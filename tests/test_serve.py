@@ -168,6 +168,21 @@ class TestServeLongChunked:
         finally:
             engine.args.long_chunked = False
 
+    def test_int16_request_matches_float(self, engine):
+        """A raw int16 long request (the handler's keep_int16 path) produces
+        the same transcript as its float32 view."""
+        engine.args.long_chunked = True
+        try:
+            rng = np.random.default_rng(11)
+            pcm = (rng.standard_normal(N_SAMPLES + 4000) * 6000).astype(
+                np.int16)
+            as_float = pcm.astype(np.float32) / 32768.0
+            ri = engine._run_long([pcm], [None], [None])
+            rf = engine._run_long([as_float], [None], [None])
+            assert ri[0]["text"] == rf[0]["text"]
+        finally:
+            engine.args.long_chunked = False
+
     def test_words_request_served_chunked(self, engine):
         """A word-timestamps request stays on the chunked path (batched DTW
         per decode call) and the result dicts carry word entries."""
@@ -339,6 +354,36 @@ class TestAudioBytesRouting:
         serve = _load_serve()
         with pytest.raises(ValueError, match="unsupported audio container"):
             serve.decode_audio_bytes(b"\x00\x01\x02\x03" * 100)
+
+    def test_keep_int16_passthrough_and_fallbacks(self):
+        """keep_int16 returns raw PCM only for mono 16-bit 16 kHz WAVs;
+        stereo (needs downmix) falls back to the float32 contract."""
+        import io as _io
+        import wave as _wave
+
+        serve = _load_serve()
+        pcm = (np.arange(1600) % 700 - 350).astype(np.int16)
+        buf = _io.BytesIO()
+        with _wave.open(buf, "wb") as w:
+            w.setnchannels(1); w.setsampwidth(2); w.setframerate(16000)
+            w.writeframes(pcm.tobytes())
+        raw = serve.decode_audio_bytes(buf.getvalue(), keep_int16=True)
+        assert raw.dtype == np.int16
+        np.testing.assert_array_equal(raw, pcm)
+        # default stays float
+        f = serve.decode_audio_bytes(buf.getvalue())
+        assert f.dtype == np.float32
+        np.testing.assert_allclose(f, pcm.astype(np.float32) / 32768.0)
+        # stereo needs a downmix -> float path even with keep_int16
+        inter = np.empty(2 * len(pcm), np.int16)
+        inter[0::2] = pcm
+        inter[1::2] = pcm
+        buf2 = _io.BytesIO()
+        with _wave.open(buf2, "wb") as w:
+            w.setnchannels(2); w.setsampwidth(2); w.setframerate(16000)
+            w.writeframes(inter.tobytes())
+        assert serve.decode_audio_bytes(
+            buf2.getvalue(), keep_int16=True).dtype == np.float32
 
     def test_mp3_magic_routes_to_decoder(self, tmp_path):
         serve = _load_serve()

@@ -86,6 +86,15 @@ class TestSpeechSegments:
         assert db.min() == pytest.approx(-100.0)  # digital-silence clamp
         assert db.max() > -30.0                   # 0.1-amplitude noise
 
+    def test_frame_rms_db_int16_matches_float(self):
+        """Raw int16 PCM (the chunked decoder's pass-through) measures the
+        same dBFS as its float view — NOT the raw-sample scale."""
+        a = _audio(("sil", 1), ("sp", 1))
+        pcm = (a * 32768.0).astype(np.int16)
+        np.testing.assert_allclose(
+            frame_rms_db(pcm), frame_rms_db(pcm.astype(np.float32) / 32768.0),
+            atol=1e-4)
+
     def test_resolve_vad_contract(self):
         a = _audio(("sp", 1))
         assert resolve_vad(False, a) is None and resolve_vad(None, a) is None

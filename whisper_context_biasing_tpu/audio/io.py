@@ -51,15 +51,31 @@ def resample(audio: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
     return resample_poly(audio, target_sr // g, orig_sr // g, axis=-1).astype(np.float32)
 
 
-def load_audio(path: str, sample_rate: int = 16000, prefer_native: bool = False) -> np.ndarray:
+def load_audio(
+    path: str,
+    sample_rate: int = 16000,
+    prefer_native: bool = False,
+    keep_int16: bool = False,
+) -> np.ndarray:
     """Load any supported audio file -> mono float32 at ``sample_rate``.
 
     Matches the librosa.load contract the reference uses: stereo is downmixed
     by channel mean, output is 1-D float32 in [-1, 1]. With
     ``prefer_native=True`` WAV files go through the C++ runtime
     (audio/native.py) when it is available.
+
+    ``keep_int16=True``: when the file is already mono 16-bit PCM at
+    ``sample_rate`` (no resample/downmix needed), return the raw int16
+    samples instead — consumers that normalize on device (the chunked
+    long-form decoder) then upload half the bytes. Any file needing
+    processing falls through to the float32 contract.
     """
     ext = os.path.splitext(path)[1].lower()
+    if keep_int16 and ext in (".wav", ".wave"):
+        with wave.open(path, "rb") as w:
+            if (w.getsampwidth() == 2 and w.getnchannels() == 1
+                    and w.getframerate() == sample_rate):
+                return np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
     if prefer_native and ext in (".wav", ".wave"):
         from . import native
 

@@ -49,7 +49,13 @@ def frame_rms_db(
     O(n) memory via a cumulative sum of squares — VAD targets
     meeting/podcast-length files, where a framed-gather matrix
     (n_frames x frame_len) would transiently allocate gigabytes."""
-    audio = np.asarray(audio, np.float32)
+    audio = np.asarray(audio)
+    if audio.dtype == np.int16:
+        # raw PCM (the chunked decoder's int16 pass-through): normalize so
+        # the dBFS scale matches float ingest (audio/io.py: i16 / 32768)
+        audio = audio.astype(np.float32) / 32768.0
+    else:
+        audio = np.asarray(audio, np.float32)
     frame = max(1, int(sr * frame_ms / 1000.0))
     hop = max(1, int(sr * hop_ms / 1000.0))
     if len(audio) < frame:

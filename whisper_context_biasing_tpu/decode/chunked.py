@@ -68,16 +68,22 @@ def _gather_windows(buf, starts, window: int):
     the file per pass and dominates wall time on bandwidth-limited
     host<->device links (measured: 61 MB H2D ~ 1 s vs 0.84 s for the whole
     batch-32 decode on the tunneled chip)."""
-    return jax.vmap(
+    out = jax.vmap(
         lambda s: jax.lax.dynamic_slice(buf, (s,), (window,)))(starts)
+    if out.dtype == jnp.int16:
+        # int16 PCM buffers halve the H2D bytes again; normalize on device
+        # with the ingest convention (audio/io.py: i16 / 32768)
+        out = out.astype(jnp.float32) * (1.0 / 32768.0)
+    return out
 
 
 def _flat_audio_buffer(audios, window_samples):
     """Concatenate files with ``window_samples`` of zero padding after each;
     returns (device buffer, per-file base offsets, offset of a known-zero
-    window for batch-padding rows)."""
+    window for batch-padding rows). int16 inputs stay int16 — the gather
+    normalizes on device (see :func:`_gather_windows`)."""
     parts, base, off = [], [], 0
-    pad = np.zeros(window_samples, np.float32)
+    pad = np.zeros(window_samples, audios[0].dtype)
     for a in audios:
         base.append(off)
         parts.append(a)
@@ -89,7 +95,7 @@ def _flat_audio_buffer(audios, window_samples):
     bucket = 1 << 21
     n = ((len(flat) + bucket - 1) // bucket) * bucket
     if n > len(flat):
-        flat = np.concatenate([flat, np.zeros(n - len(flat), np.float32)])
+        flat = np.concatenate([flat, np.zeros(n - len(flat), flat.dtype)])
     buf = jnp.asarray(flat)
     zero_off = base[-1] + len(audios[-1])  # the last file's zero pad
     return buf, base, zero_off
@@ -286,7 +292,16 @@ def transcribe_chunked(
     if not temperatures:
         temperatures = (0.0,)
 
-    audios = [np.asarray(a, np.float32) for a in audios]
+    # int16 PCM passes through raw ONLY when the device-window path will
+    # normalize it on device (half the H2D bytes of float32 — the upload is
+    # the dominant cost of long files on the tunneled link, docs/PERF.md);
+    # every host-side consumer must see [-1, 1] float32, so any other case
+    # normalizes here with the ingest convention (audio/io.py: i16 / 32768)
+    audios = [np.asarray(a) for a in audios]
+    if not (device_windows and audios
+            and all(a.dtype == np.int16 for a in audios)):
+        audios = [a.astype(np.float32) / 32768.0 if a.dtype == np.int16
+                  else np.asarray(a, np.float32) for a in audios]
     nfiles = len(audios)
 
     # ---- work list: (file, window start, core range) -----------------------
