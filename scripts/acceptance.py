@@ -98,7 +98,7 @@ def parse_args():
                    help="override the npz-stamped n_chains (tree-attention "
                         "chain branching width)")
     p.add_argument("--wer_tolerance", type=float, default=0.01,
-                   help="relative WER delta allowed vs baseline (north star: 1%)")
+                   help="relative WER delta allowed vs baseline (north star: 1%%)")
     return p.parse_args()
 
 
