@@ -29,14 +29,15 @@ Startup probe: the tunneled TPU intermittently wedges; ``wait_for_backend``
 retries a subprocess health probe for up to BENCH_PROBE_WAIT seconds before
 benching (and exits non-zero instead of hanging if it never recovers).
 
-Long-form mode (BENCH_LONG=1, opt-in — adds minutes of compile): one
-BENCH_LONG_SECONDS (default 900 s) file through the chunked parallel-window
-decoder (decode/chunked.py, padded max_batch=32 batches, single rung,
-32 tokens/window) -> ``long_form_rtf_chunked``. Off by default so the
-driver's bench stays bounded. BENCH_VAD=1 additionally zeroes alternating
-30 s stretches and gates on the energy VAD (audio/vad.py) ->
-``long_form_rtf_chunked_vad``, the silence-skip win on a meeting-like
-50% duty cycle.
+Long-form mode (BENCH_LONG=1, default on): one BENCH_LONG_SECONDS (default
+900 s) int16 file through the chunked parallel-window decoder
+(decode/chunked.py, padded max_batch=32 batches, single rung,
+32 tokens/window) -> ``long_form_rtf_chunked``, timed steady-state (the
+real file runs once untimed first; the decode programs are shared with the
+persistent compile cache so the extra wall is bounded). BENCH_LONG=0 skips
+it. BENCH_VAD=1 additionally zeroes alternating 30 s stretches and gates on
+the energy VAD (audio/vad.py) -> ``long_form_rtf_chunked_vad``, the
+silence-skip win on a meeting-like 50% duty cycle.
 """
 
 import json
@@ -131,7 +132,7 @@ def main():
     if os.environ.get("BENCH_EOT", "1") == "1":
         run_realistic(jax, jnp, cfg, params, spans_j)
 
-    if os.environ.get("BENCH_LONG", "0") == "1":
+    if os.environ.get("BENCH_LONG", "1") == "1":
         run_long_form(jax, jnp, cfg, params)
 
     wall = min(times)

@@ -276,7 +276,14 @@ class Engine:
         tok = self.tokenizer
         n = len(audios)
         opts = opts or [{} for _ in range(n)]
-        audio = np.stack([self.pad_or_trim(a) for a in audios])
+        # defense in depth: the handler converts short int16 uploads before
+        # queueing, but this path must never see raw PCM regardless of how
+        # routing thresholds evolve — an unscaled int16 row would feed the
+        # mel +-32767-range values and transcribe garbage with no error
+        from whisper_context_biasing_tpu.audio import pcm_to_float32
+
+        audio = np.stack([self.pad_or_trim(pcm_to_float32(a))
+                          for a in audios])
         mel = np.asarray(self.mel_fn(self.jnp.asarray(audio), n_mels=self.cfg.n_mels))
         ctx = None
         if any(contexts):
@@ -366,10 +373,13 @@ class Engine:
             o.get("language") or o.get("task") == "translate" for o in opts
         ):
             # int16 pass-through audio (chunked path) needs a normalized
-            # host view for the detection window
-            first = np.stack([self.pad_or_trim(
-                a.astype(np.float32) / 32768.0 if a.dtype == np.int16 else a)
-                for a in audios])
+            # host view — of the DETECTION WINDOW only, not the whole file
+            # (a 1 h int16 upload would otherwise allocate a ~230 MB float
+            # copy to read its first 30 s)
+            from whisper_context_biasing_tpu.audio import pcm_to_float32
+
+            first = np.stack([self.pad_or_trim(pcm_to_float32(a[:480000]))
+                              for a in audios])
             start_tokens, langs = self._starts_for(mel_fn(first), opts)
         draft = None
         if (self.draft_params is not None

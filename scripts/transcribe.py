@@ -335,12 +335,9 @@ def main():
         # chunked mode normalizes on device, so mono 16 kHz 16-bit wavs can
         # upload raw int16 (half the bytes); host-side consumers below
         # (language detection) normalize their own view
+        from whisper_context_biasing_tpu.audio import pcm_to_float32
+
         raw = [load_audio(p, keep_int16=args.chunked) for p in args.audio]
-
-        def _f32(a):
-            return (a.astype(np.float32) / 32768.0
-                    if a.dtype == np.int16 else a)
-
         contexts = None
         if args.context:
             ctx_ids = tokenizer.encode(args.context.lower(), add_special_tokens=False)
@@ -359,7 +356,11 @@ def main():
         # language detection (lazy) reads the first 30 s window of each file
         starts, langs = build_starts(
             args, tokenizer, params, cfg, len(raw),
-            lambda: make_mel(np.stack([pad_or_trim(_f32(a)) for a in raw])))
+            # normalize only the detection window (first 30 s), not the
+            # whole file — a 1 h int16 file would otherwise allocate a
+            # ~230 MB float copy just to read 480000 samples
+            lambda: make_mel(np.stack(
+                [pad_or_trim(pcm_to_float32(a[:480000])) for a in raw])))
 
         lp_thresh = args.logprob_threshold
         if lp_thresh is not None and lp_thresh != lp_thresh:  # nan disables

@@ -161,6 +161,19 @@ class TestPipeline:
         assert res[0].words is not None
         assert all(w.end >= w.start >= 0 for w in res[0].words)
 
+    def test_int16_array_input_matches_float(self, pipe):
+        """Raw int16 PCM arrays normalize with the ingest contract on every
+        route — short form, sequential long, chunked long (which keeps the
+        mel on device) — and transcribe identically to the float view."""
+        rng = np.random.default_rng(13)
+        pcm = (rng.standard_normal(2 * pipe.window_samples + 8000)
+               * 6000).astype(np.int16)
+        as_float = pcm.astype(np.float32) / 32768.0
+        for kw in ({}, {"long_form": "chunked"}, {"long_form": True}):
+            ri = pipe.transcribe([pcm], max_tokens=4, **kw)
+            rf = pipe.transcribe([as_float], max_tokens=4, **kw)
+            assert ri[0].text == rf[0].text, kw
+
     def test_window_info_short_form_warns(self, pipe):
         """window_info=True on the short-form route can't be honored (QC is
         per long-form window) — the Pipeline warns instead of silently

@@ -95,6 +95,26 @@ class TestSpeechSegments:
             frame_rms_db(pcm), frame_rms_db(pcm.astype(np.float32) / 32768.0),
             atol=1e-4)
 
+    def test_gating_int16_matches_float(self):
+        """The GATING entry points (speech_segments / resolve_vad — what
+        transcribe_chunked actually calls on pass-through int16 audio) make
+        identical decisions for int16 PCM and its float view. Regression:
+        speech_segments used to plain-cast int16 (+90.3 dB), so a quiet
+        float file gated everything while its int16 twin gated nothing."""
+        speech = _audio(("sil", 2), ("sp", 1), ("sil", 2))
+        pcm = (speech * 32768.0).clip(-32768, 32767).astype(np.int16)
+        as_float = pcm.astype(np.float32) / 32768.0
+        assert speech_segments(pcm) == speech_segments(as_float)
+        assert resolve_vad(True, pcm) == resolve_vad(True, as_float)
+        # quiet noise well below the floor: float view gates everything;
+        # the int16 view must agree (it used to read ~+90 dB and gate
+        # nothing)
+        rng = np.random.default_rng(5)
+        quiet = (rng.standard_normal(16000 * 5) * 0.001).astype(np.float32)
+        qpcm = (quiet * 32768.0).astype(np.int16)
+        assert speech_segments(qpcm) == speech_segments(
+            qpcm.astype(np.float32) / 32768.0) == []
+
     def test_resolve_vad_contract(self):
         a = _audio(("sp", 1))
         assert resolve_vad(False, a) is None and resolve_vad(None, a) is None

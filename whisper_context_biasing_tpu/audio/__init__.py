@@ -1,6 +1,6 @@
 """Audio layer: host-side loading/resampling and the jittable log-mel frontend."""
 
-from .io import EXTRA_DECODERS, load_audio, resample
+from .io import EXTRA_DECODERS, load_audio, pcm_to_float32, resample
 from .mp3 import decode_mp3
 
 # the corpus audio is .mp3 (SURVEY.md §2.2); decode via libmpg123 when the
@@ -21,6 +21,7 @@ from .mel import (
 
 __all__ = [
     "load_audio",
+    "pcm_to_float32",
     "resample",
     "speech_segments",
     "has_speech",

@@ -23,6 +23,17 @@ from scipy.signal import resample_poly
 EXTRA_DECODERS: dict[str, Callable[[str], tuple[np.ndarray, int]]] = {}
 
 
+def pcm_to_float32(audio: np.ndarray) -> np.ndarray:
+    """Normalize raw int16 PCM (the ``keep_int16`` pass-through) to the
+    float32 [-1, 1] ingest contract — ONE place for the i16/32768 rule so
+    every host-side consumer (VAD, language detection, host windowing)
+    applies the same scale. Float input passes through as float32."""
+    audio = np.asarray(audio)
+    if audio.dtype == np.int16:
+        return audio.astype(np.float32) / 32768.0
+    return np.asarray(audio, np.float32)
+
+
 def _load_wav(path: str) -> tuple[np.ndarray, int]:
     with wave.open(path, "rb") as w:
         sr = w.getframerate()

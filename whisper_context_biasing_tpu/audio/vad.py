@@ -49,13 +49,12 @@ def frame_rms_db(
     O(n) memory via a cumulative sum of squares — VAD targets
     meeting/podcast-length files, where a framed-gather matrix
     (n_frames x frame_len) would transiently allocate gigabytes."""
-    audio = np.asarray(audio)
-    if audio.dtype == np.int16:
-        # raw PCM (the chunked decoder's int16 pass-through): normalize so
-        # the dBFS scale matches float ingest (audio/io.py: i16 / 32768)
-        audio = audio.astype(np.float32) / 32768.0
-    else:
-        audio = np.asarray(audio, np.float32)
+    from .io import pcm_to_float32
+
+    # raw int16 PCM (the chunked decoder's pass-through) must read the same
+    # dBFS as its float view — a plain float cast would shift every level
+    # +90.3 dB and break all the absolute thresholds below
+    audio = pcm_to_float32(audio)
     frame = max(1, int(sr * frame_ms / 1000.0))
     hop = max(1, int(sr * hop_ms / 1000.0))
     if len(audio) < frame:
@@ -94,7 +93,9 @@ def speech_segments(
 ) -> list[tuple[int, int]]:
     """Speech regions as ``[(start_sample, end_sample), ...]``, sorted,
     non-overlapping. Empty list = no speech anywhere."""
-    audio = np.asarray(audio, np.float32)
+    from .io import pcm_to_float32
+
+    audio = pcm_to_float32(audio)  # int16 pass-through keeps its dBFS scale
     if len(audio) == 0:
         return []
     db = frame_rms_db(audio, sr, frame_ms, hop_ms)

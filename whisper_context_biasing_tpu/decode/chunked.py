@@ -278,9 +278,11 @@ def transcribe_chunked(
         device_windows = mesh is None
     if mel_fn is None:
         if device_windows:
+            # log_mel_spectrogram is already jitted (static n_mels); the
+            # partial just pins the mel count
             from ..audio.mel import log_mel_spectrogram
 
-            mel_fn = jax.jit(partial(log_mel_spectrogram, n_mels=cfg.n_mels))
+            mel_fn = partial(log_mel_spectrogram, n_mels=cfg.n_mels)
         else:
             mel_fn = lambda a: np.stack(  # noqa: E731
                 [log_mel_spectrogram_np(x, cfg.n_mels) for x in a])
@@ -297,11 +299,12 @@ def transcribe_chunked(
     # the dominant cost of long files on the tunneled link, docs/PERF.md);
     # every host-side consumer must see [-1, 1] float32, so any other case
     # normalizes here with the ingest convention (audio/io.py: i16 / 32768)
+    from ..audio.io import pcm_to_float32
+
     audios = [np.asarray(a) for a in audios]
     if not (device_windows and audios
             and all(a.dtype == np.int16 for a in audios)):
-        audios = [a.astype(np.float32) / 32768.0 if a.dtype == np.int16
-                  else np.asarray(a, np.float32) for a in audios]
+        audios = [pcm_to_float32(a) for a in audios]
     nfiles = len(audios)
 
     # ---- work list: (file, window start, core range) -----------------------

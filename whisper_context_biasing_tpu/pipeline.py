@@ -201,16 +201,25 @@ class Pipeline:
             from .audio import load_audio
 
             return load_audio(audio)
-        return np.asarray(audio, np.float32)
+        from .audio import pcm_to_float32
+
+        # raw int16 PCM arrays normalize with the ingest contract
+        # (i16/32768) — a plain float cast would be 90 dB out of scale
+        return pcm_to_float32(audio)
 
     def _mel(self, chunk: np.ndarray, n_mels: int | None = None):
+        return np.asarray(self._mel_device(chunk, n_mels))
+
+    def _mel_device(self, chunk, n_mels: int | None = None):
+        """Device-resident mel for consumers that feed the decode directly
+        (the chunked window gather) — no D2H/H2D round-trip, the same
+        measured win as serve.py/transcribe.py (docs/PERF.md round 3)."""
         import jax.numpy as jnp
 
         from .audio.mel import select_mel_frontend
 
         frontend = select_mel_frontend()  # Pallas kernel on TPU, jnp else
-        return np.asarray(frontend(jnp.asarray(chunk),
-                                   n_mels=n_mels or self.cfg.n_mels))
+        return frontend(jnp.asarray(chunk), n_mels=n_mels or self.cfg.n_mels)
 
     def _encode(self, mel):
         import jax
@@ -272,7 +281,9 @@ class Pipeline:
                 ctx.lower(), add_special_tokens=False)
         elif ctx is not None:
             kwargs["context"] = ctx
-        kwargs.setdefault("mel_fn", self._mel)
+        # device-resident mel: StreamingTranscriber feeds the decode
+        # directly (same contract as serve.py's stream_start mel_fn)
+        kwargs.setdefault("mel_fn", self._mel_device)
         kwargs.setdefault("window_samples", self.window_samples)
         # session accelerators carry into streaming (medusa wins; a draft
         # with a different mel frontend can't share the stream's mel_fn)
@@ -388,7 +399,7 @@ class Pipeline:
             starts, langs = self._starts(first, language, task)
             out = transcribe_chunked(
                 self.params, self.cfg, self.tokenizer, clips,
-                mel_fn=self._mel, max_new=max_tokens, contexts=ctx,
+                mel_fn=self._mel_device, max_new=max_tokens, contexts=ctx,
                 bias_spans=spans, bias_boost=boost,
                 use_timestamps=timestamps, temperatures=tuple(temperatures),
                 best_of=best_of,
@@ -440,7 +451,7 @@ class Pipeline:
             starts, langs = self._starts(first, language, task)
             out = transcribe_long_batch(
                 self.params, self.cfg, self.tokenizer, clips,
-                mel_fn=self._mel, max_new=max_tokens, contexts=ctx,
+                mel_fn=self._mel_device, max_new=max_tokens, contexts=ctx,
                 bias_spans=spans, bias_boost=boost,
                 use_timestamps=timestamps, temperatures=tuple(temperatures),
                 best_of=best_of,
