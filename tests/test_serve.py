@@ -337,6 +337,87 @@ class TestServeLongFormWords:
         assert "windows" not in results[1]  # short request: never present
 
 
+@pytest.mark.slow
+class TestHttpHandler:
+    """First HTTP-level e2e: a live ThreadingHTTPServer around the tiny
+    engine — exercises the handler's audio decode, the int16 keep gate,
+    option parsing and the JSON response contract (previously only the
+    Engine layer was tested)."""
+
+    def _serve(self, eng):
+        import queue
+        import threading
+        from http.server import ThreadingHTTPServer
+
+        from whisper_context_biasing_tpu.utils import RtfMeter
+
+        serve = _load_serve()
+        eng.args.max_wait_ms = 20  # micro-batch window (real default 50)
+        eng.q = queue.Queue()
+        eng.rtf = RtfMeter()
+        threading.Thread(target=eng._worker, daemon=True).start()
+        srv = ThreadingHTTPServer(("127.0.0.1", 0), serve.make_handler(eng))
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        return srv
+
+    @staticmethod
+    def _wav_bytes(pcm):
+        import io as _io
+        import wave as _wave
+
+        buf = _io.BytesIO()
+        with _wave.open(buf, "wb") as w:
+            w.setnchannels(1); w.setsampwidth(2); w.setframerate(16000)
+            w.writeframes(pcm.tobytes())
+        return buf.getvalue()
+
+    def test_post_transcribe_short_and_int16_long(self):
+        import http.client
+        import json as _json
+
+        eng = _make_engine()
+        eng.args.long_chunked = True  # arms the handler's keep_int16 gate
+        srv = self._serve(eng)
+        try:
+            port = srv.server_address[1]
+            rng = np.random.default_rng(21)
+
+            def post(body, headers=None):
+                c = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+                c.request("POST", "/transcribe", body=body,
+                          headers=headers or {})
+                r = c.getresponse()
+                out = _json.loads(r.read())
+                c.close()
+                return r.status, out
+
+            # short request (<=30 s): int16 wav converts to float before
+            # the short path; response carries the result contract
+            short = (rng.standard_normal(16000) * 6000).astype(np.int16)
+            status, out = post(self._wav_bytes(short))
+            assert status == 200
+            assert "text" in out and "latency_ms" in out
+            assert out["audio_seconds"] == 1.0
+
+            # long request (>30 s): raw int16 rides the chunked path;
+            # transcript matches the float view of the same audio
+            pcm = (rng.standard_normal(N_SAMPLES + 16000) * 6000).astype(
+                np.int16)
+            status, out_i = post(self._wav_bytes(pcm))
+            assert status == 200
+            eng2_audio = pcm.astype(np.float32) / 32768.0
+            ref = eng._run_long([eng2_audio], [None], [None])
+            assert out_i["text"] == ref[0]["text"]
+
+            # bad option -> 400 with an error, not a worker crash
+            status, out = post(self._wav_bytes(short),
+                               {"X-Task": "summarize"})
+            assert status == 400 and "error" in out
+        finally:
+            srv.shutdown()
+            eng.args.long_chunked = False
+
+
 class TestAudioBytesRouting:
     def test_wav_magic(self):
         import io as _io
