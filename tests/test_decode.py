@@ -266,3 +266,97 @@ class TestSamplingAndSuppression:
         toks = np.asarray(sup.tokens)
         assert first not in toks[0].tolist()
         assert first not in toks[1].tolist()
+
+
+class TestTimestampRules:
+    """OpenAI's ApplyTimestampRules as in-graph masks
+    (decode/greedy.py:apply_timestamp_rules). Unit level: crafted logits ->
+    expected masks; integration: a real greedy decode emits a structurally
+    valid timestamp transcript."""
+
+    TS = 100   # timestamp_begin in a toy 120-token vocab
+    EOT_ = 90
+
+    def _rules(self, lg, prev1, prev2, last_ts, is_first=False, max_init=10):
+        from whisper_context_biasing_tpu.decode.greedy import (
+            apply_timestamp_rules,
+        )
+
+        return np.asarray(apply_timestamp_rules(
+            jnp.asarray(lg, jnp.float32),
+            jnp.asarray(prev1, jnp.int32), jnp.asarray(prev2, jnp.int32),
+            jnp.asarray(last_ts, jnp.int32),
+            timestamp_begin=self.TS, eot_id=self.EOT_, is_first=is_first,
+            max_initial_timestamp_index=max_init))
+
+    def test_first_token_must_be_early_timestamp(self):
+        lg = np.zeros((1, 120), np.float32)
+        out = self._rules(lg, [-1], [-1], [0], is_first=True)
+        assert (out[0, : self.TS] < -1e30).all()          # no text
+        assert (out[0, self.TS : self.TS + 11] > -1e30).all()
+        assert (out[0, self.TS + 11 :] < -1e30).all()     # max_initial
+
+    def test_closed_pair_forces_text(self):
+        lg = np.zeros((1, 120), np.float32)
+        out = self._rules(lg, [self.TS + 5], [self.TS + 5], [self.TS + 5])
+        assert (out[0, self.TS :] < -1e30).all()          # no timestamps
+        assert out[0, 3] > -1e30                          # text open
+
+    def test_lone_timestamp_forces_timestamp_or_eot(self):
+        lg = np.zeros((1, 120), np.float32)
+        # give eot enough mass that the probability rule (which masks
+        # [0:ts) INCLUDING eot when aggregate timestamp mass wins — OpenAI
+        # semantics) doesn't fire here
+        lg[0, self.EOT_] = 10.0
+        out = self._rules(lg, [self.TS + 5], [7], [self.TS + 5])
+        assert (out[0, : self.EOT_] < -1e30).all()        # no text
+        assert out[0, self.EOT_] > -1e30                  # eot allowed
+        assert out[0, self.TS + 5] > -1e30                # same ts (pair)
+        assert (out[0, self.TS : self.TS + 5] < -1e30).all()  # no regress
+
+    def test_monotonic_after_closed_pair(self):
+        # after a closed pair at ts+5, the NEXT timestamp must be > ts+5
+        lg = np.zeros((1, 120), np.float32)
+        lg[0, : self.TS] = -1e4  # keep text out of the way of the prob rule
+        out = self._rules(lg, [7], [self.TS + 5], [self.TS + 5])
+        assert (out[0, self.TS : self.TS + 6] < -1e30).all()
+        assert out[0, self.TS + 6] > -1e30
+
+    def test_probability_rule_forces_timestamp(self):
+        # timestamps carry (in aggregate) more mass than the best text token
+        lg = np.zeros((1, 120), np.float32)   # 20 ts tokens vs flat text
+        out = self._rules(lg, [7], [8], [0])
+        assert (out[0, : self.TS] < -1e30).all()
+        # but a single dominant text token survives
+        lg2 = np.zeros((1, 120), np.float32)
+        lg2[0, 3] = 10.0
+        out2 = self._rules(lg2, [7], [8], [0])
+        assert out2[0, 3] > -1e30
+
+    def test_notimestamps_token_always_masked(self):
+        lg = np.zeros((1, 120), np.float32)
+        for kw in (dict(is_first=True), {}):
+            out = self._rules(lg, [7], [8], [0], **kw)
+            assert out[0, self.TS - 1] < -1e30
+
+    @pytest.mark.slow
+    def test_greedy_decode_emits_valid_timestamp_structure(self, setup):
+        cfg, params, mel = setup
+        tok = load_tokenizer()
+        ids, mask = pack_prefixes([[tok.sot], [tok.sot]], EOT)
+        res = greedy_decode(params, cfg, jnp.asarray(mel), jnp.asarray(ids),
+                            jnp.asarray(mask), max_new=12,
+                            timestamp_begin=tok.timestamp_begin)
+        toks = np.asarray(res.tokens)
+        lens = np.asarray(res.lengths)
+        for i in range(toks.shape[0]):
+            row = toks[i, : lens[i]].tolist()
+            assert row, "rules force a first timestamp, row can't be empty"
+            assert row[0] >= tok.timestamp_begin          # starts with ts
+            assert row[0] <= tok.timestamp_begin + 50     # max_initial 1.0 s
+            ts = [t for t in row if t >= tok.timestamp_begin]
+            assert ts == sorted(ts)                       # non-decreasing
+            for a, b, c in zip(row, row[1:], row[2:]):
+                if (a >= tok.timestamp_begin and b >= tok.timestamp_begin
+                        and c != EOT):
+                    assert c < tok.timestamp_begin        # pair -> text

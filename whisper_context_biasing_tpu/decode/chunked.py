@@ -380,6 +380,13 @@ def transcribe_chunked(
                               + [1] * (nb - nb_real), np.int32)
                    if start_tokens else 1)
         ns_id = tokenizer.no_speech if no_speech_threshold is not None else None
+        # OpenAI timestamp rules for timestamp-mode plain-greedy rungs;
+        # kept off when medusa/draft/beam drive t=0 so their greedy-
+        # equivalence contract is ladder-consistent (greedy.py
+        # apply_timestamp_rules)
+        ts_begin = (tokenizer.timestamp_begin
+                    if (use_timestamps and medusa is None and draft is None
+                        and num_beams == 1) else None)
 
         if mesh is not None:
             from ..parallel import shard_decode_inputs
@@ -424,7 +431,8 @@ def transcribe_chunked(
                 jnp.asarray(mask), max_new=max_new, eot_id=tokenizer.eot,
                 bias_spans=spans, bias_boost=bias_boost,
                 span_pad_id=tokenizer.eot, temperature=temperature,
-                rng_key=key, no_speech_id=ns_id, sot_offset=sot_off)
+                rng_key=key, no_speech_id=ns_id, sot_offset=sot_off,
+                timestamp_begin=ts_begin)
 
         # temperature ladder over the whole batch; only failing REAL rows
         # pend (padding rows decode garbage and must not drive retries)

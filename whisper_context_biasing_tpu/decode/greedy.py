@@ -75,11 +75,75 @@ def pack_prefixes(
     return ids, mask
 
 
+def apply_timestamp_rules(
+    lg: jax.Array,          # (B, V) f32 logits, post-suppress/bias
+    prev1: jax.Array,       # (B,) last GENERATED token (-1 = none yet)
+    prev2: jax.Array,       # (B,) token before that (-1 = none)
+    last_ts: jax.Array,     # (B,) most recent timestamp token (0 = none)
+    *,
+    timestamp_begin: int,
+    eot_id: int,
+    is_first: bool,
+    max_initial_timestamp_index: int | None,
+) -> jax.Array:
+    """OpenAI Whisper's ApplyTimestampRules as pure in-graph masks.
+
+    The published long-form algorithm constrains timestamp-token sampling:
+    timestamps come in pairs (a lone timestamp must be followed by another
+    timestamp or <|endoftext|>; a closed pair must be followed by text),
+    they never decrease, the first generated token must be a timestamp no
+    later than ``max_initial_timestamp_index``, and when the total
+    probability mass on timestamps beats every text token the step is
+    forced to sample a timestamp. Row state is three int32 vectors carried
+    through the decode loop — no host round-trips, no dynamic shapes.
+    (No reference counterpart: the reference decodes with
+    ``<|notimestamps|>`` only; this serves the long-form/subtitle surfaces,
+    which follow OpenAI's published semantics.)"""
+    neg = jnp.finfo(jnp.float32).min
+    b, v = lg.shape
+    col = jnp.arange(v)
+    ts_cols = col >= timestamp_begin
+    # <|notimestamps|> sits right below <|0.00|>; never emit it here
+    lg = lg.at[:, timestamp_begin - 1].set(neg)
+    if is_first:
+        # first generated token: must be a timestamp, at most max_initial
+        lg = jnp.where(~ts_cols[None, :], neg, lg)
+        if max_initial_timestamp_index is not None:
+            lg = jnp.where(
+                (col > timestamp_begin + max_initial_timestamp_index)[None, :],
+                neg, lg)
+    else:
+        last_was = prev1 >= timestamp_begin
+        # "fewer than two generated tokens" counts as a timestamp
+        pen_was = (prev2 < 0) | (prev2 >= timestamp_begin)
+        # closed pair -> text next; lone timestamp -> timestamp or eot
+        lg = jnp.where((last_was & pen_was)[:, None] & ts_cols[None, :],
+                       neg, lg)
+        lg = jnp.where((last_was & ~pen_was)[:, None]
+                       & (col < eot_id)[None, :], neg, lg)
+        # monotonic: completing a pair may repeat the value, otherwise
+        # strictly increase
+        has_ts = last_ts >= timestamp_begin
+        bound = jnp.where(last_was & ~pen_was, last_ts, last_ts + 1)
+        lg = jnp.where(
+            has_ts[:, None] & ts_cols[None, :] & (col[None, :] < bound[:, None]),
+            neg, lg)
+    # probability rule: if the mass on timestamps beats every text token,
+    # force a timestamp (OpenAI masks everything below timestamp_begin,
+    # eot included)
+    logprobs = jax.nn.log_softmax(lg, axis=-1)
+    ts_lp = jax.nn.logsumexp(logprobs[:, timestamp_begin:], axis=-1)
+    max_txt = jnp.max(logprobs[:, :timestamp_begin], axis=-1)
+    lg = jnp.where((ts_lp > max_txt)[:, None] & ~ts_cols[None, :], neg, lg)
+    return lg
+
+
 @functools.partial(
     counted_jit,
     static_argnames=("cfg", "max_new", "eot_id", "bias_boost", "vocab_size",
                      "span_pad_id", "temperature", "suppress_tokens",
-                     "no_speech_id"),
+                     "no_speech_id", "timestamp_begin",
+                     "max_initial_timestamp_index"),
 )
 def greedy_decode(
     params,
@@ -98,6 +162,10 @@ def greedy_decode(
     rng_key: jax.Array | None = None,
     no_speech_id: int | None = None,
     sot_offset=1,  # int or (B,) int32 — per-row <|sot|> position from the end
+    timestamp_begin: int | None = None,   # enable OpenAI's timestamp rules
+                                          # (apply_timestamp_rules) for
+                                          # timestamp-mode decode
+    max_initial_timestamp_index: int | None = 50,  # <= 1.0 s, OpenAI default
 ) -> GreedyResult:
     """Batched greedy decode. The prefix must end with the token the model
     should continue from (e.g. ``[<|sot|>]`` for reference-parity generation,
@@ -168,12 +236,19 @@ def greedy_decode(
         jnp.asarray(suppress_tokens, jnp.int32) if suppress_tokens else None
     )
 
-    def pick(lg, state, key):
+    def pick(lg, state, key, ts_state=None, is_first=False):
         lg = lg.astype(jnp.float32)
         if suppress is not None:
             lg = lg.at[:, suppress].set(jnp.finfo(jnp.float32).min)
         if use_bias:
             lg = lg + bias_bonus(state, bias_spans, v, bias_boost)
+        if timestamp_begin is not None:
+            prev1, prev2, last_ts = ts_state
+            lg = apply_timestamp_rules(
+                lg, prev1, prev2, last_ts,
+                timestamp_begin=timestamp_begin, eot_id=eot_id,
+                is_first=is_first,
+                max_initial_timestamp_index=max_initial_timestamp_index)
         if temperature > 0.0:
             nxt = jax.random.categorical(key, lg / temperature, axis=-1).astype(jnp.int32)
         else:
@@ -183,8 +258,11 @@ def greedy_decode(
         )[:, 0]
         return nxt, logp
 
+    none = jnp.full((b,), -1, jnp.int32)       # "no generated token yet"
+    ts0 = jnp.zeros((b,), jnp.int32)           # "no timestamp seen yet"
     key0 = rng_key if rng_key is not None else jax.random.PRNGKey(0)
-    first_tok, first_lp = pick(logits[:, -1], bias_state, key0)
+    first_tok, first_lp = pick(logits[:, -1], bias_state, key0,
+                               ts_state=(none, none, ts0), is_first=True)
 
     class Carry(NamedTuple):
         t: jax.Array
@@ -196,14 +274,19 @@ def greedy_decode(
         bias_state: BiasTrieState
         key: jax.Array
         sum_lp: jax.Array     # (B,) f32
+        prev: jax.Array       # (B,) generated token before cur (-1 = none);
+                              # timestamp-rule pairing state
+        last_ts: jax.Array    # (B,) most recent timestamp token (0 = none)
 
     out0 = jnp.full((b, max_new), eot_id, jnp.int32)
     finished0 = first_tok == eot_id
     out0 = out0.at[:, 0].set(first_tok)
     bias_state = advance_bias_state(bias_state, bias_spans, first_tok) if use_bias else bias_state
+    last_ts0 = (jnp.where(first_tok >= timestamp_begin, first_tok, ts0)
+                if timestamp_begin is not None else ts0)
 
     init = Carry(jnp.int32(1), first_tok, next_pos, cache, out0, finished0,
-                 bias_state, key0, first_lp)
+                 bias_state, key0, first_lp, none, last_ts0)
 
     def cond(c: Carry):
         return (c.t < max_new) & ~jnp.all(c.finished)
@@ -216,13 +299,17 @@ def greedy_decode(
         )
         step_lg = lg[:, -1]
         key, sub = jax.random.split(c.key)
-        nxt, lp = pick(step_lg, c.bias_state, sub)
+        nxt, lp = pick(step_lg, c.bias_state, sub,
+                       ts_state=(c.cur, c.prev, c.last_ts))
         nxt = jnp.where(c.finished, eot_id, nxt)
         sum_lp = c.sum_lp + jnp.where(c.finished, 0.0, lp)
         out = jax.lax.dynamic_update_slice(c.out, nxt[:, None], (jnp.int32(0), c.t))
         finished = c.finished | (nxt == eot_id)
         bs = advance_bias_state(c.bias_state, bias_spans, nxt) if use_bias else c.bias_state
-        return Carry(c.t + 1, nxt, c.pos + 1, cache, out, finished, bs, key, sum_lp)
+        last_ts = (jnp.where(nxt >= timestamp_begin, nxt, c.last_ts)
+                   if timestamp_begin is not None else c.last_ts)
+        return Carry(c.t + 1, nxt, c.pos + 1, cache, out, finished, bs, key,
+                     sum_lp, c.cur, last_ts)
 
     final = jax.lax.while_loop(cond, body, init)
     lengths = jnp.sum(

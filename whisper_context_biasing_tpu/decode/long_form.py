@@ -352,6 +352,14 @@ def transcribe_long_batch(
                 temperature=temperature, rng_key=key,
                 no_speech_id=ns_id,
                 sot_offset=so,
+                # OpenAI timestamp rules on timestamp-mode plain-greedy
+                # ladders; off when medusa/draft/beam drive t=0 so the
+                # ladder stays internally consistent (greedy.py
+                # apply_timestamp_rules)
+                timestamp_begin=(tokenizer.timestamp_begin
+                                 if (use_timestamps and medusa is None
+                                     and draft is None and num_beams == 1)
+                                 else None),
             )
     # words are only reachable through the (tokens, segments, words) return:
     # without return_segments the DTW alignment would be pure wasted compute

@@ -161,6 +161,11 @@ class StreamingTranscriber:
                     rng_key=key, no_speech_id=ns_id,
                     # read at call time: detection may rewrite the start
                     sot_offset=len(outer.start),
+                    # OpenAI timestamp rules (same gating as the batch
+                    # long-form surfaces: plain-greedy timestamp mode only)
+                    timestamp_begin=(tokenizer.timestamp_begin
+                                     if (use_timestamps and medusa is None
+                                         and draft is None) else None),
                 )
 
         self.decode_fn = decode_fn
