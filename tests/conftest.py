@@ -9,6 +9,15 @@ must build their mesh from ``cpu_devices()``.
 
 import os
 
+# CLI modules (scripts/serve.py etc.) call setup_jax() at import time, which
+# enables JAX's persistent compilation cache. Under pytest that flips a
+# process-global config mid-session for every later test, and cache WRITES
+# from the test process have segfaulted put_executable_and_time on this
+# host (slow-lane rc=139 in test_speculative after the serve HTTP e2e
+# imported serve.py). Tests never benefit from the on-disk cache — every
+# lane compiles fresh tiny programs — so pin it off before anything imports.
+os.environ.setdefault("WCB_DISABLE_COMP_CACHE", "1")
+
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()

@@ -427,6 +427,37 @@ class TestTrainStep:
             lambda a, b: bool(jnp.all(a == b)), state.params["decoder"], state2.params["decoder"]))
         assert enc_same and not dec_same
 
+    def test_freeze_encoder_matches_grad_discard(self, tiny_batch):
+        """The stop_gradient freeze (no encoder backward built at all) must
+        produce the same update as the compute-then-discard semantics of the
+        reference's freeze_encoder() — decoder params move identically."""
+        import optax
+
+        from whisper_context_biasing_tpu.train.step import make_loss_fn
+
+        cfg, params, batch = tiny_batch
+        opt = make_optimizer(peak_lr=1e-3, warmup_steps=0, total_steps=100)
+        step = make_train_step(cfg, opt, freeze_encoder=True, donate=False)
+        s_new, m_new = step(init_train_state(params, opt), batch)
+
+        # reference semantics, built inline: full-graph grads, encoder zeroed
+        # before the optimizer, weight-decay update masked after
+        loss_fn = make_loss_fn(cfg, bias_weight=1.5)
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+        grads = dict(grads, encoder=jax.tree.map(jnp.zeros_like, grads["encoder"]))
+        st = init_train_state(params, opt)
+        updates, _ = opt.update(grads, st.opt_state, st.params)
+        updates = dict(updates,
+                       encoder=jax.tree.map(jnp.zeros_like, updates["encoder"]))
+        ref_params = optax.apply_updates(st.params, updates)
+
+        assert float(m_new["loss"]) == pytest.approx(float(loss), rel=1e-6)
+        diffs = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
+                             s_new.params, ref_params)
+        # jit-vs-eager fusion noise passes through Adam's eps-normalized
+        # update at ~5e-6; a semantically wrong freeze differs at >=1e-3
+        assert max(jax.tree.leaves(diffs)) < 5e-5
+
     def test_grad_accum_equivalence(self, tiny_batch):
         """accum over two identical microbatches == single step on one."""
         cfg, params, batch = tiny_batch

@@ -33,11 +33,19 @@ def make_loss_fn(
     bias_weight: float,
     use_bias_spans: bool = True,
     mel_on_device: bool = False,
+    freeze_encoder: bool = False,
 ):
     """With ``mel_on_device`` the batch carries raw ``audio`` (B, 480000) and
     the fused Pallas log-mel runs inside the training program — the host-side
     numpy spectrogram (the reference pipeline's single-worker bottleneck)
-    disappears from the input path entirely."""
+    disappears from the input path entirely.
+
+    ``freeze_encoder`` stops gradients at the encoder output, so XLA never
+    builds the encoder backward pass at all (the encoder is the bulk of the
+    FLOPs at 1500 frames) — semantically identical to computing encoder
+    grads and discarding them, the reference's ``freeze_encoder()``
+    (scripts/evaluation.py:170). Decoder cross-attention projections still
+    train; they consume ``enc_out`` as a constant."""
     # span pad / special-id threshold follow the model's vocab layout:
     # eot is 50256 for .en and 50257 for multilingual (specials sit above it)
     pad_id = cfg.pad_token_id
@@ -49,7 +57,14 @@ def make_loss_fn(
             feats = log_mel_spectrogram_fused(batch["audio"], n_mels=cfg.n_mels)
         else:
             feats = batch["input_features"]
-        logits = forward(params, cfg, feats, batch["decoder_input_ids"])
+        if freeze_encoder:
+            from ..models.whisper import decode_tokens, encode_audio
+
+            enc_out = jax.lax.stop_gradient(encode_audio(params, cfg, feats))
+            logits, _ = decode_tokens(params, cfg, batch["decoder_input_ids"],
+                                      enc_out=enc_out)
+        else:
+            logits = forward(params, cfg, feats, batch["decoder_input_ids"])
         spans = batch.get("bias_spans") if use_bias_spans else None
         return weighted_ce_loss(logits, batch["labels"], spans, bias_weight,
                                 span_pad_id=pad_id, special_id_threshold=pad_id)
@@ -93,10 +108,6 @@ def accumulate_microbatch_grads(grad_of_microbatch, params, batch,
     return loss_sum * scale, jax.tree.map(lambda a: a * scale, g)
 
 
-def _freeze_encoder_grads(grads):
-    return dict(grads, encoder=jax.tree.map(jnp.zeros_like, grads["encoder"]))
-
-
 def make_train_step(
     cfg: WhisperConfig,
     optimizer: optax.GradientTransformation,
@@ -123,7 +134,8 @@ def make_train_step(
     if spec_augment is not None and mel_on_device:
         raise ValueError("spec_augment needs precomputed input_features "
                          "(mel_on_device computes mel inside the loss)")
-    loss_fn = make_loss_fn(cfg, bias_weight, use_bias_spans, mel_on_device)
+    loss_fn = make_loss_fn(cfg, bias_weight, use_bias_spans, mel_on_device,
+                           freeze_encoder=freeze_encoder)
     grad_fn = jax.value_and_grad(loss_fn)
     augment = make_augment_fn(spec_augment, augment_seed)
 
@@ -141,8 +153,9 @@ def make_train_step(
             loss, grads = accum_grads(state.params, batch)
         else:
             loss, grads = single_grads(state.params, batch)
-        if freeze_encoder:
-            grads = _freeze_encoder_grads(grads)
+        # freeze_encoder needs no grad zeroing here: the loss stops gradients
+        # at the encoder output, so encoder grads are structural zeros and the
+        # encoder backward is dead code XLA never runs
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         if freeze_encoder:
             # AdamW weight decay would still move zero-grad params; mask it
