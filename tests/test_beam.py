@@ -55,6 +55,54 @@ class TestBeam:
                         jnp.asarray(mask), num_beams=1, max_new=8)
         np.testing.assert_array_equal(np.asarray(g.tokens), np.asarray(b.best))
 
+    def test_k1_timestamp_mode_equals_greedy(self, setup):
+        """Timestamp rules under beam: at k=1 the per-beam rule masks must
+        pick the same tokens as the greedy implementation (rules are applied
+        to raw logits, and log_softmax preserves the argmax)."""
+        from whisper_context_biasing_tpu.tokenizer import load_tokenizer
+
+        cfg, params, mel = setup
+        tok = load_tokenizer()
+        ids, mask = pack_prefixes([[tok.sot], [tok.sot]], EOT)
+        g = greedy_decode(params, cfg, jnp.asarray(mel), jnp.asarray(ids),
+                          jnp.asarray(mask), max_new=10,
+                          timestamp_begin=tok.timestamp_begin)
+        b = beam_decode(params, cfg, jnp.asarray(mel), jnp.asarray(ids),
+                        jnp.asarray(mask), num_beams=1, max_new=10,
+                        timestamp_begin=tok.timestamp_begin)
+        np.testing.assert_array_equal(np.asarray(g.tokens), np.asarray(b.best))
+
+    @pytest.mark.parametrize("early_stopping", ["off", "true"])
+    def test_beam_timestamp_structure_valid(self, setup, early_stopping):
+        """k=3 timestamp-mode beams obey the OpenAI constraints on every
+        returned beam: first token is an early timestamp, timestamps never
+        decrease, a closed pair is followed by text (both loop modes)."""
+        from whisper_context_biasing_tpu.tokenizer import load_tokenizer
+
+        cfg, params, mel = setup
+        tok = load_tokenizer()
+        ids, mask = pack_prefixes([[tok.sot], [tok.sot]], EOT)
+        res = beam_decode(params, cfg, jnp.asarray(mel), jnp.asarray(ids),
+                          jnp.asarray(mask), num_beams=3, max_new=10,
+                          timestamp_begin=tok.timestamp_begin,
+                          early_stopping=early_stopping)
+        toks = np.asarray(res.tokens)
+        for i in range(toks.shape[0]):
+            for j in range(toks.shape[1]):
+                row = toks[i, j].tolist()
+                row = row[: row.index(EOT)] if EOT in row else row
+                if not row:
+                    continue  # hf pool may hold an immediate-eot hypothesis
+                assert row[0] >= tok.timestamp_begin
+                assert row[0] <= tok.timestamp_begin + 50
+                assert tok.timestamp_begin - 1 not in row  # <|notimestamps|>
+                ts = [t for t in row if t >= tok.timestamp_begin]
+                assert ts == sorted(ts)
+                for a, b2, c in zip(row, row[1:], row[2:]):
+                    if (a >= tok.timestamp_begin and b2 >= tok.timestamp_begin
+                            and c != EOT):
+                        assert c < tok.timestamp_begin
+
     def test_scores_are_exact_logprobs(self, setup):
         cfg, params, mel = setup
         ids, mask = pack_prefixes([[50257], [50257]], EOT)

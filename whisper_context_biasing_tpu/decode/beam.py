@@ -56,7 +56,8 @@ class BeamResult(NamedTuple):
     counted_jit,
     static_argnames=("cfg", "num_beams", "max_new", "eot_id", "bias_boost",
                      "length_penalty", "span_pad_id", "early_stopping",
-                     "no_speech_id"),
+                     "no_speech_id", "timestamp_begin",
+                     "max_initial_timestamp_index"),
 )
 def beam_decode(
     params,
@@ -74,6 +75,12 @@ def beam_decode(
     early_stopping: str = "off",
     no_speech_id: int | None = None,
     sot_offset=1,  # int or (B,) int32 — <|sot|> position from the prefix end
+    timestamp_begin: int | None = None,   # enable OpenAI's timestamp rules
+                                          # per beam (greedy.py
+                                          # apply_timestamp_rules; applied to
+                                          # the logits BEFORE log_softmax,
+                                          # OpenAI's filter order)
+    max_initial_timestamp_index: int | None = 50,
 ) -> BeamResult:
     """``early_stopping="off"`` (default): the in-pool frozen-beam search
     documented above — finished beams compete in top-k at zero incremental
@@ -172,6 +179,32 @@ def beam_decode(
         pos = g_bk(pos)
         return cache, state, pos
 
+    use_ts = timestamp_begin is not None
+
+    def apply_ts(step_logits, ts_state, is_first):
+        """OpenAI's ApplyTimestampRules per beam, on raw logits (the filter
+        runs before log_softmax in OpenAI's decode loop, so the probability
+        rule sees the same distribution here)."""
+        lg = step_logits.astype(jnp.float32)
+        if use_ts:
+            from .greedy import apply_timestamp_rules
+
+            prev1, prev2, last_ts = ts_state
+            lg = apply_timestamp_rules(
+                lg, prev1, prev2, last_ts,
+                timestamp_begin=timestamp_begin, eot_id=eot_id,
+                is_first=is_first,
+                max_initial_timestamp_index=max_initial_timestamp_index)
+        return lg
+
+    def gather_bk(a, beam_idx):
+        """Gather a (B*K,) per-beam vector by the (B, K) parent selection."""
+        return jnp.take_along_axis(
+            a.reshape(b, k), beam_idx, axis=1).reshape(b * k)
+
+    none_bk = jnp.full((b * k,), -1, jnp.int32)   # "no generated token yet"
+    ts0_bk = jnp.zeros((b * k,), jnp.int32)       # "no timestamp seen yet"
+
     if early_stopping != "off":
         res = _hf_beam_loop(
             params, cfg, logits, cache, next_pos, cross_kv, key_mask,
@@ -179,14 +212,17 @@ def beam_decode(
             b=b, k=k, v=v, p=p, max_new=max_new, eot_id=eot_id,
             bias_boost=bias_boost, length_penalty=length_penalty,
             early_stopping=early_stopping,
+            apply_ts=apply_ts, gather_bk=gather_bk, use_ts=use_ts,
+            timestamp_begin=timestamp_begin,
         )
         return res._replace(no_speech_prob=no_speech_prob)
 
-    def step_logprobs(step_logits, state, finished):
+    def step_logprobs(step_logits, state, finished, ts_state, is_first=False):
         """(B*K, V) masked log-probs for candidate expansion. Biasing uses
         score-exact shallow fusion: completed spans net +boost*len, failed
         partial matches net exactly 0 (bias_score_adjust docstring)."""
-        lp = jax.nn.log_softmax(step_logits.astype(jnp.float32), axis=-1)
+        lp = jax.nn.log_softmax(apply_ts(step_logits, ts_state, is_first),
+                                axis=-1)
         if use_bias:
             lp = lp + bias_score_adjust(state, spans_tiled, v, bias_boost)
         # finished beams may only emit eot, at zero incremental cost
@@ -202,13 +238,17 @@ def beam_decode(
         scores: jax.Array      # (B, K)
         finished: jax.Array    # (B*K,)
         bias_state: BiasTrieState
+        prev: jax.Array        # (B*K,) generated token before cur (-1 =
+                               # none); timestamp-rule pairing state
+        last_ts: jax.Array     # (B*K,) most recent timestamp token (0=none)
 
     # first expansion: only beam 0 contributes candidates
     init_scores = jnp.tile(
         jnp.asarray([0.0] + [float(NEG_INF)] * (k - 1), jnp.float32), (b, 1)
     )
     finished0 = jnp.zeros((b * k,), bool)
-    lp0 = step_logprobs(logits[:, -1], bias_state, finished0)  # (B*K, V)
+    lp0 = step_logprobs(logits[:, -1], bias_state, finished0,
+                        (none_bk, none_bk, ts0_bk), is_first=True)  # (B*K, V)
     cand = init_scores.reshape(b * k, 1) + lp0
     scores, flat_idx = jax.lax.top_k(cand.reshape(b, k * v), k)  # (B, K)
     beam_idx = flat_idx // v
@@ -220,9 +260,11 @@ def beam_decode(
     out0 = jnp.full((b, k, max_new), eot_id, jnp.int32).at[:, :, 0].set(token)
     if use_bias:
         bias_state = advance_bias_state(bias_state, spans_tiled, token_flat)
+    last_ts0 = (jnp.where(token_flat >= timestamp_begin, token_flat, ts0_bk)
+                if use_ts else ts0_bk)
 
     init = Carry(jnp.int32(1), token_flat, next_pos, cache, out0, scores,
-                 finished, bias_state)
+                 finished, bias_state, none_bk, last_ts0)
 
     def cond(c: Carry):
         return (c.t < max_new) & ~jnp.all(c.finished)
@@ -233,7 +275,8 @@ def beam_decode(
             pos_offset=p - 1 + c.t, token_positions=c.pos[:, None],
             self_mask=key_mask,
         )
-        lp = step_logprobs(lg[:, -1], c.bias_state, c.finished)  # (B*K, V)
+        lp = step_logprobs(lg[:, -1], c.bias_state, c.finished,
+                           (c.cur, c.prev, c.last_ts))  # (B*K, V)
         cand = c.scores.reshape(b * k, 1) + lp
         scores, flat_idx = jax.lax.top_k(cand.reshape(b, k * v), k)
         beam_idx = flat_idx // v
@@ -249,8 +292,13 @@ def beam_decode(
         finished = fin.reshape(b * k) | (token_flat == eot_id)
         if use_bias:
             state = advance_bias_state(state, spans_tiled, token_flat)
+        # timestamp state follows the SELECTED parent beam
+        prev = gather_bk(c.cur, beam_idx)
+        lt = gather_bk(c.last_ts, beam_idx)
+        if use_ts:
+            lt = jnp.where(token_flat >= timestamp_begin, token_flat, lt)
         return Carry(c.t + 1, token_flat, pos + 1, cache, out, scores,
-                     finished, state)
+                     finished, state, prev, lt)
 
     final = jax.lax.while_loop(cond, body, init)
 
@@ -268,6 +316,7 @@ def _hf_beam_loop(
     params, cfg, logits, cache, next_pos, cross_kv, key_mask,
     spans_tiled, bias_state, use_bias, reorder, *,
     b, k, v, p, max_new, eot_id, bias_boost, length_penalty, early_stopping,
+    apply_ts, gather_bk, use_ts, timestamp_begin,
 ) -> BeamResult:
     """HF ``BeamSearchScorer.process``/``finalize`` semantics as one XLA
     loop (transformers generation/beam_search.py behavior): 2k candidates
@@ -283,8 +332,9 @@ def _hf_beam_loop(
     lp_f = float(length_penalty)
     rank = jnp.arange(2 * k)
 
-    def step_logprobs(step_logits, state, done_bk):
-        lp = jax.nn.log_softmax(step_logits.astype(jnp.float32), axis=-1)
+    def step_logprobs(step_logits, state, done_bk, ts_state, is_first=False):
+        lp = jax.nn.log_softmax(apply_ts(step_logits, ts_state, is_first),
+                                axis=-1)
         if use_bias:
             lp = lp + bias_score_adjust(state, spans_tiled, v, bias_boost)
         # rows already done emit <|eot|> at zero cost until the loop exits
@@ -351,11 +401,16 @@ def _hf_beam_loop(
         fin_out: jax.Array      # (B, K, max_new)
         fin_len: jax.Array      # (B, K)
         bias_state: BiasTrieState
+        prev: jax.Array         # (B*K,) timestamp-rule pairing state
+        last_ts: jax.Array      # (B*K,)
 
+    none_bk = jnp.full((b * k,), -1, jnp.int32)
+    ts0_bk = jnp.zeros((b * k,), jnp.int32)
     out0 = jnp.full((b, k, max_new), eot_id, jnp.int32)
     init_scores = jnp.tile(
         jnp.asarray([0.0] + [float(NEG_INF)] * (k - 1), jnp.float32), (b, 1))
-    lp0 = step_logprobs(logits[:, -1], bias_state, jnp.zeros((b * k,), bool))
+    lp0 = step_logprobs(logits[:, -1], bias_state, jnp.zeros((b * k,), bool),
+                        (none_bk, none_bk, ts0_bk), is_first=True)
     live_scores, live_beam, live_tok, fs, fo, fl, done = select(
         init_scores.reshape(b * k, 1) + lp0, jnp.int32(0), out0,
         jnp.full((b, k), NEG_INF), out0, jnp.zeros((b, k), jnp.int32),
@@ -365,9 +420,11 @@ def _hf_beam_loop(
     out = out0.at[:, :, 0].set(live_tok)
     if use_bias:
         bias_state = advance_bias_state(bias_state, spans_tiled, token_flat)
+    last_ts0 = (jnp.where(token_flat >= timestamp_begin, token_flat, ts0_bk)
+                if use_ts else ts0_bk)
 
     init = HFCarry(jnp.int32(1), token_flat, next_pos, cache, out, live_scores,
-                   done, fs, fo, fl, bias_state)
+                   done, fs, fo, fl, bias_state, none_bk, last_ts0)
 
     def cond(c: HFCarry):
         return (c.t < max_new) & ~jnp.all(c.done)
@@ -379,7 +436,8 @@ def _hf_beam_loop(
             pos_offset=p - 1 + c.t, token_positions=c.pos[:, None],
             self_mask=key_mask,
         )
-        lp = step_logprobs(lg[:, -1], c.bias_state, done_bk)
+        lp = step_logprobs(lg[:, -1], c.bias_state, done_bk,
+                           (c.cur, c.prev, c.last_ts))
         live_scores, live_beam, live_tok, fs, fo, fl, done = select(
             c.scores.reshape(b * k, 1) + lp, c.t, c.out,
             c.fin_scores, c.fin_out, c.fin_len, c.done)
@@ -390,8 +448,12 @@ def _hf_beam_loop(
         token_flat = live_tok.reshape(b * k)
         if use_bias:
             state = advance_bias_state(state, spans_tiled, token_flat)
+        prev = gather_bk(c.cur, live_beam)
+        lt = gather_bk(c.last_ts, live_beam)
+        if use_ts:
+            lt = jnp.where(token_flat >= timestamp_begin, token_flat, lt)
         return HFCarry(c.t + 1, token_flat, pos + 1, cache, out, live_scores,
-                       done, fs, fo, fl, state)
+                       done, fs, fo, fl, state, prev, lt)
 
     final = jax.lax.while_loop(cond, body, init)
 
@@ -415,6 +477,7 @@ def beam_decode_batch(
     contexts=None, num_beams: int = 5, max_new: int = 224,
     bias_spans=None, bias_boost: float = 0.0, length_penalty: float = 1.0,
     mesh=None, starts=None, early_stopping: str = "off",
+    timestamp_begin: int | None = None,
 ):
     """Host-side convenience mirroring decode.greedy.decode_batch.
     ``starts``: optional per-row start sequences (see decode_batch).
@@ -448,6 +511,7 @@ def beam_decode_batch(
         bias_spans=spans,
         bias_boost=bias_boost, length_penalty=length_penalty,
         span_pad_id=tokenizer.eot, early_stopping=early_stopping,
+        timestamp_begin=timestamp_begin,
     )
     toks = np.asarray(res.best)
     outs = []

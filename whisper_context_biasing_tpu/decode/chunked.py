@@ -380,13 +380,13 @@ def transcribe_chunked(
                               + [1] * (nb - nb_real), np.int32)
                    if start_tokens else 1)
         ns_id = tokenizer.no_speech if no_speech_threshold is not None else None
-        # OpenAI timestamp rules for timestamp-mode plain-greedy rungs;
-        # kept off when medusa/draft/beam drive t=0 so their greedy-
-        # equivalence contract is ladder-consistent (greedy.py
-        # apply_timestamp_rules)
+        # OpenAI timestamp rules for timestamp-mode decode: applied per beam
+        # and on plain-greedy ladder rungs alike; kept off when medusa/draft
+        # drive t=0 so their greedy-equivalence contract is ladder-consistent
+        # (greedy.py apply_timestamp_rules)
         ts_begin = (tokenizer.timestamp_begin
-                    if (use_timestamps and medusa is None and draft is None
-                        and num_beams == 1) else None)
+                    if (use_timestamps and medusa is None and draft is None)
+                    else None)
 
         if mesh is not None:
             from ..parallel import shard_decode_inputs
@@ -412,7 +412,8 @@ def transcribe_chunked(
                     bias_boost=bias_boost, span_pad_id=tokenizer.eot,
                     length_penalty=length_penalty,
                     early_stopping=beam_early_stopping,
-                    no_speech_id=ns_id, sot_offset=sot_off)
+                    no_speech_id=ns_id, sot_offset=sot_off,
+                    timestamp_begin=ts_begin)
                 return _best_beam_as_greedy(res, length_penalty,
                                             beam_early_stopping)
             if temperature == 0.0 and (medusa is not None

@@ -323,6 +323,14 @@ def transcribe_long_batch(
                     None if sp is None else np.asarray(sp), soff)
                 if soff is not None:
                     so = soff
+            # OpenAI timestamp rules for timestamp-mode decode: applied per
+            # beam and on plain-greedy ladder rungs alike (greedy.py
+            # apply_timestamp_rules); kept off when medusa/draft drive t=0
+            # so the speculative-equals-greedy contract stays ladder-
+            # consistent
+            ts_begin = (tokenizer.timestamp_begin
+                        if (use_timestamps and medusa is None
+                            and draft is None) else None)
             if num_beams > 1 and temperature == 0.0:
                 from .beam import beam_decode
 
@@ -333,7 +341,8 @@ def transcribe_long_batch(
                     bias_boost=bias_boost, span_pad_id=tokenizer.eot,
                     length_penalty=length_penalty,
                     early_stopping=beam_early_stopping,
-                    no_speech_id=ns_id, sot_offset=so)
+                    no_speech_id=ns_id, sot_offset=so,
+                    timestamp_begin=ts_begin)
                 return _best_beam_as_greedy(res, length_penalty,
                                             beam_early_stopping)
             if temperature == 0.0 and (medusa is not None
@@ -352,14 +361,7 @@ def transcribe_long_batch(
                 temperature=temperature, rng_key=key,
                 no_speech_id=ns_id,
                 sot_offset=so,
-                # OpenAI timestamp rules on timestamp-mode plain-greedy
-                # ladders; off when medusa/draft/beam drive t=0 so the
-                # ladder stays internally consistent (greedy.py
-                # apply_timestamp_rules)
-                timestamp_begin=(tokenizer.timestamp_begin
-                                 if (use_timestamps and medusa is None
-                                     and draft is None and num_beams == 1)
-                                 else None),
+                timestamp_begin=ts_begin,
             )
     # words are only reachable through the (tokens, segments, words) return:
     # without return_segments the DTW alignment would be pure wasted compute
