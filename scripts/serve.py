@@ -628,13 +628,19 @@ class Engine:
         bs = self.args.batch
         while True:
             first = self.q.get()
+            if first is None:  # shutdown sentinel (tests / embedders)
+                return
             batch = [first]
             deadline = time.time() + self.args.max_wait_ms / 1000.0
             while len(batch) < bs:
                 try:
-                    batch.append(self.q.get(timeout=max(0.0, deadline - time.time())))
+                    item = self.q.get(timeout=max(0.0, deadline - time.time()))
                 except queue.Empty:
                     break
+                if item is None:
+                    self.q.put(None)  # re-post so the loop exits after this batch
+                    break
+                batch.append(item)
             audios = [b[0] for b in batch]
             ctxs = [b[1] for b in batch]
             words = [b[2] for b in batch]

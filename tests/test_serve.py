@@ -415,6 +415,9 @@ class TestHttpHandler:
             assert status == 400 and "error" in out
         finally:
             srv.shutdown()
+            eng.q.put(None)  # worker shutdown sentinel — no thread outlives
+                             # this test (later modules compile under XLA;
+                             # keep the process single-threaded for them)
             eng.args.long_chunked = False
 
 
