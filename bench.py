@@ -8,6 +8,9 @@ decode with KV cache and the bias-trie logits processor, bf16 compute.
 Prints one JSON line per metric, headline LAST:
   {"metric": "train_audio_s_per_s", ...}        (bench_train.py companion)
   {"metric": "decode_rtf_realistic", ...}       (BENCH_EOT mode, see below)
+  {"metric": "decode_rtf_bucketed", ...}        (BENCH_BUCKETS: the same
+   5-30 s mix decoded in duration-bucketed windows — a trade, not a free
+   win; see docs/PERF.md "bucketed short-window serving")
   {"metric": "decode_rtf_per_chip", "value": <audio-sec per wall-sec>,
    "unit": "x_realtime", "vs_baseline": value / 50.0}
 
@@ -132,6 +135,9 @@ def main():
     if os.environ.get("BENCH_EOT", "1") == "1":
         run_realistic(jax, jnp, cfg, params, spans_j)
 
+    if os.environ.get("BENCH_BUCKETS", "1") == "1":
+        run_bucketed(jax, jnp, cfg, params, spans_j)
+
     if os.environ.get("BENCH_LONG", "1") == "1":
         run_long_form(jax, jnp, cfg, params)
 
@@ -212,6 +218,88 @@ def run_long_form(jax, jnp, cfg, params):
                    "tokens_per_window": DECODE_TOKENS,
                    "silence_fraction": 0.5 if vad else 0.0,
                    "wall_s": round(wall, 3)},
+    }))
+
+
+def run_bucketed(jax, jnp, cfg, params, spans_j):
+    """Duration-bucketed serving metric (``decode_rtf_bucketed``): the same
+    5-30 s utterance mix as ``decode_rtf_realistic`` (same rng), but each
+    clip decodes in the smallest window bucket that holds it
+    (BENCH_BUCKET_SECS, default 10,20,30) instead of the padded 30 s window
+    — Pipeline.transcribe(window_buckets=). Encoder FLOPs scale with the
+    window, so short-utterance corpora skip most padded-silence compute
+    (docs/PERF.md: an 8 s window measured 2.1x utterance throughput)."""
+    from whisper_context_biasing_tpu.audio.mel import log_mel_spectrogram
+    from whisper_context_biasing_tpu.decode.greedy import greedy_decode
+
+    if FUSED_MEL:
+        from whisper_context_biasing_tpu.ops.mel_kernel import log_mel_spectrogram_fused
+
+    max_new = min(224, int(os.environ.get("BENCH_EOT_TOKENS", "224")))
+    buckets = sorted(float(s) for s in os.environ.get(
+        "BENCH_BUCKET_SECS", "10,20,30").split(","))
+    rng = np.random.default_rng(7)  # same durations as run_realistic
+    durations = rng.uniform(5.0, 30.0, BATCH)
+
+    # smallest bucket that holds each clip; clips longer than every bucket
+    # land in the largest (and trim, like Pipeline's largest-bucket cap)
+    assign = [min((t for t in buckets if d <= t), default=buckets[-1])
+              for d in durations]
+    calls = []  # one (jitted fn, audio, spans, n_rows) per bucket
+    for s in buckets:
+        idx = [i for i, a in enumerate(assign) if a == s]
+        if not idx:
+            continue
+        win = int(s * 16000)
+        audio = np.zeros((len(idx), win), np.float32)
+        for row, i in enumerate(idx):
+            n = min(int(durations[i] * 16000), win)
+            audio[row, :n] = (rng.standard_normal(n) * 0.1).astype(np.float32)
+        prefix = jnp.asarray([[cfg.decoder_start_token_id]] * len(idx),
+                             jnp.int32)
+        mask = jnp.ones((len(idx), 1), bool)
+        spans = spans_j[jnp.asarray(idx)]
+
+        def pipeline(params, audio, spans, prefix=prefix, mask=mask):
+            if FUSED_MEL:
+                mel = log_mel_spectrogram_fused(audio, n_mels=cfg.n_mels)
+            else:
+                mel = log_mel_spectrogram(audio, n_mels=cfg.n_mels)
+            return greedy_decode(
+                params, cfg, mel.astype(jnp.bfloat16), prefix, mask,
+                max_new=max_new, eot_id=cfg.pad_token_id,
+                bias_spans=spans, bias_boost=0.5,
+            )
+
+        calls.append((jax.jit(pipeline), jnp.asarray(audio), spans, len(idx)))
+
+    for fn, audio, spans, _ in calls:  # warmup / compile per bucket shape
+        jax.block_until_ready(fn(params, audio, spans).tokens)
+
+    times = []
+    for _ in range(max(2, ITERS // 2)):
+        t0 = time.perf_counter()
+        outs = []
+        for fn, audio, spans, nb in calls:
+            r = fn(params, audio, spans)
+            toks = np.asarray(r.tokens)            # device->host
+            lens = np.asarray(r.lengths)
+            outs.extend(toks[i, : lens[i]] for i in range(nb))
+        times.append(time.perf_counter() - t0)
+    wall = min(times)
+    real_audio_s = float(np.sum(durations))
+    print(json.dumps({
+        "metric": "decode_rtf_bucketed",
+        "value": round(real_audio_s / wall, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(real_audio_s / wall / 50.0, 3),
+        "detail": {
+            "model": MODEL, "batch": BATCH, "max_new": max_new,
+            "buckets_s": buckets,
+            "rows_per_bucket": [nb for _, _, _, nb in calls],
+            "eot_enabled": True, "real_audio_s": round(real_audio_s, 1),
+            "decoded_rows": len(outs), "wall_s": round(wall, 4),
+        },
     }))
 
 

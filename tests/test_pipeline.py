@@ -191,6 +191,59 @@ class TestPipeline:
                                   long_form=True, window_info=True)
         assert res.windows is not None and len(res.windows) == 1
 
+    def test_window_buckets_group_and_order(self, pipe):
+        """Duration-bucketed serving (window_buckets=): results come back in
+        input order and each clip's transcript equals what a single-clip
+        bucketed call produces — grouping is an internal batching detail."""
+        rng = np.random.default_rng(3)
+        win = pipe.window_samples
+        short_s = (win // 4) / 16000  # a hop-aligned sub-window bucket
+        clips = [
+            (rng.standard_normal(win // 5) * 0.1).astype(np.float32),
+            (rng.standard_normal(win - 320) * 0.1).astype(np.float32),
+            (rng.standard_normal(win // 6) * 0.1).astype(np.float32),
+        ]
+        batched = pipe.transcribe(clips, max_tokens=4,
+                                  window_buckets=(short_s,))
+        assert len(batched) == 3
+        for clip, res in zip(clips, batched):
+            solo = pipe.transcribe(clip, max_tokens=4,
+                                   window_buckets=(short_s,))
+            assert res.tokens == solo.tokens
+
+    def test_window_buckets_full_window_is_implicit(self, pipe):
+        """A clip longer than every requested bucket decodes in the full
+        window — identical to the unbucketed path (nothing gets trimmed
+        shorter than pad_or_trim would)."""
+        rng = np.random.default_rng(4)
+        win = pipe.window_samples
+        clip = (rng.standard_normal(win) * 0.1).astype(np.float32)
+        plain = pipe.transcribe(clip, max_tokens=4)
+        bucketed = pipe.transcribe(clip, max_tokens=4,
+                                   window_buckets=(0.01,))
+        assert bucketed.tokens == plain.tokens
+
+    def test_window_buckets_options_compose(self, pipe):
+        """Bias spans / context / word timestamps subset correctly per
+        bucket; invalid bucket values are rejected."""
+        rng = np.random.default_rng(5)
+        win = pipe.window_samples
+        clips = [(rng.standard_normal(win // 4) * 0.1).astype(np.float32),
+                 (rng.standard_normal(win) * 0.1).astype(np.float32)]
+        res = pipe.transcribe(clips, max_tokens=4,
+                              window_buckets=((win // 2) / 16000,),
+                              context="note", bias_words=["aspirin"],
+                              bias_boost=2.0, word_timestamps=True)
+        assert len(res) == 2
+        for r, clip in zip(res, clips):
+            for w in (r.words or []):
+                assert 0.0 <= w.start <= w.end <= len(clip) / 16000 + 1e-6
+        with pytest.raises(ValueError, match="positive seconds"):
+            pipe.transcribe(clips[0], max_tokens=4, window_buckets=(0,))
+        with pytest.warns(UserWarning, match="short-form route only"):
+            pipe.transcribe(np.zeros(win + 320, np.float32), max_tokens=4,
+                            window_buckets=(0.25,))
+
     def test_srt_without_segments_raises(self, pipe):
         res = pipe.transcribe(np.zeros(8000, np.float32), max_tokens=4)
         with pytest.raises(ValueError, match="segments"):

@@ -327,6 +327,16 @@ class Pipeline:
         timestamps: bool = False,
         word_timestamps: bool = False,
         temperatures: tuple = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0),
+        window_buckets: tuple | list | None = None,
+                                    # short-form only: duration buckets in
+                                    # seconds, e.g. (8, 15). Clips decode in
+                                    # the smallest bucket window that holds
+                                    # them (the full 30 s window is always
+                                    # the implicit last bucket) — measured
+                                    # 2.1x utterance throughput for short
+                                    # corpora (docs/PERF.md). Whisper is
+                                    # trained on 30 s windows, so validate
+                                    # accuracy on-corpus before serving
         best_of: int = 1,           # sampled fallback rungs draw n
                                     # candidates; best avg-logprob wins
         prompt_reset_on_temperature: float | None = 0.5,
@@ -361,6 +371,15 @@ class Pipeline:
         chunked = long_form == "chunked"
         use_long = (long_form is True) or chunked or (
             long_form == "auto" and any(len(c) > win for c in clips))
+        if window_buckets and use_long:
+            # the long-form modes window at the model's full context by
+            # construction; say so instead of silently ignoring the option
+            import warnings
+
+            warnings.warn(
+                "window_buckets applies to the short-form route only; this "
+                "call took a long-form path (a clip exceeds one window, or "
+                "long_form was forced) — buckets ignored.")
         if window_info and not use_long:
             # same contract as the CLI (scripts/transcribe.py): QC dicts are
             # per long-form window; short-form has none, say so out loud
@@ -484,56 +503,95 @@ class Pipeline:
 
         from .decode import beam_decode_batch, decode_batch, find_word_timestamps
 
-        stacked = np.stack([pad_or_trim(c, win) for c in clips])
-        mel = self._mel(stacked)
-        # one shared encoder pass for language id + word alignment (decode
-        # still encodes inside its own program)
-        enc = None
-        if word_timestamps or (self.tokenizer.multilingual and (
-            language == "auto" or (task == "translate" and not language)
-        )):
-            enc = self._encode(mel)
-        starts, langs = self._starts(mel, language, task, enc_out=enc)
-        kwargs = dict(contexts=ctx, max_new=max_tokens, bias_spans=spans,
-                      bias_boost=boost, mesh=self.mesh)
-        if starts is not None:
-            kwargs["starts"] = starts
-        if num_beams > 1:
-            hyps = beam_decode_batch(
-                self.params, self.cfg, self.tokenizer, mel,
-                num_beams=num_beams, early_stopping=beam_early_stopping,
-                **kwargs)
-        elif self.medusa is not None:
-            # self-speculative: trained multi-token heads, one model, exact
-            # greedy output (decode/medusa.py)
-            from .decode import medusa_decode_batch
+        need_lang = self.tokenizer.multilingual and (
+            language == "auto" or (task == "translate" and not language))
 
-            hyps = medusa_decode_batch(
-                self.params, self.cfg, self.medusa, self.tokenizer, mel,
-                pad_to_multiple=32, **kwargs)
-        elif self.draft_params is not None:
-            # speculative greedy: exact same tokens, fewer target-weight
-            # reads per emitted token (decode/speculative.py); under a mesh
-            # the batch axis shards over "data" exactly like plain decode
-            from .decode import speculative_decode_batch
+        def run(idxs, win_samples):
+            """Decode the clips at ``idxs`` padded/trimmed to one shared
+            ``win_samples`` window; returns per-row (hyps, timings, langs)."""
+            stacked = np.stack([pad_or_trim(clips[i], win_samples)
+                                for i in idxs])
+            mel = self._mel(stacked)
+            # one shared encoder pass for language id + word alignment
+            # (decode still encodes inside its own program)
+            enc = self._encode(mel) if (word_timestamps or need_lang) else None
+            starts, langs = self._starts(mel, language, task, enc_out=enc)
+            kwargs = dict(
+                contexts=[ctx[i] for i in idxs] if ctx is not None else None,
+                max_new=max_tokens,
+                bias_spans=spans[list(idxs)] if spans is not None else None,
+                bias_boost=boost, mesh=self.mesh)
+            if starts is not None:
+                kwargs["starts"] = starts
+            if num_beams > 1:
+                hyps = beam_decode_batch(
+                    self.params, self.cfg, self.tokenizer, mel,
+                    num_beams=num_beams, early_stopping=beam_early_stopping,
+                    **kwargs)
+            elif self.medusa is not None:
+                # self-speculative: trained multi-token heads, one model,
+                # exact greedy output (decode/medusa.py)
+                from .decode import medusa_decode_batch
 
-            mel_d = None
-            if self.draft_cfg.n_mels != self.cfg.n_mels:
-                mel_d = self._mel(stacked, n_mels=self.draft_cfg.n_mels)
-            hyps = speculative_decode_batch(
-                self.draft_params, self.draft_cfg, self.params, self.cfg,
-                self.tokenizer, mel, k=self.speculative_k,
-                pad_to_multiple=32, input_features_draft=mel_d, **kwargs)
+                hyps = medusa_decode_batch(
+                    self.params, self.cfg, self.medusa, self.tokenizer, mel,
+                    pad_to_multiple=32, **kwargs)
+            elif self.draft_params is not None:
+                # speculative greedy: exact same tokens, fewer target-weight
+                # reads per emitted token (decode/speculative.py); under a
+                # mesh the batch axis shards over "data" like plain decode
+                from .decode import speculative_decode_batch
+
+                mel_d = None
+                if self.draft_cfg.n_mels != self.cfg.n_mels:
+                    mel_d = self._mel(stacked, n_mels=self.draft_cfg.n_mels)
+                hyps = speculative_decode_batch(
+                    self.draft_params, self.draft_cfg, self.params, self.cfg,
+                    self.tokenizer, mel, k=self.speculative_k,
+                    pad_to_multiple=32, input_features_draft=mel_d, **kwargs)
+            else:
+                hyps = decode_batch(self.params, self.cfg, self.tokenizer,
+                                    mel, pad_to_multiple=32, **kwargs)
+            timings = None
+            if word_timestamps:
+                timings = find_word_timestamps(
+                    self.params, self.cfg, self.tokenizer, mel, hyps,
+                    starts=starts,
+                    num_frames=[min(len(clips[i]), win_samples) // 320
+                                for i in idxs],
+                    alignment_heads=alignment_heads, enc_out=enc)
+            return hyps, timings, langs
+
+        if window_buckets:
+            # duration-bucketed serving: each clip decodes in the smallest
+            # requested window that holds it — encoder work scales with the
+            # window, so short-utterance corpora (the reference's is 5-30 s
+            # mp3 clips) skip most of the padded-silence compute. Windows
+            # round up to the 320-sample encoder hop; the full window is
+            # always the final bucket so nothing gets trimmed shorter than
+            # the unbucketed path would.
+            sizes = sorted({-(-int(float(b) * 16000) // 320) * 320
+                            for b in window_buckets})
+            if not sizes or sizes[0] <= 0:
+                raise ValueError(f"window_buckets must be positive seconds, "
+                                 f"got {window_buckets!r}")
+            sizes = [s for s in sizes if s < win] + [win]
+            groups: dict[int, list[int]] = {}
+            for i, c in enumerate(clips):
+                s = next(sz for sz in sizes if len(c) <= sz or sz == win)
+                groups.setdefault(s, []).append(i)
+            hyps = [None] * n
+            timings = [None] * n if word_timestamps else None
+            langs = [None] * n
+            for s, idxs in sorted(groups.items()):
+                h, t, lg = run(idxs, s)
+                for j, i in enumerate(idxs):
+                    hyps[i] = h[j]
+                    if timings is not None:
+                        timings[i] = t[j]
+                    langs[i] = lg[j]
         else:
-            hyps = decode_batch(self.params, self.cfg, self.tokenizer, mel,
-                                pad_to_multiple=32, **kwargs)
-        timings = None
-        if word_timestamps:
-            timings = find_word_timestamps(
-                self.params, self.cfg, self.tokenizer, mel, hyps,
-                starts=starts,
-                num_frames=[min(len(c), win) // 320 for c in clips],
-                alignment_heads=alignment_heads, enc_out=enc)
+            hyps, timings, langs = run(range(n), win)
         results = []
         for i, h in enumerate(hyps):
             text = self.tokenizer.decode(h, skip_special_tokens=True).strip()
