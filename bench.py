@@ -296,7 +296,7 @@ def run_bucketed(jax, jnp, cfg, params, spans_j):
         "detail": {
             "model": MODEL, "batch": BATCH, "max_new": max_new,
             "buckets_s": buckets,
-            "rows_per_bucket": [nb for _, _, _, nb in calls],
+            "rows_per_bucket": [assign.count(s) for s in buckets],
             "eot_enabled": True, "real_audio_s": round(real_audio_s, 1),
             "decoded_rows": len(outs), "wall_s": round(wall, 4),
         },
