@@ -17,16 +17,16 @@ Prints one JSON line per metric, headline LAST:
 The baseline divisor is the north-star target (>=50x real-time per v5e chip on
 whisper-small batched decode, BASELINE.json; the reference publishes no
 throughput numbers at all). Headline decode length is fixed at DECODE_TOKENS
-per clip (EOT disabled) so random weights don't terminate early — a
-conservative stand-in for real medical utterances (~15-40 tokens / 30 s clip
-in the reference corpus) that stays comparable round-over-round.
+per clip (EOT disabled) so random weights don't terminate early; it stays
+comparable round-over-round.
 
 Real-termination mode (BENCH_EOT=1, on by default): EOT stopping enabled,
 max_new=224, per-row real audio lengths (5-30 s padded to the 30 s window),
-tokens stripped per-row on the host; only REAL audio seconds count toward
-the reported ``decode_rtf_realistic``. With random weights EOT rarely fires,
-so this is a lower bound; with real weights rows exit early and the number
-rises toward the headline.
+per-row decode lengths sampled from the reference corpus's measured
+transcript-length distribution (CORPUS_TOKEN_DECILES — mean 78 emitted
+tokens per full 30 s clip, scaled by duration) and enforced with greedy's
+per-row cap; tokens stripped per-row on the host; only REAL audio seconds
+count toward the reported ``decode_rtf_realistic``.
 
 Startup probe: the tunneled TPU intermittently wedges; ``wait_for_backend``
 retries a subprocess health probe for up to BENCH_PROBE_WAIT seconds before
@@ -62,6 +62,39 @@ FUSED_MEL = os.environ.get("BENCH_FUSED_MEL", "1") == "1"
 # the padded 30 s window (experimental; see docs/PERF.md encoder pruning)
 SECONDS = int(os.environ.get("BENCH_SECONDS", "30"))
 BIAS_N, BIAS_K = 16, 8  # bias-list size per utterance
+
+# Transcript token-length distribution of the reference corpus (emitted
+# tokens = text tokens + <|endoftext|>), measured by running every text of
+# /root/reference/data/medical-united-syn-med-75-jsonl/test.jsonl (5,114
+# rows) through the GPT-2/Whisper tokenizer:
+#   python -c "import json,numpy as np; \
+#     from whisper_context_biasing_tpu.tokenizer import load_tokenizer; \
+#     t=load_tokenizer(); L=[len(t.encode(json.loads(l)['text'].lower()))+1 \
+#     for l in open('.../test.jsonl')]; \
+#     print(np.percentile(L, range(0,101,10)))"
+# mean 78.3, std 14.2. The realistic/bucketed metrics sample per-row decode
+# lengths from this empirical CDF (decile inverse-interpolation), scaled
+# linearly by the row's real duration / 30 s — so random weights terminate
+# the way real medical utterances do (VERDICT r3 ask #2).
+CORPUS_TOKEN_DECILES = [10, 62, 67, 71, 74, 77, 80, 84, 89, 97, 160]
+
+
+def _realistic_rows(max_new: int):
+    """Shared row generator for the realistic + bucketed metrics: one rng,
+    row-order draws — identical durations, audio signals, AND termination
+    lengths in both, so the two numbers differ only by windowing."""
+    rng = np.random.default_rng(7)
+    durations = rng.uniform(5.0, 30.0, BATCH)
+    audio = np.zeros((BATCH, 30 * 16000), np.float32)
+    for i, d in enumerate(durations):  # real speech region, zero padding
+        n = int(d * 16000)
+        audio[i, :n] = (rng.standard_normal(n) * 0.1).astype(np.float32)
+    # corpus-empirical emitted-token count, scaled by duration (the corpus
+    # rows are <=30 s clips; shorter audio says proportionally less)
+    u = rng.uniform(0.0, 1.0, BATCH)
+    toks = np.interp(u * 10.0, np.arange(11), CORPUS_TOKEN_DECILES)
+    forced = np.clip((toks - 1.0) * durations / 30.0, 1, max_new - 1)
+    return durations, audio, forced.astype(np.int32)
 
 
 def main():
@@ -144,6 +177,32 @@ def main():
     wall = min(times)
     audio_seconds = BATCH * float(SECONDS)
     rtf = audio_seconds / wall
+
+    # explicit-FLOPs MFU of the headline program (utils/flops.py): matmul
+    # FLOPs of mel+encode+decode over wall, against the chip's bf16 peak
+    from whisper_context_biasing_tpu.utils.flops import (
+        decode_flops, device_peak_flops,
+    )
+
+    flops = decode_flops(cfg, DECODE_TOKENS, prefill=1,
+                         n_frames=SECONDS * 100) * BATCH
+    peak = device_peak_flops(jax.devices()[0])
+    if peak:
+        print(json.dumps({
+            "metric": "decode_mfu",
+            "value": round(flops / wall / peak, 4),
+            "unit": "fraction_of_bf16_peak",
+            "vs_baseline": None,
+            "detail": {
+                "model": MODEL, "batch": BATCH,
+                "decode_tokens": DECODE_TOKENS,
+                "program_tflops": round(flops / 1e12, 2),
+                "achieved_tflops_per_s": round(flops / wall / 1e12, 1),
+                "peak_tflops": round(peak / 1e12, 1),
+                "wall_s": round(wall, 4),
+            },
+        }))
+
     print(json.dumps({
         "metric": "decode_rtf_per_chip",
         "value": round(rtf, 2),
@@ -222,13 +281,14 @@ def run_long_form(jax, jnp, cfg, params):
 
 
 def run_bucketed(jax, jnp, cfg, params, spans_j):
-    """Duration-bucketed serving metric (``decode_rtf_bucketed``): the same
-    5-30 s utterance mix as ``decode_rtf_realistic`` (same rng), but each
-    clip decodes in the smallest window bucket that holds it
-    (BENCH_BUCKET_SECS, default 10,20,30) instead of the padded 30 s window
-    — Pipeline.transcribe(window_buckets=). Encoder FLOPs scale with the
-    window, so short-utterance corpora skip most padded-silence compute
-    (docs/PERF.md: an 8 s window measured 2.1x utterance throughput)."""
+    """Duration-bucketed serving metric (``decode_rtf_bucketed``): the exact
+    rows of ``decode_rtf_realistic`` (same rng, row-order draws: identical
+    durations, audio signals, termination lengths), but each clip decodes in
+    the smallest window bucket that holds it (BENCH_BUCKET_SECS, default
+    10,20,30; the full 30 s window is always appended as the implicit last
+    bucket, mirroring Pipeline.transcribe(window_buckets=) — nothing is ever
+    trimmed harder than the unbucketed path). Encoder FLOPs scale with the
+    window, so short-utterance corpora skip most padded-silence compute."""
     from whisper_context_biasing_tpu.audio.mel import log_mel_spectrogram
     from whisper_context_biasing_tpu.decode.greedy import greedy_decode
 
@@ -238,29 +298,25 @@ def run_bucketed(jax, jnp, cfg, params, spans_j):
     max_new = min(224, int(os.environ.get("BENCH_EOT_TOKENS", "224")))
     buckets = sorted(float(s) for s in os.environ.get(
         "BENCH_BUCKET_SECS", "10,20,30").split(","))
-    rng = np.random.default_rng(7)  # same durations as run_realistic
-    durations = rng.uniform(5.0, 30.0, BATCH)
+    # the API's contract: the model's full window is the implicit last bucket
+    buckets = [b for b in buckets if b < 30.0] + [30.0]
+    durations, audio_full, forced = _realistic_rows(max_new)
 
-    # smallest bucket that holds each clip; clips longer than every bucket
-    # land in the largest (and trim, like Pipeline's largest-bucket cap)
-    assign = [min((t for t in buckets if d <= t), default=buckets[-1])
-              for d in durations]
-    calls = []  # one (jitted fn, audio, spans, n_rows) per bucket
+    assign = [min(t for t in buckets if d <= t) for d in durations]
+    calls = []  # one (jitted fn, audio, spans, forced, n_rows) per bucket
     for s in buckets:
         idx = [i for i, a in enumerate(assign) if a == s]
         if not idx:
             continue
         win = int(s * 16000)
-        audio = np.zeros((len(idx), win), np.float32)
-        for row, i in enumerate(idx):
-            n = min(int(durations[i] * 16000), win)
-            audio[row, :n] = (rng.standard_normal(n) * 0.1).astype(np.float32)
+        audio = audio_full[idx, :win]  # same signals, shorter window
         prefix = jnp.asarray([[cfg.decoder_start_token_id]] * len(idx),
                              jnp.int32)
         mask = jnp.ones((len(idx), 1), bool)
         spans = spans_j[jnp.asarray(idx)]
+        caps = jnp.asarray(forced[idx])
 
-        def pipeline(params, audio, spans, prefix=prefix, mask=mask):
+        def pipeline(params, audio, spans, caps, prefix=prefix, mask=mask):
             if FUSED_MEL:
                 mel = log_mel_spectrogram_fused(audio, n_mels=cfg.n_mels)
             else:
@@ -268,20 +324,21 @@ def run_bucketed(jax, jnp, cfg, params, spans_j):
             return greedy_decode(
                 params, cfg, mel.astype(jnp.bfloat16), prefix, mask,
                 max_new=max_new, eot_id=cfg.pad_token_id,
-                bias_spans=spans, bias_boost=0.5,
+                bias_spans=spans, bias_boost=0.5, forced_eot_at=caps,
             )
 
-        calls.append((jax.jit(pipeline), jnp.asarray(audio), spans, len(idx)))
+        calls.append((jax.jit(pipeline), jnp.asarray(audio), spans, caps,
+                      len(idx)))
 
-    for fn, audio, spans, _ in calls:  # warmup / compile per bucket shape
-        jax.block_until_ready(fn(params, audio, spans).tokens)
+    for fn, audio, spans, caps, _ in calls:  # warmup / compile per bucket
+        jax.block_until_ready(fn(params, audio, spans, caps).tokens)
 
     times = []
     for _ in range(max(2, ITERS // 2)):
         t0 = time.perf_counter()
         outs = []
-        for fn, audio, spans, nb in calls:
-            r = fn(params, audio, spans)
+        for fn, audio, spans, caps, nb in calls:
+            r = fn(params, audio, spans, caps)
             toks = np.asarray(r.tokens)            # device->host
             lens = np.asarray(r.lengths)
             outs.extend(toks[i, : lens[i]] for i in range(nb))
@@ -298,15 +355,20 @@ def run_bucketed(jax, jnp, cfg, params, spans_j):
             "buckets_s": buckets,
             "rows_per_bucket": [assign.count(s) for s in buckets],
             "eot_enabled": True, "real_audio_s": round(real_audio_s, 1),
+            "termination": "corpus_lengths",
+            "mean_decoded_tokens": round(float(np.mean(forced)), 1),
             "decoded_rows": len(outs), "wall_s": round(wall, 4),
         },
     }))
 
 
 def run_realistic(jax, jnp, cfg, params, spans_j):
-    """Real-termination decode metric (VERDICT r2 ask #4): EOT stopping on,
-    max_new=224, per-row REAL audio lengths padded to the 30 s window, per-row
-    token strip on the host; only real audio seconds are counted."""
+    """Real-termination decode metric (VERDICT r2 ask #4, r3 ask #2): EOT
+    stopping on, max_new=224, per-row REAL audio lengths padded to the 30 s
+    window, per-row decode lengths sampled from the reference corpus's
+    transcript token-length distribution (CORPUS_TOKEN_DECILES, forced via
+    greedy's per-row cap so random weights terminate like real ones), per-row
+    token strip on the host; only REAL audio seconds are counted."""
     from whisper_context_biasing_tpu.audio.mel import log_mel_spectrogram
     from whisper_context_biasing_tpu.decode.greedy import greedy_decode
 
@@ -314,17 +376,12 @@ def run_realistic(jax, jnp, cfg, params, spans_j):
         from whisper_context_biasing_tpu.ops.mel_kernel import log_mel_spectrogram_fused
 
     max_new = min(224, int(os.environ.get("BENCH_EOT_TOKENS", "224")))
-    rng = np.random.default_rng(7)
-    durations = rng.uniform(5.0, 30.0, BATCH)
-    audio = np.zeros((BATCH, 30 * 16000), np.float32)
-    for i, d in enumerate(durations):  # real speech region, zero padding
-        n = int(d * 16000)
-        audio[i, :n] = (rng.standard_normal(n) * 0.1).astype(np.float32)
+    durations, audio, forced = _realistic_rows(max_new)
     prefix = jnp.asarray([[cfg.decoder_start_token_id]] * BATCH, jnp.int32)
     mask = jnp.ones((BATCH, 1), bool)
 
     @jax.jit
-    def pipeline(params, audio, spans):
+    def pipeline(params, audio, spans, caps):
         if FUSED_MEL:
             mel = log_mel_spectrogram_fused(audio, n_mels=cfg.n_mels)
         else:
@@ -332,17 +389,18 @@ def run_realistic(jax, jnp, cfg, params, spans_j):
         return greedy_decode(
             params, cfg, mel.astype(jnp.bfloat16), prefix, mask,
             max_new=max_new, eot_id=cfg.pad_token_id,
-            bias_spans=spans, bias_boost=0.5,
+            bias_spans=spans, bias_boost=0.5, forced_eot_at=caps,
         )
 
     audio_j = jnp.asarray(audio)
-    r = pipeline(params, audio_j, spans_j)  # warmup / compile
+    caps_j = jnp.asarray(forced)
+    r = pipeline(params, audio_j, spans_j, caps_j)  # warmup / compile
     jax.block_until_ready(r.tokens)
 
     times = []
     for _ in range(max(2, ITERS // 2)):
         t0 = time.perf_counter()
-        r = pipeline(params, audio_j, spans_j)
+        r = pipeline(params, audio_j, spans_j, caps_j)
         toks = np.asarray(r.tokens)             # device->host
         lens = np.asarray(r.lengths)
         outs = [toks[i, : lens[i]] for i in range(BATCH)]  # host strip
@@ -357,6 +415,7 @@ def run_realistic(jax, jnp, cfg, params, spans_j):
         "detail": {
             "model": MODEL, "batch": BATCH, "max_new": max_new,
             "eot_enabled": True, "real_audio_s": round(real_audio_s, 1),
+            "termination": "corpus_lengths",
             "mean_decoded_tokens": round(float(np.mean(lens)), 1),
             "stripped_rows": len(outs), "wall_s": round(wall, 4),
         },

@@ -360,3 +360,49 @@ class TestTimestampRules:
                 if (a >= tok.timestamp_begin and b >= tok.timestamp_begin
                         and c != EOT):
                     assert c < tok.timestamp_begin        # pair -> text
+
+
+class TestForcedEot:
+    """forced_eot_at: per-row generated-token cap (a per-request max-tokens
+    serving knob; also bench.py's corpus-realistic termination hook)."""
+
+    def test_rows_stop_at_their_cap(self, setup):
+        cfg, params, mel = setup
+        ids, mask = pack_prefixes([[50257], [50257]], EOT)
+        caps = jnp.asarray([3, 6], jnp.int32)
+        res = greedy_decode(params, cfg, jnp.asarray(mel), jnp.asarray(ids),
+                            jnp.asarray(mask), max_new=10,
+                            forced_eot_at=caps)
+        lens = np.asarray(res.lengths)
+        toks = np.asarray(res.tokens)
+        assert lens.tolist() == [3, 6]
+        assert toks[0, 3] == EOT and toks[1, 6] == EOT
+
+    def test_capped_prefix_equals_uncapped(self, setup):
+        # tokens before the cap are the model's own picks, byte-identical to
+        # an uncapped decode (the cap only truncates)
+        cfg, params, mel = setup
+        ids, mask = pack_prefixes([[50257], [50257]], EOT)
+        free = greedy_decode(params, cfg, jnp.asarray(mel), jnp.asarray(ids),
+                             jnp.asarray(mask), max_new=10)
+        capped = greedy_decode(params, cfg, jnp.asarray(mel),
+                               jnp.asarray(ids), jnp.asarray(mask),
+                               max_new=10,
+                               forced_eot_at=jnp.asarray([4, 4], jnp.int32))
+        ft, fl = np.asarray(free.tokens), np.asarray(free.lengths)
+        ct, cl = np.asarray(capped.tokens), np.asarray(capped.lengths)
+        for i in range(2):
+            want = min(fl[i], 4)
+            assert cl[i] == want
+            assert ct[i, :want].tolist() == ft[i, :want].tolist()
+
+    def test_zero_cap_emits_nothing(self, setup):
+        cfg, params, mel = setup
+        ids, mask = pack_prefixes([[50257], [50257]], EOT)
+        res = greedy_decode(params, cfg, jnp.asarray(mel), jnp.asarray(ids),
+                            jnp.asarray(mask), max_new=8,
+                            forced_eot_at=jnp.asarray([0, 2], jnp.int32))
+        lens = np.asarray(res.lengths)
+        assert lens.tolist() == [0, 2]
+        # forced eot steps don't pollute the quality signal
+        assert np.isfinite(np.asarray(res.sum_logprob)).all()

@@ -244,6 +244,27 @@ class TestPipeline:
             pipe.transcribe(np.zeros(win + 320, np.float32), max_tokens=4,
                             window_buckets=(0.25,))
 
+    def test_window_buckets_batch_padding_reuses_programs(self, pipe):
+        """Bucket group sizes depend on the per-call duration mix; the
+        bucketed path pads each group to a power of two (min 8) so serving
+        traffic reuses one compiled decode program per bucket instead of
+        recompiling per (window, group size) pair."""
+        from whisper_context_biasing_tpu.decode.greedy import greedy_decode
+
+        rng = np.random.default_rng(6)
+        win = pipe.window_samples
+        bucket = ((win // 4) / 16000,)
+
+        def mix(k):
+            return [(rng.standard_normal(win // 5) * 0.1).astype(np.float32)
+                    for _ in range(k)]
+
+        pipe.transcribe(mix(3), max_tokens=4, window_buckets=bucket)
+        before = greedy_decode.cache_size()
+        pipe.transcribe(mix(5), max_tokens=4, window_buckets=bucket)
+        pipe.transcribe(mix(2), max_tokens=4, window_buckets=bucket)
+        assert greedy_decode.cache_size() == before
+
     def test_srt_without_segments_raises(self, pipe):
         res = pipe.transcribe(np.zeros(8000, np.float32), max_tokens=4)
         with pytest.raises(ValueError, match="segments"):

@@ -166,6 +166,14 @@ def greedy_decode(
                                           # (apply_timestamp_rules) for
                                           # timestamp-mode decode
     max_initial_timestamp_index: int | None = 50,  # <= 1.0 s, OpenAI default
+    forced_eot_at: jax.Array | None = None,  # (B,) int32 — per-row cap on
+                                          # generated text tokens: generation
+                                          # index >= forced_eot_at[i] emits
+                                          # <|endoftext|> (a per-request
+                                          # max-tokens serving cap; also the
+                                          # benchmark hook that makes random
+                                          # weights terminate like corpus
+                                          # transcripts — bench.py)
 ) -> GreedyResult:
     """Batched greedy decode. The prefix must end with the token the model
     should continue from (e.g. ``[<|sot|>]`` for reference-parity generation,
@@ -263,6 +271,12 @@ def greedy_decode(
     key0 = rng_key if rng_key is not None else jax.random.PRNGKey(0)
     first_tok, first_lp = pick(logits[:, -1], bias_state, key0,
                                ts_state=(none, none, ts0), is_first=True)
+    if forced_eot_at is not None:
+        # the cap overrides the model's pick; its logprob is not the model's
+        # probability of eot, so it doesn't count toward sum_logprob
+        forced0 = forced_eot_at <= 0
+        first_tok = jnp.where(forced0, eot_id, first_tok)
+        first_lp = jnp.where(forced0, 0.0, first_lp)
 
     class Carry(NamedTuple):
         t: jax.Array
@@ -301,6 +315,10 @@ def greedy_decode(
         key, sub = jax.random.split(c.key)
         nxt, lp = pick(step_lg, c.bias_state, sub,
                        ts_state=(c.cur, c.prev, c.last_ts))
+        if forced_eot_at is not None:
+            forced = c.t >= forced_eot_at
+            nxt = jnp.where(forced, eot_id, nxt)
+            lp = jnp.where(forced, 0.0, lp)
         nxt = jnp.where(c.finished, eot_id, nxt)
         sum_lp = c.sum_lp + jnp.where(c.finished, 0.0, lp)
         out = jax.lax.dynamic_update_slice(c.out, nxt[:, None], (jnp.int32(0), c.t))

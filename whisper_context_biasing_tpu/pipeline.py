@@ -584,7 +584,14 @@ class Pipeline:
             timings = [None] * n if word_timestamps else None
             langs = [None] * n
             for s, idxs in sorted(groups.items()):
-                h, t, lg = run(idxs, s)
+                # pad each bucket's batch to a power of two (min 8): group
+                # sizes depend on the per-call duration mix, so without
+                # padding every serving request would compile a fresh decode
+                # program per (window, group size) pair — the same pitfall
+                # the chunked path avoids with pad_batches=True. Pad rows
+                # repeat the group's first clip and are stripped below.
+                b = max(8, 1 << (len(idxs) - 1).bit_length())
+                h, t, lg = run(list(idxs) + [idxs[0]] * (b - len(idxs)), s)
                 for j, i in enumerate(idxs):
                     hyps[i] = h[j]
                     if timings is not None:
