@@ -97,6 +97,15 @@ def main():
 
     wall = min(times)
     audio_s = BATCH * ACCUM * 30.0
+    # explicit-FLOPs MFU (utils/flops.py): matmul FLOPs of the step over
+    # wall time, against the chip's published bf16 peak
+    from whisper_context_biasing_tpu.utils.flops import (
+        device_peak_flops, train_step_flops,
+    )
+
+    step_flops = train_step_flops(cfg, BATCH, SEQ, ACCUM)
+    peak = device_peak_flops(jax.devices()[0])
+    mfu = (step_flops / wall / peak) if peak else None
     print(json.dumps({
         "metric": "train_audio_sec_per_sec",
         "value": round(audio_s / wall, 2),
@@ -105,9 +114,24 @@ def main():
         "detail": {
             "model": MODEL, "batch": BATCH, "accum": ACCUM, "seq": SEQ,
             "wall_s": round(wall, 4), "loss": float(m["loss"]),
+            "step_tflops": round(step_flops / 1e12, 2),
             "device": str(jax.devices()[0]),
         },
     }))
+    if mfu is not None:
+        print(json.dumps({
+            "metric": "train_mfu",
+            "value": round(mfu, 4),
+            "unit": "fraction_of_bf16_peak",
+            "vs_baseline": None,
+            "detail": {
+                "model": MODEL, "batch": BATCH, "accum": ACCUM, "seq": SEQ,
+                "step_tflops": round(step_flops / 1e12, 2),
+                "achieved_tflops_per_s": round(step_flops / wall / 1e12, 1),
+                "peak_tflops": round(peak / 1e12, 1),
+                "wall_s": round(wall, 4),
+            },
+        }))
 
 
 if __name__ == "__main__":

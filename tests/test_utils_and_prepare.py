@@ -233,3 +233,74 @@ class TestLoadPretrainedOverrides:
                                     dtype="float32", quantize_cross_kv=True)
         assert loaded.dtype == "float32"
         assert loaded.quantize_cross_kv is True
+
+
+class TestFlopsModel:
+    """utils/flops.py — the explicit FLOPs model behind the benches' MFU
+    lines. Structural checks: linearity in batch/accum/layers, window
+    scaling, device-peak resolution."""
+
+    def _cfg(self, **kw):
+        from whisper_context_biasing_tpu.models import get_config
+
+        return get_config("base.en", **kw)
+
+    def test_train_step_linear_in_batch_and_accum(self):
+        from whisper_context_biasing_tpu.utils.flops import train_step_flops
+
+        cfg = self._cfg()
+        one = train_step_flops(cfg, 1, 128, 1)
+        assert train_step_flops(cfg, 8, 128, 4) == pytest.approx(32 * one)
+
+    def test_freeze_encoder_drops_encoder_backward(self):
+        from whisper_context_biasing_tpu.utils.flops import (
+            encoder_flops, train_step_flops,
+        )
+
+        cfg = self._cfg()
+        full = train_step_flops(cfg, 1, 128, 1)
+        frozen = train_step_flops(cfg, 1, 128, 1, freeze_encoder=True)
+        assert full - frozen == pytest.approx(2 * encoder_flops(cfg))
+
+    def test_bucketed_window_scales_encoder(self):
+        from whisper_context_biasing_tpu.utils.flops import encoder_flops
+
+        cfg = self._cfg()
+        # a 10 s window (1000 mel frames) costs well under half the 30 s
+        # window (attention is quadratic in T)
+        assert encoder_flops(cfg, 1000) < encoder_flops(cfg, 3000) / 2.5
+
+    def test_decode_flops_monotonic_in_tokens(self):
+        from whisper_context_biasing_tpu.utils.flops import decode_flops
+
+        cfg = self._cfg()
+        f32, f224 = decode_flops(cfg, 32), decode_flops(cfg, 224)
+        assert 0 < f32 < f224
+        # per-token decode cost is small next to the encoder at base size:
+        # 7x the tokens must cost well under 7x the program
+        assert f224 < 3 * f32
+
+    def test_train_flops_magnitude_matches_known_estimate(self):
+        # base.en b8 x accum4 seq128 ~ 10-12 TFLOPs/step (VERDICT r3's
+        # independent estimate was ~11.6; the model must land in that band)
+        from whisper_context_biasing_tpu.utils.flops import train_step_flops
+
+        tf = train_step_flops(self._cfg(), 8, 128, 4) / 1e12
+        assert 9.0 < tf < 13.0
+
+    def test_device_peak_env_override_and_unknown(self, monkeypatch):
+        from whisper_context_biasing_tpu.utils.flops import device_peak_flops
+
+        monkeypatch.setenv("BENCH_PEAK_TFLOPS", "123")
+        assert device_peak_flops(object()) == pytest.approx(123e12)
+        monkeypatch.delenv("BENCH_PEAK_TFLOPS")
+
+        class Fake:
+            device_kind = "TPU v5 lite"
+
+        assert device_peak_flops(Fake()) == pytest.approx(197e12)
+
+        class Cpu:
+            device_kind = "cpu"
+
+        assert device_peak_flops(Cpu()) is None
