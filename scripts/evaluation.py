@@ -126,6 +126,22 @@ def run_eval(args, params, model_cfg, tokenizer, data_test, collator, bias_spans
         json.dump(bias_result, f, indent=4)
 
 
+def locate_best_checkpoint(output: str, hub_model_id: str | None,
+                           hf_token: str | None) -> str | None:
+    """--best_checkpoint resolution with the reference's flag semantics
+    (/root/reference/scripts/evaluation.py:154-155,213): when a hub repo is
+    named, download the WHOLE repo into ``output`` first, then scan
+    trainer_state histories for the lowest eval_wer. Gated + offline-safe:
+    when the sync no-ops (no network / no huggingface_hub) the scan sees
+    whatever already sits under ``output`` — the local-only behavior."""
+    if hub_model_id:
+        from whisper_context_biasing_tpu.utils import hub
+
+        print(f"Syncing {hub_model_id} into {output} ...")
+        hub.sync_from_hub(hub_model_id, output, hf_token)
+    return find_best_checkpoint(output)
+
+
 def main():
     args = parse_args()
     tokenizer = load_tokenizer(args.vocab, args.merges,
@@ -167,7 +183,8 @@ def main():
                  bias_spans, "refs_and_pred")
 
     if args.best_checkpoint:
-        best = find_best_checkpoint(args.output)
+        best = locate_best_checkpoint(args.output, args.hub_model_id,
+                                      args.hf_token)
         if not best:
             print("No valid checkpoint found in output dir for evaluation.")
             return

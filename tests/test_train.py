@@ -756,6 +756,88 @@ class TestHubResumeFallback:
         assert hist[0] == {"step": 2, "loss": 1.0}
         assert max(e["step"] for e in hist) > 2
 
+    def test_every_save_pushes_checkpoint_to_hub(self, tmp_path, monkeypatch):
+        """Reference PushToHubOnSaveCallback + push_to_hub='every_save'
+        (scripts/train.py:83-85, :252-255): with hub_model_id set, EVERY
+        checkpoint save also pushes the checkpoint-N dir to the Hub. Hub
+        mocked; the push must fire per save with the right dir/repo/token."""
+        from whisper_context_biasing_tpu.data.collator import SpeechSeq2SeqCollator
+        from whisper_context_biasing_tpu.tokenizer import load_tokenizer
+        from whisper_context_biasing_tpu.train import train_and_evaluate
+        from whisper_context_biasing_tpu.utils import hub
+
+        pushes = []
+
+        def fake_push(local_dir, repo_id, token=None):
+            # the checkpoint must exist on disk at push time
+            assert os.path.isdir(local_dir), local_dir
+            pushes.append((os.path.basename(local_dir), repo_id, token))
+            return True
+
+        monkeypatch.setattr(hub, "push_to_hub_if_exists", fake_push)
+
+        tok = load_tokenizer()
+        cfg = tiny_test_config(n_audio_layers=1, n_text_layers=1, d_model=16,
+                               n_heads=2)
+        params = init_params(cfg, 0)
+        coll = SpeechSeq2SeqCollator(
+            pad_token_id=tok.pad_token_id, decoder_start_token_id=tok.sot,
+            decoder_prev_token_id=tok.sop)
+        rng = np.random.default_rng(0)
+        items = [
+            {"input_features": (rng.standard_normal((80, 128)) * 0.3)
+             .astype(np.float32),
+             "labels": np.asarray([tok.sot, 5, 6, tok.eot], np.int32),
+             "bias_spans": []}
+            for _ in range(4)
+        ]
+        tcfg = TrainingConfig(
+            output_dir=str(tmp_path), per_device_train_batch_size=2,
+            per_device_eval_batch_size=2, gradient_accumulation_steps=1,
+            num_train_epochs=2, eval_steps=100, save_steps=2,
+            logging_steps=10, warmup_steps=0, generation_max_length=4,
+            early_stopping_patience=50, load_best_model_at_end=False,
+            save_total_limit=10, hub_model_id="user/model", hub_token="tkn")
+        train_and_evaluate(cfg, params, tok, items, items, coll, tcfg)
+        # 4 items / chunk 2 = 2 steps/epoch x 2 epochs, save every 2 steps
+        assert pushes == [("checkpoint-2", "user/model", "tkn"),
+                          ("checkpoint-4", "user/model", "tkn")]
+
+    def test_no_hub_id_means_no_push(self, tmp_path, monkeypatch):
+        """Without hub_model_id the save path never touches the hub module
+        (offline default stays silent)."""
+        from whisper_context_biasing_tpu.data.collator import SpeechSeq2SeqCollator
+        from whisper_context_biasing_tpu.tokenizer import load_tokenizer
+        from whisper_context_biasing_tpu.train import train_and_evaluate
+        from whisper_context_biasing_tpu.utils import hub
+
+        def boom(*a, **k):  # pragma: no cover - the assert is the test
+            raise AssertionError("push_to_hub_if_exists must not be called")
+
+        monkeypatch.setattr(hub, "push_to_hub_if_exists", boom)
+        tok = load_tokenizer()
+        cfg = tiny_test_config(n_audio_layers=1, n_text_layers=1, d_model=16,
+                               n_heads=2)
+        params = init_params(cfg, 0)
+        coll = SpeechSeq2SeqCollator(
+            pad_token_id=tok.pad_token_id, decoder_start_token_id=tok.sot,
+            decoder_prev_token_id=tok.sop)
+        rng = np.random.default_rng(0)
+        items = [
+            {"input_features": (rng.standard_normal((80, 128)) * 0.3)
+             .astype(np.float32),
+             "labels": np.asarray([tok.sot, 5, 6, tok.eot], np.int32),
+             "bias_spans": []}
+            for _ in range(2)
+        ]
+        tcfg = TrainingConfig(
+            output_dir=str(tmp_path), per_device_train_batch_size=2,
+            per_device_eval_batch_size=2, gradient_accumulation_steps=1,
+            num_train_epochs=1, eval_steps=100, save_steps=1,
+            logging_steps=10, warmup_steps=0, generation_max_length=4,
+            early_stopping_patience=50, load_best_model_at_end=False)
+        train_and_evaluate(cfg, params, tok, items, items, coll, tcfg)
+
     def test_resume_offline_degrades_to_fresh_start(self, tmp_path):
         """No local checkpoint + hub unreachable (offline no-op) => train
         from scratch, same as today."""
@@ -836,3 +918,74 @@ class TestEmptySpanTrainGuard:
         skewed = weighted_ce_loss(logits, labels, zeros, 1.5, span_pad_id=pad,
                                   special_id_threshold=pad)
         assert abs(float(skewed) - float(base)) > 1e-6
+
+
+class TestEvalCliHubBestCheckpoint:
+    """scripts/evaluation.py --best_checkpoint with --hub_model_id syncs the
+    whole Hub repo into --output before the local scan (reference
+    /root/reference/scripts/evaluation.py:154-155,213); offline the sync
+    no-ops and the scan degrades to local-only."""
+
+    def _locate(self):
+        import importlib.util
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        spec = importlib.util.spec_from_file_location(
+            "wcb_evaluation", os.path.join(repo, "scripts", "evaluation.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod.locate_best_checkpoint
+
+    def _fake_ckpt(self, root, step, wer):
+        import json
+
+        d = os.path.join(root, f"checkpoint-{step}")
+        os.makedirs(d)
+        with open(os.path.join(d, "trainer_state.json"), "w") as f:
+            json.dump({"eval_wer": wer, "eval_step": step,
+                       "log_history": [{"step": step, "eval_wer": wer}]}, f)
+        np.savez(os.path.join(d, "params.npz"))
+        return d
+
+    def test_hub_sync_populates_then_scan(self, tmp_path, monkeypatch):
+        import shutil
+
+        from whisper_context_biasing_tpu.utils import hub
+
+        hub_repo = tmp_path / "hub_repo"
+        hub_repo.mkdir()
+        best = self._fake_ckpt(str(hub_repo), 4, 10.0)
+        self._fake_ckpt(str(hub_repo), 2, 50.0)
+        calls = {}
+
+        def fake_sync(repo_id, local_dir, token=None):
+            calls["repo_id"], calls["token"] = repo_id, token
+            for name in os.listdir(hub_repo):
+                shutil.copytree(hub_repo / name,
+                                os.path.join(local_dir, name))
+            return True
+
+        monkeypatch.setattr(hub, "sync_from_hub", fake_sync)
+        out = str(tmp_path / "out")
+        os.makedirs(out)
+        found = self._locate()(out, "user/model", "tkn")
+        assert calls == {"repo_id": "user/model", "token": "tkn"}
+        assert os.path.basename(found) == os.path.basename(best)
+        assert found.startswith(out)  # scans the synced local copy
+
+    def test_offline_degrades_to_local_scan(self, tmp_path, monkeypatch):
+        from whisper_context_biasing_tpu.utils import hub
+
+        local = self._fake_ckpt(str(tmp_path), 6, 20.0)
+        monkeypatch.setattr(hub, "sync_from_hub", lambda *a, **k: False)
+        assert self._locate()(str(tmp_path), "user/model", None) == local
+
+    def test_no_hub_id_never_touches_hub(self, tmp_path, monkeypatch):
+        from whisper_context_biasing_tpu.utils import hub
+
+        def boom(*a, **k):  # pragma: no cover
+            raise AssertionError("sync_from_hub must not be called")
+
+        monkeypatch.setattr(hub, "sync_from_hub", boom)
+        local = self._fake_ckpt(str(tmp_path), 8, 30.0)
+        assert self._locate()(str(tmp_path), None, None) == local

@@ -85,6 +85,11 @@ class TrainingConfig:
     # sync degrades to a no-op with a warning (utils/hub.py)
     hub_model_id: str | None = None
     hub_token: str | None = None
+    # per-save off-site backup: push every checkpoint-N dir to the Hub as it
+    # is written, the reference's PushToHubOnSaveCallback +
+    # push_to_hub="every_save" (scripts/train.py:83-85, :252-255). Fires only
+    # when hub_model_id is set; offline each push degrades to a warning
+    hub_push_on_save: bool = True
 
 
 def evaluate_wer(
@@ -438,6 +443,18 @@ def train_and_evaluate(
                     meta["eval_step"] = last_eval_step
                 if save_thread is not None:
                     save_thread.join()
+
+                def _push(step=step):
+                    # reference PushToHubOnSaveCallback parity: every saved
+                    # checkpoint-N goes to the Hub as off-site backup
+                    # (scripts/train.py:83-85, :252-255); gated + offline-safe
+                    if tcfg.hub_push_on_save and tcfg.hub_model_id:
+                        from ..utils import hub
+
+                        hub.push_to_hub_if_exists(
+                            os.path.join(tcfg.output_dir, f"checkpoint-{step}"),
+                            tcfg.hub_model_id, tcfg.hub_token)
+
                 if tcfg.checkpoint_backend == "orbax":
                     # orbax copies device shards itself (no host gather —
                     # each device writes its own shards via tensorstore);
@@ -447,15 +464,19 @@ def train_and_evaluate(
                                     opt_state=state.opt_state, metadata=meta,
                                     keep=tcfg.save_total_limit,
                                     backend="orbax")
+                    _push()
                 else:
                     host_params = jax.tree.map(np.asarray, state.params)
                     host_opt = jax.tree.map(np.asarray, state.opt_state)
-                    save_thread = threading.Thread(
-                        target=save_checkpoint,
-                        args=(tcfg.output_dir, step, host_params),
-                        kwargs=dict(opt_state=host_opt, metadata=meta,
-                                    keep=tcfg.save_total_limit),
-                    )
+
+                    def _save_and_push(step=step, params=host_params,
+                                       opt=host_opt, meta=meta):
+                        save_checkpoint(tcfg.output_dir, step, params,
+                                        opt_state=opt, metadata=meta,
+                                        keep=tcfg.save_total_limit)
+                        _push(step)
+
+                    save_thread = threading.Thread(target=_save_and_push)
                     save_thread.start()
 
     if save_thread is not None:
