@@ -165,6 +165,9 @@ def main():
         _ = int(jnp.sum(r.tokens))
         times.append(time.perf_counter() - t0)
 
+    if os.environ.get("BENCH_BEAM", "1") == "1":
+        run_beam(jax, jnp)
+
     if os.environ.get("BENCH_EOT", "1") == "1":
         run_realistic(jax, jnp, cfg, params, spans_j)
 
@@ -213,6 +216,70 @@ def main():
             "window_seconds": SECONDS,
             "wall_s": round(wall, 4), "device": str(jax.devices()[0]),
             "iters": ITERS, "flash_attention": FLASH, "fused_mel": FUSED_MEL,
+        },
+    }))
+
+
+def run_beam(jax, jnp):
+    """Beam-search RTF (``decode_rtf_beam``) — BASELINE config #2:
+    whisper-base, beam k=5, bias-list logits processor. Same methodology as
+    the headline: fixed BENCH_BEAM_TOKENS per clip (EOT disabled), full 30 s
+    windows, raw audio -> fused mel -> in-graph beam loop with per-beam
+    bias-trie state. The divisor is the same 50x north-star target (the
+    reference's beam path is HF generate on GPU with no published number)."""
+    from whisper_context_biasing_tpu.decode.beam import beam_decode
+    from whisper_context_biasing_tpu.models import get_config, init_params
+    from whisper_context_biasing_tpu.ops.mel_kernel import log_mel_spectrogram_fused
+
+    model = os.environ.get("BENCH_BEAM_MODEL", "base.en")
+    batch = int(os.environ.get("BENCH_BEAM_BATCH", "32"))
+    k = int(os.environ.get("BENCH_BEAM_K", "5"))
+    tokens = int(os.environ.get("BENCH_BEAM_TOKENS", str(DECODE_TOKENS)))
+    cfg = get_config(model, dtype="bfloat16", flash_attention=FLASH,
+                     flash_block_q=1536 if FLASH else 256,
+                     gelu_approx=True, quantize_cross_kv=True,
+                     fused_quant_cross=True)
+    params = init_params(cfg, 0)
+    params = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+        params)
+    rng = np.random.default_rng(1)
+    audio = jnp.asarray(
+        (rng.standard_normal((batch, 30 * 16000)) * 0.1).astype(np.float32))
+    spans = jnp.asarray(
+        rng.integers(0, 50000, (batch, BIAS_N, BIAS_K)).astype(np.int32))
+    prefix = jnp.asarray([[cfg.decoder_start_token_id]] * batch, jnp.int32)
+    mask = jnp.ones((batch, 1), bool)
+
+    @jax.jit
+    def pipeline(params, audio, spans):
+        mel = log_mel_spectrogram_fused(audio, n_mels=cfg.n_mels)
+        return beam_decode(
+            params, cfg, mel.astype(jnp.bfloat16), prefix, mask,
+            num_beams=k, max_new=tokens, eot_id=-1,
+            bias_spans=spans, bias_boost=0.5,
+        )
+
+    r = pipeline(params, audio, spans)  # warmup / compile
+    jax.block_until_ready(r.best)
+
+    times = []
+    for _ in range(max(2, ITERS // 2)):
+        t0 = time.perf_counter()
+        r = pipeline(params, audio, spans)
+        _ = int(jnp.sum(r.best))  # device->host completion read
+        times.append(time.perf_counter() - t0)
+    wall = min(times)
+    rtf = batch * 30.0 / wall
+    print(json.dumps({
+        "metric": "decode_rtf_beam",
+        "value": round(rtf, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(rtf / 50.0, 3),
+        "detail": {
+            "model": model, "batch": batch, "num_beams": k,
+            "decode_tokens": tokens, "bias_processor": True,
+            "wall_s": round(wall, 4),
         },
     }))
 
@@ -492,8 +559,36 @@ def run_train_bench():
         print(f"bench_train failed: {e}", file=sys.stderr)
 
 
+def run_stream_bench():
+    """Streaming serving latency companion (bench_streaming.py): emits the
+    time-to-first-segment and per-window p50/p95 latency JSON lines. Runs in
+    a subprocess so its programs release HBM before the decode measurement;
+    failures are non-fatal."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "bench_streaming.py")],
+            capture_output=True, text=True, timeout=1800,
+        )
+        printed = False
+        for ln in r.stdout.splitlines():
+            if ln.startswith("{"):
+                print(ln)
+                printed = True
+        if not printed:
+            print(f"bench_streaming produced no JSON: {r.stderr[-400:]}",
+                  file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        print(f"bench_streaming failed: {e}", file=sys.stderr)
+
+
 if __name__ == "__main__":
     wait_for_backend()
     if os.environ.get("BENCH_TRAIN", "1") == "1":
         run_train_bench()
+    if os.environ.get("BENCH_STREAM", "1") == "1":
+        run_stream_bench()
     main()

@@ -42,6 +42,7 @@ def main():
     cfg = get_config(
         MODEL, dtype="bfloat16",
         flash_attention=os.environ.get("BENCH_FLASH", "1") == "1",
+        flash_block_q=int(os.environ.get("BENCH_FLASH_BLOCK", "256")),
         flash_decoder=os.environ.get("BENCH_FLASH_DEC", "1") == "1",
         remat=os.environ.get("BENCH_REMAT", "none"),
         # tanh gelu: fwd error below bf16 rounding; the gradient difference

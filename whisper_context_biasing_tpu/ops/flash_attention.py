@@ -15,22 +15,27 @@ layer at S=448) in BOTH passes; these kernels stream them through VMEM:
   forward   — per (batch*head, q-block): full K/V for that head in VMEM
               (1536x64 bf16 ~ 200 KB) + one (BQ, Tk) f32 score block;
               softmax(q K^T / sqrt(dh)) V in one shot, only (BQ, dh) written.
-  backward  — two kernels with the standard flash-backward decomposition:
-              dq kernel (grid over q-blocks) recomputes its softmax rows and
-              also emits the per-row logsumexp L; dk/dv kernel (grid over
-              k-blocks) reconstructs its probability columns from L and the
-              row term D = rowsum(do * o) (computed elementwise in XLA).
-              No (Tq, Tk) tensor ever hits HBM.
+  backward  — ONE fused kernel (grid over q-blocks): recomputes its softmax
+              rows, forms the row term D = rowsum(do * o) in-register, emits
+              the dq block, and ACCUMULATES dk/dv in VMEM across the
+              sequential q-block grid dimension (their output block's index
+              map ignores the q index, so Pallas keeps it resident and
+              flushes once per head). This is the 5-matmul flash backward:
+              the earlier dq/dkv two-kernel split recomputed q K^T and
+              do V^T twice (7 matmuls) and round-tripped the per-row
+              logsumexp + D through HBM as lane-replicated (Tq, 128) f32
+              tensors. No (Tq, Tk) tensor ever hits HBM in either pass.
 
 Causal masking (`causal=True`, decoder self-attention) requires Tq == Tk and
 masks key column j for query row i when j > i; the same predicate is applied
-in all three kernels so reconstructed probabilities match the forward exactly.
+in both kernels so backward probabilities match the forward exactly.
 
 Tq/Tk are padded to a multiple of the block; padded key columns are masked via
 the ``kv_len`` scalar; padded query rows contribute zero gradient because
-their ``do`` rows are zero (dk/dv zero them explicitly via ``q_len``).
+their ``do`` rows are zero, which zeroes dp, D, and ds for those rows.
 Online-softmax tiling is unnecessary at these sequence lengths (a block's
-full score row fits comfortably in VMEM).
+full score row fits comfortably in VMEM: at Tk=1536, block_q=256 the
+backward's live set is ~6.5 MB of the ~16 MB/core).
 """
 
 from __future__ import annotations
@@ -44,7 +49,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_BLOCK_Q = 256
-_LANE = 128  # lse/rowterm tensors are lane-replicated to satisfy tiling
 
 
 def _masked_scores(q, k, kv_len, scale, causal, row_offset):
@@ -77,71 +81,49 @@ def _fwd_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float,
     o_ref[...] = (o / denom).astype(o_ref.dtype)
 
 
-def _dq_kernel(lens_ref, q_ref, k_ref, v_ref, do_ref, dq_ref, lse_ref, *,
-               scale, causal, block_q):
-    """(bh, qi): recompute softmax rows; emit dq and the row logsumexp."""
-    row_offset = pl.program_id(1) * block_q
+def _bwd_kernel(lens_ref, q_ref, do_ref, o_ref, k_ref, v_ref,
+                dq_ref, dk_ref, dv_ref, *, scale, causal, block_q):
+    """(bh, qi): the fused 5-matmul flash backward. Recomputes this
+    q-block's softmax rows, emits dq, and accumulates dk/dv into VMEM
+    output blocks that persist across the (sequential, innermost) q-block
+    dimension — initialized at qi == 0, flushed to HBM when the head
+    changes. Padded q rows carry zero ``do`` so their dp/D/ds vanish; no
+    explicit q_len masking is needed."""
+    qi = pl.program_id(1)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_ref[...] = jnp.zeros_like(dk_ref)
+        dv_ref[...] = jnp.zeros_like(dv_ref)
+
     s = _masked_scores(q_ref[...], k_ref[...], lens_ref[1], scale, causal,
-                       row_offset)
+                       qi * block_q)
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
-    l = jnp.sum(e, axis=-1, keepdims=True)
-    p = e / l
-    lse = m + jnp.log(l)  # (BQ, 1)
-    lse_ref[...] = jnp.broadcast_to(lse, lse_ref.shape).astype(jnp.float32)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)  # (BQ, Tk) f32
 
     do = do_ref[...].astype(jnp.float32)
     dp = jax.lax.dot_general(
-        do, v_ref[...], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        do, v_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )  # (BQ, Tk)
-    row_d = jnp.sum(p * dp, axis=-1, keepdims=True)
-    ds = p * (dp - row_d) * scale
+    # row term D = rowsum(do * o), in-register (no HBM round-trip)
+    dterm = jnp.sum(do * o_ref[...].astype(jnp.float32), axis=-1,
+                    keepdims=True)
+    ds = p * (dp - dterm) * scale  # (BQ, Tk) f32
+
     dq_ref[...] = jax.lax.dot_general(
         ds.astype(k_ref.dtype), k_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(dq_ref.dtype)
-
-
-def _dkv_kernel(lens_ref, q_ref, do_ref, dterm_ref, lse_ref, k_ref, v_ref,
-                dk_ref, dv_ref, *, scale, causal, block_q):
-    """(bh, ki): reconstruct probability columns for this k block via the
-    saved logsumexp; emit dk/dv. q/do (Tq, dh); dterm/lse (Tq, LANE) f32
-    (lane-replicated); k/v (BK, dh)."""
-    q_len = lens_ref[0]
-    q = q_ref[...]
-    s_col = jax.lax.dot_general(
-        q, k_ref[...], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # (Tq, BK)
-    lse = lse_ref[...][:, :1]  # (Tq, 1)
-    p_col = jnp.exp(s_col - lse)
-    # mask rows beyond q_len (their lse is a sentinel; do rows are zero
-    # anyway, but keep p finite); in causal mode also zero the columns above
-    # the diagonal so reconstruction matches the forward's mask
-    row = jax.lax.broadcasted_iota(jnp.int32, p_col.shape, 0)
-    keep = row < q_len
-    if causal:
-        col = pl.program_id(1) * block_q + jax.lax.broadcasted_iota(
-            jnp.int32, p_col.shape, 1
-        )
-        keep &= row >= col
-    p_col = jnp.where(keep, p_col, 0.0)
-
-    do = do_ref[...].astype(jnp.float32)
-    dv_ref[...] = jax.lax.dot_general(
-        p_col.astype(do_ref.dtype), do_ref[...], (((0,), (0,)), ((), ())),
+    dv_ref[...] += jax.lax.dot_general(
+        p.astype(do_ref.dtype), do_ref[...], (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).astype(dv_ref.dtype)  # (BK, dh)
-
-    dp_col = jax.lax.dot_general(
-        do, v_ref[...].astype(jnp.float32), (((1,), (1,)), ((), ())),
+    )  # (Tk, dh) f32 accumulator
+    dk_ref[...] += jax.lax.dot_general(
+        ds.astype(q_ref.dtype), q_ref[...], (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (Tq, BK)
-    dterm = dterm_ref[...][:, :1]  # (Tq, 1)
-    ds_col = p_col * (dp_col - dterm) * scale
-    dk_ref[...] = jax.lax.dot_general(
-        ds_col.astype(q.dtype), q, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(dk_ref.dtype)  # (BK, dh)
+    )  # (Tk, dh) f32 accumulator
 
 
 # ---------------------------------------------------------------------------
@@ -189,61 +171,36 @@ def _flash_core_bwd(q_len, kv_len, causal, scale, block_q, interpret, res, do):
     tk_pad = k.shape[1]
     lens = jnp.asarray([q_len, kv_len], jnp.int32)
 
-    # row term D = rowsum(do * o): pure elementwise, lane-replicated for tiling
-    dterm = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
-    dterm_rep = jnp.broadcast_to(dterm[..., None], (bh, tq_pad, _LANE))
-
-    dq, lse_rep = pl.pallas_call(
-        functools.partial(_dq_kernel, scale=scale, causal=causal,
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel, scale=scale, causal=causal,
                           block_q=block_q),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(bh, tq_pad // block_q),
             in_specs=[
                 pl.BlockSpec((None, block_q, dh), lambda h, i, _: (h, i, 0)),
-                pl.BlockSpec((None, tk_pad, dh), lambda h, i, _: (h, 0, 0)),
-                pl.BlockSpec((None, tk_pad, dh), lambda h, i, _: (h, 0, 0)),
                 pl.BlockSpec((None, block_q, dh), lambda h, i, _: (h, i, 0)),
+                pl.BlockSpec((None, block_q, dh), lambda h, i, _: (h, i, 0)),
+                pl.BlockSpec((None, tk_pad, dh), lambda h, i, _: (h, 0, 0)),
+                pl.BlockSpec((None, tk_pad, dh), lambda h, i, _: (h, 0, 0)),
             ],
             out_specs=[
                 pl.BlockSpec((None, block_q, dh), lambda h, i, _: (h, i, 0)),
-                pl.BlockSpec((None, block_q, _LANE), lambda h, i, _: (h, i, 0)),
+                pl.BlockSpec((None, tk_pad, dh), lambda h, i, _: (h, 0, 0)),
+                pl.BlockSpec((None, tk_pad, dh), lambda h, i, _: (h, 0, 0)),
             ],
         ),
         out_shape=[
             jax.ShapeDtypeStruct((bh, tq_pad, dh), q.dtype),
-            jax.ShapeDtypeStruct((bh, tq_pad, _LANE), jnp.float32),
+            # f32 accumulators across q-blocks; cast to the param dtype in
+            # XLA (fuses with whatever consumes them)
+            jax.ShapeDtypeStruct((bh, tk_pad, dh), jnp.float32),
+            jax.ShapeDtypeStruct((bh, tk_pad, dh), jnp.float32),
         ],
         interpret=interpret,
-    )(lens, q, k, v, do)
+    )(lens, q, do, out, k, v)
 
-    dk, dv = pl.pallas_call(
-        functools.partial(_dkv_kernel, scale=scale, causal=causal,
-                          block_q=block_q),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(bh, tk_pad // block_q),
-            in_specs=[
-                pl.BlockSpec((None, tq_pad, dh), lambda h, i, _: (h, 0, 0)),
-                pl.BlockSpec((None, tq_pad, dh), lambda h, i, _: (h, 0, 0)),
-                pl.BlockSpec((None, tq_pad, _LANE), lambda h, i, _: (h, 0, 0)),
-                pl.BlockSpec((None, tq_pad, _LANE), lambda h, i, _: (h, 0, 0)),
-                pl.BlockSpec((None, block_q, dh), lambda h, i, _: (h, i, 0)),
-                pl.BlockSpec((None, block_q, dh), lambda h, i, _: (h, i, 0)),
-            ],
-            out_specs=[
-                pl.BlockSpec((None, block_q, dh), lambda h, i, _: (h, i, 0)),
-                pl.BlockSpec((None, block_q, dh), lambda h, i, _: (h, i, 0)),
-            ],
-        ),
-        out_shape=[
-            jax.ShapeDtypeStruct((bh, tk_pad, dh), k.dtype),
-            jax.ShapeDtypeStruct((bh, tk_pad, dh), v.dtype),
-        ],
-        interpret=interpret,
-    )(lens, q, do, dterm_rep, lse_rep, k, v)
-
-    return dq, dk, dv
+    return dq, dk.astype(k.dtype), dv.astype(v.dtype)
 
 
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
