@@ -44,7 +44,11 @@ def main():
         flash_attention=os.environ.get("BENCH_FLASH", "1") == "1",
         flash_block_q=int(os.environ.get("BENCH_FLASH_BLOCK", "256")),
         flash_decoder=os.environ.get("BENCH_FLASH_DEC", "1") == "1",
-        remat=os.environ.get("BENCH_REMAT", "none"),
+        # "full" measured FASTEST on v5e (docs/PERF.md round 4): with the
+        # fused flash backward the step is no longer compute-dominated, and
+        # recomputing the blocks costs less than writing+reading the saved
+        # activations (4560 vs none 4092 vs dots 4373 audio_s/s)
+        remat=os.environ.get("BENCH_REMAT", "full"),
         # tanh gelu: fwd error below bf16 rounding; the gradient difference
         # is the same order, well under bf16 training noise
         gelu_approx=os.environ.get("BENCH_GELU_APPROX", "1") == "1",
