@@ -48,7 +48,8 @@ def make_session(params, cfg, tok, jnp):
     from whisper_context_biasing_tpu.ops.mel_kernel import log_mel_spectrogram_fused
 
     def mel_fn(chunk):
-        return log_mel_spectrogram_fused(jnp.asarray(chunk[None]),
+        # streaming passes an already-batched (1, N) chunk
+        return log_mel_spectrogram_fused(jnp.asarray(chunk),
                                          n_mels=cfg.n_mels)
 
     return StreamingTranscriber(
