@@ -177,7 +177,10 @@ def main():
         times.append(time.perf_counter() - t0)
 
     if os.environ.get("BENCH_BEAM", "1") == "1":
-        run_beam(jax, jnp)
+        try:
+            run_beam(jax, jnp)
+        except Exception as e:  # noqa: BLE001 — headline must still print
+            print(f"bench: beam point failed: {e}", file=sys.stderr)
 
     if os.environ.get("BENCH_EOT", "1") == "1":
         run_realistic(jax, jnp, cfg, params, spans_j)
@@ -242,19 +245,12 @@ def main():
     }))
 
 
-def run_large(jax, jnp):
-    """Family-top decode point (``decode_rtf_per_chip_large``) — BASELINE
-    config #5 names large-v3 (128-mel, d=1280, 32+32 layers). Same
-    methodology as the headline (fixed DECODE_TOKENS, EOT off), smaller
-    batch (BENCH_LARGE_BATCH, default 32): proves single-chip HBM fit —
-    ~3.2 GB bf16 weights + the int8 cross-KV cache (~123 MB/row at 30 s)
-    — and the family's RTF top end."""
-    from whisper_context_biasing_tpu.decode.greedy import greedy_decode
+def _bench_model_and_rows(jax, jnp, model: str, batch: int, seed: int):
+    """Shared setup for the secondary decode points (beam, large-v3): the
+    fast-path model config, bf16 random params, and one synthetic 30 s
+    batch (audio, spans, prefix, mask)."""
     from whisper_context_biasing_tpu.models import get_config, init_params
-    from whisper_context_biasing_tpu.ops.mel_kernel import log_mel_spectrogram_fused
 
-    model = os.environ.get("BENCH_LARGE_MODEL", "large-v3")
-    batch = int(os.environ.get("BENCH_LARGE_BATCH", "32"))
     cfg = get_config(model, dtype="bfloat16", flash_attention=FLASH,
                      flash_block_q=1536 if FLASH else 256,
                      gelu_approx=True, quantize_cross_kv=True,
@@ -263,13 +259,30 @@ def run_large(jax, jnp):
     params = jax.tree.map(
         lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
         params)
-    rng = np.random.default_rng(2)
+    rng = np.random.default_rng(seed)
     audio = jnp.asarray(
         (rng.standard_normal((batch, 30 * 16000)) * 0.1).astype(np.float32))
     spans = jnp.asarray(
         rng.integers(0, 50000, (batch, BIAS_N, BIAS_K)).astype(np.int32))
     prefix = jnp.asarray([[cfg.decoder_start_token_id]] * batch, jnp.int32)
     mask = jnp.ones((batch, 1), bool)
+    return cfg, params, audio, spans, prefix, mask
+
+
+def run_large(jax, jnp):
+    """Family-top decode point (``decode_rtf_per_chip_large``) — BASELINE
+    config #5 names large-v3 (128-mel, d=1280, 32+32 layers). Same
+    methodology as the headline (fixed DECODE_TOKENS, EOT off), smaller
+    batch (BENCH_LARGE_BATCH, default 32): proves single-chip HBM fit —
+    ~3.2 GB bf16 weights + the int8 cross-KV cache (~123 MB/row at 30 s)
+    — and the family's RTF top end."""
+    from whisper_context_biasing_tpu.decode.greedy import greedy_decode
+    from whisper_context_biasing_tpu.ops.mel_kernel import log_mel_spectrogram_fused
+
+    model = os.environ.get("BENCH_LARGE_MODEL", "large-v3")
+    batch = int(os.environ.get("BENCH_LARGE_BATCH", "32"))
+    cfg, params, audio, spans, prefix, mask = _bench_model_and_rows(
+        jax, jnp, model, batch, seed=2)
 
     @jax.jit
     def pipeline(params, audio, spans):
@@ -309,28 +322,14 @@ def run_beam(jax, jnp):
     bias-trie state. The divisor is the same 50x north-star target (the
     reference's beam path is HF generate on GPU with no published number)."""
     from whisper_context_biasing_tpu.decode.beam import beam_decode
-    from whisper_context_biasing_tpu.models import get_config, init_params
     from whisper_context_biasing_tpu.ops.mel_kernel import log_mel_spectrogram_fused
 
     model = os.environ.get("BENCH_BEAM_MODEL", "base.en")
     batch = int(os.environ.get("BENCH_BEAM_BATCH", "32"))
     k = int(os.environ.get("BENCH_BEAM_K", "5"))
     tokens = int(os.environ.get("BENCH_BEAM_TOKENS", str(DECODE_TOKENS)))
-    cfg = get_config(model, dtype="bfloat16", flash_attention=FLASH,
-                     flash_block_q=1536 if FLASH else 256,
-                     gelu_approx=True, quantize_cross_kv=True,
-                     fused_quant_cross=True)
-    params = init_params(cfg, 0)
-    params = jax.tree.map(
-        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
-        params)
-    rng = np.random.default_rng(1)
-    audio = jnp.asarray(
-        (rng.standard_normal((batch, 30 * 16000)) * 0.1).astype(np.float32))
-    spans = jnp.asarray(
-        rng.integers(0, 50000, (batch, BIAS_N, BIAS_K)).astype(np.int32))
-    prefix = jnp.asarray([[cfg.decoder_start_token_id]] * batch, jnp.int32)
-    mask = jnp.ones((batch, 1), bool)
+    cfg, params, audio, spans, prefix, mask = _bench_model_and_rows(
+        jax, jnp, model, batch, seed=1)
 
     @jax.jit
     def pipeline(params, audio, spans):

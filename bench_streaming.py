@@ -78,8 +78,10 @@ def main():
     rng = np.random.default_rng(0)
     chunk_n = int(CHUNK_S * 16000)
 
-    def feed_file(sess_list, seed0, on_event):
-        """Round-robin 0.5 s chunks into every session; time each feed."""
+    def feed_file(sess_list, on_event):
+        """Round-robin 0.5 s chunks into every session; time each feed.
+        Audio draws from the shared module rng (content is irrelevant to
+        latency with fixed-length decodes)."""
         audio = [(rng.standard_normal(FILE_S * 16000) * 0.1)
                  .astype(np.float32) for _ in sess_list]
         for off in range(0, FILE_S * 16000, chunk_n):
@@ -96,17 +98,15 @@ def main():
 
     # --- single session: time-to-first-segment (compute only)
     sess = make_session(params, cfg, tok, jnp)
-    state = {"compute": 0.0, "first": None, "windows": []}
+    state = {"compute": 0.0, "first": None}
 
     def on1(si, dt, segs):
         if state["first"] is None:
             state["compute"] += dt
             if segs:
                 state["first"] = state["compute"]
-        if dt > 0.01:  # a feed that actually decoded a window
-            state["windows"].append(dt)
 
-    feed_file([sess], 0, on1)
+    feed_file([sess], on1)
     print(json.dumps({
         "metric": "stream_first_segment_latency_s",
         "value": round(state["first"], 4) if state["first"] else None,
@@ -121,7 +121,7 @@ def main():
     # --- concurrent sessions: per-window decode latency p50/p95
     sessions = [make_session(params, cfg, tok, jnp) for _ in range(SESSIONS)]
     events = []
-    feed_file(sessions, 1, lambda si, dt, segs:
+    feed_file(sessions, lambda si, dt, segs:
               events.append(dt) if dt > 0.01 else None)
     lat = np.sort(np.asarray(events))
     total_audio = SESSIONS * FILE_S

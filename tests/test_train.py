@@ -759,8 +759,11 @@ class TestHubResumeFallback:
     def test_every_save_pushes_checkpoint_to_hub(self, tmp_path, monkeypatch):
         """Reference PushToHubOnSaveCallback + push_to_hub='every_save'
         (scripts/train.py:83-85, :252-255): with hub_model_id set, EVERY
-        checkpoint save also pushes the checkpoint-N dir to the Hub. Hub
-        mocked; the push must fire per save with the right dir/repo/token."""
+        checkpoint save also pushes the OUTPUT DIR to the Hub (preserving
+        the checkpoint-N/ layout a later sync_from_hub +
+        find_best_checkpoint round-trip needs). Hub mocked; the push must
+        fire per save with the right dir/repo/token and the just-saved
+        checkpoint present inside."""
         from whisper_context_biasing_tpu.data.collator import SpeechSeq2SeqCollator
         from whisper_context_biasing_tpu.tokenizer import load_tokenizer
         from whisper_context_biasing_tpu.train import train_and_evaluate
@@ -769,9 +772,11 @@ class TestHubResumeFallback:
         pushes = []
 
         def fake_push(local_dir, repo_id, token=None):
-            # the checkpoint must exist on disk at push time
-            assert os.path.isdir(local_dir), local_dir
-            pushes.append((os.path.basename(local_dir), repo_id, token))
+            # the output dir is pushed, with the fresh checkpoint inside
+            ckpts = sorted(d for d in os.listdir(local_dir)
+                           if d.startswith("checkpoint-"))
+            assert ckpts, local_dir
+            pushes.append((os.path.basename(ckpts[-1]), repo_id, token))
             return True
 
         monkeypatch.setattr(hub, "push_to_hub_if_exists", fake_push)

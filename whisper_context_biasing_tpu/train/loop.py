@@ -445,15 +445,18 @@ def train_and_evaluate(
                     save_thread.join()
 
                 def _push(step=step):
-                    # reference PushToHubOnSaveCallback parity: every saved
-                    # checkpoint-N goes to the Hub as off-site backup
-                    # (scripts/train.py:83-85, :252-255); gated + offline-safe
+                    # reference PushToHubOnSaveCallback parity: every save
+                    # pushes the OUTPUT DIR to the Hub as off-site backup
+                    # (scripts/train.py:83-85, :252-255) — the folder upload
+                    # preserves the checkpoint-N/ layout, so a later
+                    # sync_from_hub restores dirs find_best_checkpoint can
+                    # scan. Gated + offline-safe (utils/hub.py)
                     if tcfg.hub_push_on_save and tcfg.hub_model_id:
                         from ..utils import hub
 
                         hub.push_to_hub_if_exists(
-                            os.path.join(tcfg.output_dir, f"checkpoint-{step}"),
-                            tcfg.hub_model_id, tcfg.hub_token)
+                            tcfg.output_dir, tcfg.hub_model_id,
+                            tcfg.hub_token)
 
                 if tcfg.checkpoint_backend == "orbax":
                     # orbax copies device shards itself (no host gather —
