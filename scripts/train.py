@@ -84,8 +84,10 @@ def parse_args():
     p.add_argument("--remat", default="auto",
                    choices=["auto", "full", "dots", "none"],
                    help="rematerialization policy for transformer blocks: "
-                        "auto = none for tiny/base/small (fits HBM, +8%% "
-                        "throughput, docs/PERF.md), full for medium/large")
+                        "auto = full (fastest AND min-HBM since the fused "
+                        "flash backward — recompute beats saved-activation "
+                        "traffic, round-4 docs/PERF.md; none/dots kept for "
+                        "measurement)")
     p.add_argument("--freeze_encoder", action="store_true",
                    help="train the decoder only (reference freeze_encoder())")
     p.add_argument("--lora_rank", type=int, default=0,
@@ -129,8 +131,11 @@ def main():
                                multilingual=not args.model.endswith(".en"))
     remat = args.remat
     if remat == "auto":
-        small = any(args.model.startswith(m) for m in ("tiny", "base", "small"))
-        remat = "none" if small else "full"
+        # round 4 (docs/PERF.md): with the fused flash backward the step is
+        # no longer compute-dominated and remat=full measures FASTEST at
+        # every size (base.en: 4560 vs none 4092 audio_s/s) while also
+        # minimizing HBM — the old small-model "none" heuristic is stale
+        remat = "full"
     model_cfg = get_config(args.model, flash_attention=args.flash_attention,
                            remat=remat)
     collator = SpeechSeq2SeqCollator(
