@@ -82,7 +82,7 @@ def parse_args():
     p.add_argument("--flash_attention", action="store_true",
                    help="Pallas flash attention in the encoder (fwd+bwd kernels)")
     p.add_argument("--remat", default="auto",
-                   choices=["auto", "full", "dots", "none"],
+                   choices=["auto", "full", "dots", "wide", "none"],
                    help="rematerialization policy for transformer blocks: "
                         "auto = full (fastest AND min-HBM since the fused "
                         "flash backward — recompute beats saved-activation "

@@ -205,7 +205,7 @@ class TestFlashAttentionVJP:
 
 
 class TestRematPolicies:
-    @pytest.mark.parametrize("remat", ["dots", "none"])
+    @pytest.mark.parametrize("remat", ["dots", "wide", "none"])
     def test_loss_and_grads_match_full(self, remat):
         """All remat policies compute identical losses and (to fp tolerance)
         gradients — they only trade HBM for recompute FLOPs."""

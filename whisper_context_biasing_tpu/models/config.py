@@ -47,6 +47,8 @@ class WhisperConfig:
     # rematerialization policy for transformer blocks in training:
     #   "full"  — jax.checkpoint, recompute everything in backward (min HBM)
     #   "dots"  — save MXU matmul outputs, recompute the rest (docs/PERF.md)
+    #   "wide"  — save everything except the 4*d MLP intermediates (no
+    #             attention recompute, drops the dominant residual traffic)
     #   "none"  — no remat (max HBM, min FLOPs)
     remat: str = "full"
     # Pallas single-query int8 cross attention for the decode step

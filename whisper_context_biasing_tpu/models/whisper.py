@@ -28,6 +28,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.ad_checkpoint import checkpoint_name
 
 from .config import WhisperConfig
 
@@ -179,8 +180,11 @@ def _proj(x, w, b=None):
 
 
 def _mlp(x, w1, b1, w2, b2, approximate=False):
-    h = _proj(x, w1, b1)
-    h = jax.nn.gelu(h, approximate=approximate)
+    # name the 4*d-wide intermediates so remat="wide" can exclude exactly
+    # these (the dominant saved-activation traffic) from the residual set;
+    # checkpoint_name is the identity outside a jax.checkpoint policy
+    h = checkpoint_name(_proj(x, w1, b1), "mlp_wide")
+    h = checkpoint_name(jax.nn.gelu(h, approximate=approximate), "mlp_wide")
     return _proj(h, w2, b2)
 
 
@@ -196,6 +200,17 @@ def _remat(block, cfg: WhisperConfig):
     if cfg.remat == "dots":
         return jax.checkpoint(
             block, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+        )
+    if cfg.remat == "wide":
+        # save everything EXCEPT the 4*d-wide MLP intermediates: the flash
+        # residuals stay resident (no attention recompute in backward), and
+        # only the w1 matmul + gelu re-run — a middle point between "none"
+        # (stores the wides) and "full" (recomputes the whole block)
+        return jax.checkpoint(
+            block,
+            policy=jax.checkpoint_policies.save_anything_except_these_names(
+                "mlp_wide"
+            ),
         )
     if cfg.remat == "none":
         return block
