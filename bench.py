@@ -5,13 +5,19 @@ Measures the full utterance->tokens pipeline as ONE XLA program per stage:
 raw 30 s audio -> fused log-mel (matmul STFT) -> encoder -> while_loop greedy
 decode with KV cache and the bias-trie logits processor, bf16 compute.
 
-Prints one JSON line per metric, headline LAST:
+Prints one JSON line per metric. The two subprocess companions go first
+(they must not share HBM with the decode programs); then the headline is
+measured AND printed before any optional point runs, so an external timeout
+that truncates the pass costs optional rows, never the headline:
   {"metric": "train_audio_sec_per_sec", ...}    (bench_train.py companion)
   {"metric": "train_mfu", ...}                  (explicit-FLOPs MFU,
    utils/flops.py; wall-clock based — on the tunneled link the dispatch gap
    depresses it ~13% vs device time)
   {"metric": "stream_first_segment_latency_s" / "stream_window_latency_*"}
                                                 (bench_streaming.py)
+  {"metric": "decode_mfu", ...}                 (headline program MFU)
+  {"metric": "decode_rtf_per_chip", "value": <audio-sec per wall-sec>,
+   "unit": "x_realtime", "vs_baseline": value / 50.0}     <- HEADLINE
   {"metric": "decode_rtf_beam", ...}            (BENCH_BEAM: BASELINE
    config #2 — base.en, k=5, bias processor)
   {"metric": "decode_rtf_realistic", ...}       (BENCH_EOT mode, see below)
@@ -20,9 +26,6 @@ Prints one JSON line per metric, headline LAST:
   {"metric": "long_form_rtf_chunked", ...}      (BENCH_LONG)
   {"metric": "decode_rtf_per_chip_large", ...}  (BENCH_LARGE: BASELINE
    config #5 — large-v3 single-chip fit + RTF)
-  {"metric": "decode_mfu", ...}                 (headline program MFU)
-  {"metric": "decode_rtf_per_chip", "value": <audio-sec per wall-sec>,
-   "unit": "x_realtime", "vs_baseline": value / 50.0}
 
 The baseline divisor is the north-star target (>=50x real-time per v5e chip on
 whisper-small batched decode, BASELINE.json; the reference publishes no
@@ -176,32 +179,9 @@ def main():
         _ = int(jnp.sum(r.tokens))
         times.append(time.perf_counter() - t0)
 
-    if os.environ.get("BENCH_BEAM", "1") == "1":
-        try:
-            run_beam(jax, jnp)
-        except Exception as e:  # noqa: BLE001 — headline must still print
-            print(f"bench: beam point failed: {e}", file=sys.stderr)
-
-    if os.environ.get("BENCH_EOT", "1") == "1":
-        run_realistic(jax, jnp, cfg, params, spans_j)
-
-    if os.environ.get("BENCH_BUCKETS", "1") == "1":
-        run_bucketed(jax, jnp, cfg, params, spans_j)
-
-    if os.environ.get("BENCH_LONG", "1") == "1":
-        run_long_form(jax, jnp, cfg, params, vad=False)
-        if os.environ.get("BENCH_VAD", "1") == "1":
-            # ALSO emit the silence-skip variant (VERDICT r3 weak #5: the
-            # artifact should carry what the docs claim); the decode
-            # programs are shared, only the VAD gate and gather differ
-            run_long_form(jax, jnp, cfg, params, vad=True)
-
-    if os.environ.get("BENCH_LARGE", "1") == "1":
-        try:
-            run_large(jax, jnp)
-        except Exception as e:  # noqa: BLE001 — headline must still print
-            print(f"bench: large-v3 point failed: {e}", file=sys.stderr)
-
+    # the headline (and its MFU) print FIRST, before the secondary points
+    # run: they are already measured, and an external timeout that truncates
+    # the pass must cost the optional rows, never the headline metric
     wall = min(times)
     audio_seconds = BATCH * float(SECONDS)
     rtf = audio_seconds / wall
@@ -243,6 +223,32 @@ def main():
             "iters": ITERS, "flash_attention": FLASH, "fused_mel": FUSED_MEL,
         },
     }))
+
+    if os.environ.get("BENCH_BEAM", "1") == "1":
+        try:
+            run_beam(jax, jnp)
+        except Exception as e:  # noqa: BLE001 — other points must still run
+            print(f"bench: beam point failed: {e}", file=sys.stderr)
+
+    if os.environ.get("BENCH_EOT", "1") == "1":
+        run_realistic(jax, jnp, cfg, params, spans_j)
+
+    if os.environ.get("BENCH_BUCKETS", "1") == "1":
+        run_bucketed(jax, jnp, cfg, params, spans_j)
+
+    if os.environ.get("BENCH_LONG", "1") == "1":
+        run_long_form(jax, jnp, cfg, params, vad=False)
+        if os.environ.get("BENCH_VAD", "1") == "1":
+            # ALSO emit the silence-skip variant (VERDICT r3 weak #5: the
+            # artifact should carry what the docs claim); the decode
+            # programs are shared, only the VAD gate and gather differ
+            run_long_form(jax, jnp, cfg, params, vad=True)
+
+    if os.environ.get("BENCH_LARGE", "1") == "1":
+        try:
+            run_large(jax, jnp)
+        except Exception as e:  # noqa: BLE001
+            print(f"bench: large-v3 point failed: {e}", file=sys.stderr)
 
 
 def _bench_model_and_rows(jax, jnp, model: str, batch: int, seed: int):
@@ -663,6 +669,10 @@ def run_stream_bench():
 
 
 if __name__ == "__main__":
+    # line-buffer stdout even when piped: a metric row must reach the driver
+    # the moment it is measured, not sit in a block buffer that an external
+    # timeout would discard
+    sys.stdout.reconfigure(line_buffering=True)
     wait_for_backend()
     if os.environ.get("BENCH_TRAIN", "1") == "1":
         run_train_bench()
