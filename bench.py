@@ -5,17 +5,30 @@ Measures the full utterance->tokens pipeline as ONE XLA program per stage:
 raw 30 s audio -> fused log-mel (matmul STFT) -> encoder -> while_loop greedy
 decode with KV cache and the bias-trie logits processor, bf16 compute.
 
-Prints one JSON line per metric. The two subprocess companions go first
-(they must not share HBM with the decode programs); then the headline is
-measured AND printed before any optional point runs, so an external timeout
-that truncates the pass costs optional rows, never the headline:
+Prints one JSON line per metric, each the moment it is measured (an external
+timeout costs only the not-yet-measured rows — every already-printed row
+reaches the driver because stdout is line-buffered). The two subprocess
+companions go first (they must not share HBM with the decode programs); the
+headline is measured and printed before any optional point runs; and the
+very LAST line is a ``bench_summary`` row whose value is the headline RTF
+and whose detail carries EVERY metric of the pass — so a last-line parser
+(the driver's ``parsed`` field) and a tail-truncating capture both recover
+the headline and the full metric set from one self-contained line
+(VERDICT r4 weakness #2 / ADVICE r4 finding 1):
   {"metric": "train_audio_sec_per_sec", ...}    (bench_train.py companion)
   {"metric": "train_mfu", ...}                  (explicit-FLOPs MFU,
    utils/flops.py; wall-clock based — on the tunneled link the dispatch gap
    depresses it ~13% vs device time)
+  {"metric": "train_audio_sec_per_sec_small" / "train_mfu_small"}
+                                                (BENCH_TRAIN_SMALL: BASELINE
+   config #3's named size — whisper-small WeightCE recipe)
   {"metric": "stream_first_segment_latency_s" / "stream_window_latency_*"}
                                                 (bench_streaming.py)
-  {"metric": "decode_mfu", ...}                 (headline program MFU)
+  {"metric": "medusa_chain_rtf", ...}           (BENCH_MEDUSA: bench_medusa
+   companion — chain-mode verify cost at n_chains 1/2/4; summary carries
+   the repeats as _2/_3)
+  {"metric": "decode_mfu", ...}                 (headline program MFU, with
+   per-phase device split: mel / encoder / cross-KV / prefill / token loop)
   {"metric": "decode_rtf_per_chip", "value": <audio-sec per wall-sec>,
    "unit": "x_realtime", "vs_baseline": value / 50.0}     <- HEADLINE
   {"metric": "decode_rtf_beam", ...}            (BENCH_BEAM: BASELINE
@@ -23,9 +36,15 @@ that truncates the pass costs optional rows, never the headline:
   {"metric": "decode_rtf_realistic", ...}       (BENCH_EOT mode, see below)
   {"metric": "decode_rtf_bucketed", ...}        (BENCH_BUCKETS: the same
    rows decoded in duration-bucketed windows)
-  {"metric": "long_form_rtf_chunked", ...}      (BENCH_LONG)
+  {"metric": "long_form_rtf_chunked", ...}      (BENCH_LONG; min-of-N timed
+   with upload/decode/merge phase attribution — VERDICT r4 ask #1)
+  {"metric": "long_form_rtf_chunked_vad", ...}  (BENCH_VAD: 50%-silent file
+   through the energy-VAD gate, same min-of-N methodology)
+  {"metric": "decode_rtf_medium_prompted", ...} (BENCH_MEDIUM: BASELINE
+   config #4 — whisper-medium batched decode, description-prompt prefixes)
   {"metric": "decode_rtf_per_chip_large", ...}  (BENCH_LARGE: BASELINE
    config #5 — large-v3 single-chip fit + RTF)
+  {"metric": "bench_summary", "value": <headline>, "detail": {<all rows>}}
 
 The baseline divisor is the north-star target (>=50x real-time per v5e chip on
 whisper-small batched decode, BASELINE.json; the reference publishes no
@@ -91,6 +110,48 @@ BIAS_N, BIAS_K = 16, 8  # bias-list size per utterance
 # linearly by the row's real duration / 30 s — so random weights terminate
 # the way real medical utterances do (VERDICT r3 ask #2).
 CORPUS_TOKEN_DECILES = [10, 62, 67, 71, 74, 77, 80, 84, 89, 97, 160]
+
+# every metric row of the pass, in print order, for the final self-contained
+# ``bench_summary`` line (the driver keeps only the output tail and parses
+# the LAST JSON line — the summary makes both lossless)
+SUMMARY_ROWS: list[dict] = []
+
+
+def emit(row: dict):
+    """Print one metric row AND record it for the final summary line."""
+    SUMMARY_ROWS.append(row)
+    print(json.dumps(row))
+
+
+def emit_summary():
+    """The LAST stdout line: headline value + every metric of the pass.
+
+    ``detail.metrics`` maps metric name -> value (suffixed _2, _3... on
+    repeats, e.g. the medusa chain sweep); ``detail.rows`` carries the full
+    row objects. A last-line parser recovers the headline; a tail capture
+    recovers everything."""
+    headline = next((r for r in SUMMARY_ROWS
+                     if r["metric"] == "decode_rtf_per_chip"), None)
+    metrics: dict[str, float] = {}
+    for r in SUMMARY_ROWS:
+        name = r["metric"]
+        if name in metrics:
+            k = 2
+            while f"{name}_{k}" in metrics:
+                k += 1
+            name = f"{name}_{k}"
+        metrics[name] = r["value"]
+    print(json.dumps({
+        "metric": "bench_summary",
+        "value": headline["value"] if headline else None,
+        "unit": "x_realtime",
+        "vs_baseline": headline["vs_baseline"] if headline else None,
+        "detail": {
+            "headline_metric": "decode_rtf_per_chip",
+            "metrics": metrics,
+            "rows": SUMMARY_ROWS,
+        },
+    }))
 
 
 def _realistic_rows(max_new: int):
@@ -195,8 +256,78 @@ def main():
     flops = decode_flops(cfg, DECODE_TOKENS, prefill=1,
                          n_frames=SECONDS * 100) * BATCH
     peak = device_peak_flops(jax.devices()[0])
+
+    # per-phase wall split of the headline program (VERDICT r4 ask #4):
+    # time nested prefixes of the pipeline — mel; mel+encoder; mel+encoder+
+    # cross-KV project/quant; the full pipeline at max_new=1 (prefill);
+    # the headline wall supplies the token loop as the remainder. Each
+    # prefix is its own jit, so the split includes one program-dispatch
+    # overhead per phase (~small vs the phase costs at batch 128).
+    phases = {}
+    if os.environ.get("BENCH_PHASES", "1") == "1":
+        from whisper_context_biasing_tpu.models import (
+            encode_audio, precompute_cross_kv,
+        )
+        from whisper_context_biasing_tpu.models.whisper import quantize_cross_kv
+
+        def mel_of(audio):
+            if FUSED_MEL:
+                return log_mel_spectrogram_fused(audio, n_mels=cfg.n_mels)
+            return log_mel_spectrogram(audio, n_mels=cfg.n_mels)
+
+        @jax.jit
+        def p_mel(audio):
+            return mel_of(audio)
+
+        @jax.jit
+        def p_enc(params, audio):
+            return encode_audio(params, cfg, mel_of(audio).astype(jnp.bfloat16))
+
+        @jax.jit
+        def p_kv(params, audio):
+            enc = encode_audio(params, cfg, mel_of(audio).astype(jnp.bfloat16))
+            kv = precompute_cross_kv(params, cfg, enc)
+            return quantize_cross_kv(kv) if cfg.quantize_cross_kv else kv
+
+        def p_prefill(params, audio, spans):
+            mel = mel_of(audio)
+            return greedy_decode(
+                params, cfg, mel.astype(jnp.bfloat16), prefix, mask,
+                max_new=1, eot_id=-1, bias_spans=spans, bias_boost=0.5)
+
+        p_prefill = jax.jit(p_prefill)
+
+        def _time(fn, *a):
+            out = fn(*a)
+            jax.block_until_ready(out)  # compile
+            ts = []
+            for _ in range(max(2, ITERS // 2)):
+                t0 = time.perf_counter()
+                out = fn(*a)
+                jax.block_until_ready(out)
+                leaf = jax.tree.leaves(out)[0]
+                _ = float(jnp.sum(leaf[..., :1].astype(jnp.float32)))
+                ts.append(time.perf_counter() - t0)
+            return min(ts)
+
+        t_mel = _time(p_mel, audio_j)
+        t_enc = _time(p_enc, params, audio_j)
+        t_kv = _time(p_kv, params, audio_j)
+        t_pre = _time(lambda p, a, s: p_prefill(p, a, s).tokens,
+                      params, audio_j, spans_j)
+        loop_s = max(wall - t_pre, 0.0)
+        phases = {
+            "phase_mel_s": round(t_mel, 4),
+            "phase_encoder_s": round(max(t_enc - t_mel, 0.0), 4),
+            "phase_cross_kv_s": round(max(t_kv - t_enc, 0.0), 4),
+            "phase_prefill_s": round(max(t_pre - t_kv, 0.0), 4),
+            "phase_token_loop_s": round(loop_s, 4),
+            "token_loop_ms_per_step": round(
+                loop_s * 1000.0 / max(DECODE_TOKENS - 1, 1), 3),
+        }
+
     if peak:
-        print(json.dumps({
+        emit({
             "metric": "decode_mfu",
             "value": round(flops / wall / peak, 4),
             "unit": "fraction_of_bf16_peak",
@@ -208,10 +339,11 @@ def main():
                 "achieved_tflops_per_s": round(flops / wall / 1e12, 1),
                 "peak_tflops": round(peak / 1e12, 1),
                 "wall_s": round(wall, 4),
+                **phases,
             },
-        }))
+        })
 
-    print(json.dumps({
+    emit({
         "metric": "decode_rtf_per_chip",
         "value": round(rtf, 2),
         "unit": "x_realtime",
@@ -222,7 +354,7 @@ def main():
             "wall_s": round(wall, 4), "device": str(jax.devices()[0]),
             "iters": ITERS, "flash_attention": FLASH, "fused_mel": FUSED_MEL,
         },
-    }))
+    })
 
     if os.environ.get("BENCH_BEAM", "1") == "1":
         try:
@@ -243,6 +375,12 @@ def main():
             # artifact should carry what the docs claim); the decode
             # programs are shared, only the VAD gate and gather differ
             run_long_form(jax, jnp, cfg, params, vad=True)
+
+    if os.environ.get("BENCH_MEDIUM", "1") == "1":
+        try:
+            run_medium_prompted(jax, jnp)
+        except Exception as e:  # noqa: BLE001
+            print(f"bench: medium point failed: {e}", file=sys.stderr)
 
     if os.environ.get("BENCH_LARGE", "1") == "1":
         try:
@@ -309,7 +447,7 @@ def run_large(jax, jnp):
         times.append(time.perf_counter() - t0)
     wall = min(times)
     rtf = batch * 30.0 / wall
-    print(json.dumps({
+    emit({
         "metric": "decode_rtf_per_chip_large",
         "value": round(rtf, 2),
         "unit": "x_realtime",
@@ -317,7 +455,67 @@ def run_large(jax, jnp):
         "detail": {"model": model, "batch": batch,
                    "decode_tokens": DECODE_TOKENS, "n_mels": cfg.n_mels,
                    "wall_s": round(wall, 4)},
-    }))
+    })
+
+
+def run_medium_prompted(jax, jnp):
+    """BASELINE config #4 (``decode_rtf_medium_prompted``): whisper-medium
+    batched decode with description-prompt conditioning. Same fixed-length
+    methodology as the headline, but every row carries a
+    ``<|startofprev|>`` + 48-token description prefix before ``<|sot|>``
+    (the reference's desc-only eval prompting, scripts/evaluation.py:133-142
+    / data_utils/data_loader.py:186-204) — so the prefill is a real
+    49-position cached forward, not a single start token."""
+    from whisper_context_biasing_tpu.decode.greedy import (
+        greedy_decode, pack_prefixes,
+    )
+    from whisper_context_biasing_tpu.ops.mel_kernel import log_mel_spectrogram_fused
+
+    model = os.environ.get("BENCH_MEDIUM_MODEL", "medium.en")
+    batch = int(os.environ.get("BENCH_MEDIUM_BATCH", "32"))
+    prompt_len = int(os.environ.get("BENCH_MEDIUM_PROMPT", "48"))
+    cfg, params, audio, spans, _, _ = _bench_model_and_rows(
+        jax, jnp, model, batch, seed=3)
+
+    rng = np.random.default_rng(3)
+    # <|startofprev|> sits 103 ids above <|sot|> in both vocab variants
+    # (tokenizer/whisper_tokenizer.py:24)
+    sop = cfg.decoder_start_token_id + 103
+    prompts = rng.integers(320, 50000, (batch, prompt_len)).astype(np.int32)
+    prefixes = [[sop] + row.tolist() + [cfg.decoder_start_token_id]
+                for row in prompts]
+    ids, mask = pack_prefixes(prefixes, cfg.pad_token_id)
+    ids, mask = jnp.asarray(ids), jnp.asarray(mask)
+
+    @jax.jit
+    def pipeline(params, audio, spans):
+        mel = log_mel_spectrogram_fused(audio, n_mels=cfg.n_mels)
+        return greedy_decode(
+            params, cfg, mel.astype(jnp.bfloat16), ids, mask,
+            max_new=DECODE_TOKENS, eot_id=-1,
+            bias_spans=spans, bias_boost=0.5,
+        )
+
+    r = pipeline(params, audio, spans)  # warmup / compile
+    jax.block_until_ready(r.tokens)
+    times = []
+    for _ in range(max(2, ITERS // 2)):
+        t0 = time.perf_counter()
+        r = pipeline(params, audio, spans)
+        _ = int(jnp.sum(r.tokens))
+        times.append(time.perf_counter() - t0)
+    wall = min(times)
+    rtf = batch * 30.0 / wall
+    emit({
+        "metric": "decode_rtf_medium_prompted",
+        "value": round(rtf, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(rtf / 50.0, 3),
+        "detail": {"model": model, "batch": batch,
+                   "decode_tokens": DECODE_TOKENS,
+                   "prompt_tokens": prompt_len + 2,
+                   "wall_s": round(wall, 4)},
+    })
 
 
 def run_beam(jax, jnp):
@@ -357,7 +555,7 @@ def run_beam(jax, jnp):
         times.append(time.perf_counter() - t0)
     wall = min(times)
     rtf = batch * 30.0 / wall
-    print(json.dumps({
+    emit({
         "metric": "decode_rtf_beam",
         "value": round(rtf, 2),
         "unit": "x_realtime",
@@ -367,7 +565,7 @@ def run_beam(jax, jnp):
             "decode_tokens": tokens, "bias_processor": True,
             "wall_s": round(wall, 4),
         },
-    }))
+    })
 
 
 def run_long_form(jax, jnp, cfg, params, vad: bool = False):
@@ -414,10 +612,21 @@ def run_long_form(jax, jnp, cfg, params, vad: bool = False):
         np.int16)
     transcribe_chunked(params, cfg, tok, [warm], **kw)
     transcribe_chunked(params, cfg, tok, [audio], **kw)
-    t0 = time.perf_counter()
-    transcribe_chunked(params, cfg, tok, [audio], **kw)
-    wall = time.perf_counter() - t0
-    print(json.dumps({
+    # min-of-N with per-phase attribution (VERDICT r4 ask #1: the r4 VAD
+    # anomaly was a single-call timing that let one tunnel hiccup land
+    # unfiltered in the round artifact — every other metric already takes
+    # min-over-iters; long-form now does too, and the phase dict shows
+    # WHERE any residual wall goes: upload (flat-buffer H2D), decode
+    # (window gather + mel + decode + QC ladder), host merge)
+    wall, phases = None, None
+    for _ in range(max(2, ITERS // 2)):
+        ph: dict = {}
+        t0 = time.perf_counter()
+        transcribe_chunked(params, cfg, tok, [audio], phase_times=ph, **kw)
+        w = time.perf_counter() - t0
+        if wall is None or w < wall:
+            wall, phases = w, ph
+    emit({
         "metric": "long_form_rtf_chunked_vad" if vad else
                   "long_form_rtf_chunked",
         "value": round(secs / wall, 2),
@@ -426,8 +635,12 @@ def run_long_form(jax, jnp, cfg, params, vad: bool = False):
         "detail": {"model": MODEL, "file_seconds": secs, "max_batch": mb,
                    "tokens_per_window": DECODE_TOKENS,
                    "silence_fraction": 0.5 if vad else 0.0,
-                   "wall_s": round(wall, 3)},
-    }))
+                   "wall_s": round(wall, 3),
+                   "n_windows": phases.get("n_windows"),
+                   "phase_upload_s": round(phases.get("upload_s", 0.0), 3),
+                   "phase_decode_s": round(phases.get("decode_s", 0.0), 3),
+                   "phase_merge_s": round(phases.get("merge_s", 0.0), 3)},
+    })
 
 
 def run_bucketed(jax, jnp, cfg, params, spans_j):
@@ -495,7 +708,7 @@ def run_bucketed(jax, jnp, cfg, params, spans_j):
         times.append(time.perf_counter() - t0)
     wall = min(times)
     real_audio_s = float(np.sum(durations))
-    print(json.dumps({
+    emit({
         "metric": "decode_rtf_bucketed",
         "value": round(real_audio_s / wall, 2),
         "unit": "x_realtime",
@@ -509,7 +722,7 @@ def run_bucketed(jax, jnp, cfg, params, spans_j):
             "mean_decoded_tokens": round(float(np.mean(forced)), 1),
             "decoded_rows": len(outs), "wall_s": round(wall, 4),
         },
-    }))
+    })
 
 
 def run_realistic(jax, jnp, cfg, params, spans_j):
@@ -557,7 +770,7 @@ def run_realistic(jax, jnp, cfg, params, spans_j):
         times.append(time.perf_counter() - t0)
     wall = min(times)
     real_audio_s = float(np.sum(durations))
-    print(json.dumps({
+    emit({
         "metric": "decode_rtf_realistic",
         "value": round(real_audio_s / wall, 2),
         "unit": "x_realtime",
@@ -569,7 +782,7 @@ def run_realistic(jax, jnp, cfg, params, spans_j):
             "mean_decoded_tokens": round(float(np.mean(lens)), 1),
             "stripped_rows": len(outs), "wall_s": round(wall, 4),
         },
-    }))
+    })
 
 
 def wait_for_backend():
@@ -613,59 +826,74 @@ def wait_for_backend():
         time.sleep(min(60.0, total - waited))
 
 
-def run_train_bench():
-    """Emit the training-throughput companion metric (bench_train.py) as an
-    extra JSON line. Runs in a subprocess so the train program's HBM is
-    released before the decode measurement; failures are non-fatal (the
-    headline decode RTF line must always print, and print LAST so last-line
-    parsers get it)."""
+def _run_companion(script: str, suffix: str = "", env: dict | None = None,
+                   argv: list[str] | None = None, timeout: float = 1800):
+    """Run one companion benchmark in a subprocess and ``emit`` every JSON
+    metric row it prints (with ``suffix`` appended to each metric name, e.g.
+    the whisper-small train rows become ``train_*_small``). Subprocesses are
+    required: the TPU is locked per-process, so companions run and release
+    the chip BEFORE this process's decode programs claim it. Failures are
+    non-fatal — the headline decode metrics must still be measured."""
     import subprocess
 
+    name = os.path.basename(script)
     try:
-        env = dict(os.environ)
-        for k in ("BENCH_MODEL", "BENCH_BATCH", "BENCH_ITERS", "BENCH_TOKENS",
-                  "BENCH_SECONDS"):
-            # decode-bench knobs have different meanings/defaults in the
-            # train benchmark; keep its documented reference recipe
-            env.pop(k, None)
         r = subprocess.run(
             [sys.executable,
-             os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_train.py")],
-            capture_output=True, text=True, timeout=1800, env=env,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)), script)]
+            + (argv or []),
+            capture_output=True, text=True, timeout=timeout, env=env,
         )
+        printed = False
         for ln in r.stdout.splitlines():
-            if ln.startswith("{"):
-                print(ln)
-                return
-        print(f"bench_train produced no JSON line: {r.stderr[-400:]}", file=sys.stderr)
+            if not ln.startswith("{"):
+                continue
+            try:
+                row = json.loads(ln)
+            except json.JSONDecodeError:
+                continue
+            if "metric" not in row:
+                continue
+            row["metric"] = row["metric"] + suffix
+            emit(row)
+            printed = True
+        if not printed:
+            print(f"{name}{suffix} produced no JSON: {r.stderr[-400:]}",
+                  file=sys.stderr)
     except Exception as e:  # noqa: BLE001
-        print(f"bench_train failed: {e}", file=sys.stderr)
+        print(f"{name}{suffix} failed: {e}", file=sys.stderr)
+
+
+def run_train_bench(model: str | None = None, suffix: str = ""):
+    """Training-throughput companion rows (bench_train.py):
+    ``train_audio_sec_per_sec`` + ``train_mfu`` at the documented base.en
+    recipe, and with ``model='small'`` the ``*_small`` rows — BASELINE
+    config #3's named size (whisper-small WeightCE fine-tune)."""
+    env = dict(os.environ)
+    for k in ("BENCH_MODEL", "BENCH_BATCH", "BENCH_ITERS", "BENCH_TOKENS",
+              "BENCH_SECONDS"):
+        # decode-bench knobs have different meanings/defaults in the
+        # train benchmark; keep its documented reference recipe
+        env.pop(k, None)
+    if model is not None:
+        env["BENCH_MODEL"] = model
+        if "BENCH_TRAIN_SMALL_BATCH" in os.environ:
+            env["BENCH_BATCH"] = os.environ["BENCH_TRAIN_SMALL_BATCH"]
+    _run_companion("bench_train.py", suffix=suffix, env=env)
 
 
 def run_stream_bench():
     """Streaming serving latency companion (bench_streaming.py): emits the
-    time-to-first-segment and per-window p50/p95 latency JSON lines. Runs in
-    a subprocess so its programs release HBM before the decode measurement;
-    failures are non-fatal."""
-    import subprocess
+    time-to-first-segment and per-window p50/p95 latency rows."""
+    _run_companion("bench_streaming.py")
 
-    try:
-        r = subprocess.run(
-            [sys.executable,
-             os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                          "bench_streaming.py")],
-            capture_output=True, text=True, timeout=1800,
-        )
-        printed = False
-        for ln in r.stdout.splitlines():
-            if ln.startswith("{"):
-                print(ln)
-                printed = True
-        if not printed:
-            print(f"bench_streaming produced no JSON: {r.stderr[-400:]}",
-                  file=sys.stderr)
-    except Exception as e:  # noqa: BLE001
-        print(f"bench_streaming failed: {e}", file=sys.stderr)
+
+def run_medusa_bench():
+    """Medusa chain-mode verify-cost companion (bench_medusa.py): one
+    ``medusa_chain_rtf`` row per n_chains in (1, 2, 4) — VERDICT r4 ask #7:
+    the shipped speedup feature's number of record. The summary line carries
+    the repeats as ``medusa_chain_rtf`` / ``_2`` / ``_3``."""
+    _run_companion("bench_medusa.py", timeout=1200)
 
 
 if __name__ == "__main__":
@@ -673,9 +901,26 @@ if __name__ == "__main__":
     # the moment it is measured, not sit in a block buffer that an external
     # timeout would discard
     sys.stdout.reconfigure(line_buffering=True)
+    # an external timeout (the driver bounds the pass) sends SIGTERM:
+    # convert it to SystemExit so the finally below still emits the summary
+    # line with every already-measured row (SIGKILL remains unrecoverable)
+    import signal
+    signal.signal(signal.SIGTERM, lambda *a: sys.exit(143))
     wait_for_backend()
+    # all subprocess companions run (and release the chip) before main()
+    # claims it for the decode programs
     if os.environ.get("BENCH_TRAIN", "1") == "1":
         run_train_bench()
+        if os.environ.get("BENCH_TRAIN_SMALL", "1") == "1":
+            run_train_bench(model="small", suffix="_small")
     if os.environ.get("BENCH_STREAM", "1") == "1":
         run_stream_bench()
-    main()
+    if os.environ.get("BENCH_MEDUSA", "1") == "1":
+        run_medusa_bench()
+    try:
+        main()
+    finally:
+        # ALWAYS the last line, even on a mid-pass failure: the driver's
+        # last-line parser and tail capture recover the headline + every
+        # already-measured row from this one self-contained object
+        emit_summary()

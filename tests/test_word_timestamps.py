@@ -163,6 +163,69 @@ class TestAlignmentMatrix:
         e = np.asarray(heads_to_mask(cfg, [(0, 1), (1, 0)]))
         assert e.sum() == 2 and e[0, 1] == 1 and e[1, 0] == 1
 
+    def test_published_sets_in_bounds_for_their_models(self):
+        """Every published alignment-head pair must index inside its model's
+        decoder (layers, heads) — a transposed or mis-keyed entry fails."""
+        from whisper_context_biasing_tpu.models import (
+            ALIGNMENT_HEADS, get_config,
+        )
+
+        for name, heads in ALIGNMENT_HEADS.items():
+            cfg = get_config(name)
+            assert heads, name
+            for l, h in heads:
+                assert 0 <= l < cfg.n_text_layers, (name, l)
+                assert 0 <= h < cfg.n_heads, (name, h)
+
+    def test_stock_models_resolve_published_sets(self):
+        """tiny/base/small stock configs resolve their published sets by
+        geometry alone (VERDICT r4 ask #6), and the resolved mask differs
+        from the top-half heuristic — i.e. the DTW path actually changes."""
+        from whisper_context_biasing_tpu.models import (
+            ALIGNMENT_HEADS,
+            default_alignment_mask,
+            get_config,
+            infer_model_name,
+            lookup_alignment_heads,
+            resolve_alignment_mask,
+        )
+
+        for name in ("tiny", "tiny.en", "base", "base.en", "small",
+                     "small.en", "large-v3", "large-v3-turbo"):
+            cfg = get_config(name)
+            assert infer_model_name(cfg) == name
+            mask = np.asarray(resolve_alignment_mask(cfg))
+            expect = set(ALIGNMENT_HEADS[name])
+            got = {(l, h) for l, h in zip(*np.nonzero(mask))}
+            assert got == expect, name
+            assert not np.array_equal(mask,
+                                      np.asarray(default_alignment_mask(cfg)))
+        # the shared 80-mel 32-layer geometry resolves to large-v2
+        assert infer_model_name(get_config("large")) == "large-v2"
+        # by-name lookup still reaches the v1 set
+        assert lookup_alignment_heads("large") == ALIGNMENT_HEADS["large"]
+
+    def test_custom_geometry_falls_back_to_heuristic(self, setup):
+        from whisper_context_biasing_tpu.models import (
+            default_alignment_mask,
+            infer_model_name,
+            lookup_alignment_heads,
+            resolve_alignment_mask,
+        )
+
+        _, cfg, _ = setup  # tiny_test_config: matches no stock geometry
+        assert infer_model_name(cfg) is None
+        np.testing.assert_array_equal(
+            np.asarray(resolve_alignment_mask(cfg)),
+            np.asarray(default_alignment_mask(cfg)))
+        # explicit heads always win
+        m = np.asarray(resolve_alignment_mask(cfg, heads=[(0, 0)]))
+        assert m.sum() == 1 and m[0, 0] == 1
+        # a stock set that no longer fits a modified config is rejected
+        from whisper_context_biasing_tpu.models import get_config
+        shrunk = get_config("base.en", n_text_layers=4)
+        assert lookup_alignment_heads("base.en", shrunk) is None
+
 
 class TestEndToEnd:
     def test_word_timings_monotonic_and_bounded(self, setup):

@@ -38,6 +38,7 @@ data_utils/data_loader.py:60-75); the sequential twin is
 
 from __future__ import annotations
 
+import time
 from typing import Callable
 
 import numpy as np
@@ -263,6 +264,12 @@ def transcribe_chunked(
                                               # device (default off-mesh);
                                               # mel_fn then receives a jax
                                               # array, not numpy
+    phase_times: dict | None = None,          # filled with wall-clock phase
+                                              # attribution: upload_s (flat-
+                                              # buffer H2D, blocked), decode_s
+                                              # (window gather+mel+decode+QC
+                                              # ladder), merge_s, n_windows
+                                              # (bench.py long-form metric)
 ):
     """Returns per-file token lists; with ``return_segments`` a
     ``(tokens, segments)`` pair, and with ``word_timestamps`` too a
@@ -345,7 +352,17 @@ def transcribe_chunked(
     # device-side windowing: upload once, slice per batch on device — the
     # mesh path keeps host windows (shard_decode_inputs places host arrays)
     if device_windows and work:
+        _t0 = time.perf_counter() if phase_times is not None else 0.0
         buf, base, zero_off = _flat_audio_buffer(audios, window_samples)
+        if phase_times is not None:
+            # block so the H2D transfer is attributed here, not to the
+            # first decode batch that consumes the buffer
+            jax.block_until_ready(buf)
+            phase_times["upload_s"] = time.perf_counter() - _t0
+    if phase_times is not None:
+        phase_times.setdefault("upload_s", 0.0)
+        phase_times["n_windows"] = len(work)
+        _t_dec = time.perf_counter()
 
     for lo in range(0, len(work), max_batch):
         batch = work[lo : lo + max_batch]
@@ -528,6 +545,9 @@ def transcribe_chunked(
                     window_words[lo + j] = ws
 
     # ---- merge per file ----------------------------------------------------
+    if phase_times is not None:
+        phase_times["decode_s"] = time.perf_counter() - _t_dec
+        _t_merge = time.perf_counter()
     outputs: list[list[int]] = [[] for _ in range(nfiles)]
     segments: list[list[tuple[float, float | None, str]]] = [
         [] for _ in range(nfiles)]
@@ -580,6 +600,8 @@ def transcribe_chunked(
                         w.end = round(w.end + offset, 3)
                         words[fi].append(w)
 
+    if phase_times is not None:
+        phase_times["merge_s"] = time.perf_counter() - _t_merge
     out: tuple = (outputs,)
     if return_segments:
         out += (segments,)

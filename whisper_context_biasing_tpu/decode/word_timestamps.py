@@ -189,19 +189,15 @@ def find_word_timestamps(
     ``pad_to``: pad the token axis to this length so serving batches with
     varying hypothesis lengths reuse one compiled alignment program (the
     frame axis is always the full encoder context in that case)."""
-    from ..models.alignment import (
-        alignment_matrix,
-        default_alignment_mask,
-        heads_to_mask,
-    )
+    from ..models.alignment import alignment_matrix, resolve_alignment_mask
 
     b = mel.shape[0]
     if starts is None:
         starts = [[tokenizer.sot]] * b
-    if alignment_heads is None:
-        head_mask = default_alignment_mask(cfg)
-    else:
-        head_mask = heads_to_mask(cfg, alignment_heads)
+    # resolution order: explicit heads > the published stock-model set for
+    # this config's geometry (models/alignment.py ALIGNMENT_HEADS) > the
+    # top-half heuristic for custom checkpoints
+    head_mask = resolve_alignment_mask(cfg, alignment_heads)
 
     # strip any special tokens that leaked into hypotheses (timestamps etc.)
     text_hyps = [[t for t in h if not tokenizer.is_special(t)] for h in hyps]

@@ -1,6 +1,14 @@
 """Model layer: functional JAX Whisper + configs + HF checkpoint import."""
 
-from .alignment import alignment_matrix, default_alignment_mask, heads_to_mask
+from .alignment import (
+    ALIGNMENT_HEADS,
+    alignment_matrix,
+    default_alignment_mask,
+    heads_to_mask,
+    infer_model_name,
+    lookup_alignment_heads,
+    resolve_alignment_mask,
+)
 from .config import WhisperConfig, get_config, tiny_test_config
 from .whisper import (
     decode_tokens,
@@ -29,8 +37,12 @@ from .load_hf import (
 )
 
 __all__ = [
+    "ALIGNMENT_HEADS",
     "alignment_matrix",
     "default_alignment_mask",
+    "infer_model_name",
+    "lookup_alignment_heads",
+    "resolve_alignment_mask",
     "heads_to_mask",
     "WhisperConfig",
     "get_config",

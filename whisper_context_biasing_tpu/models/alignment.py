@@ -36,12 +36,111 @@ from .whisper import (
 )
 
 
+# Published per-model alignment-head sets: the (decoder layer, head) pairs
+# whose cross-attention is empirically the most diagonal, shipped with every
+# stock Whisper distribution (openai-whisper ``_ALIGNMENT_HEADS`` /
+# ``alignment_heads`` in the HF hub models' generation_config.json — public
+# constants, reproduced here so stock checkpoints get reference-grade DTW
+# word timing without any network access). Custom / fine-tuned-from-scratch
+# checkpoints fall back to :func:`default_alignment_mask`.
+ALIGNMENT_HEADS: dict[str, tuple[tuple[int, int], ...]] = {
+    "tiny.en": ((1, 0), (2, 0), (2, 5), (3, 0), (3, 1), (3, 2), (3, 3),
+                (3, 4)),
+    "tiny": ((2, 2), (3, 0), (3, 2), (3, 3), (3, 4), (3, 5)),
+    "base.en": ((3, 3), (4, 7), (5, 1), (5, 5), (5, 7)),
+    "base": ((3, 1), (4, 2), (4, 3), (4, 7), (5, 1), (5, 2), (5, 4), (5, 6)),
+    "small.en": ((6, 6), (7, 0), (7, 3), (7, 8), (8, 2), (8, 5), (8, 7),
+                 (9, 0), (9, 4), (9, 8), (9, 10), (10, 0), (10, 1), (10, 2),
+                 (10, 3), (10, 6), (10, 11), (11, 2), (11, 4)),
+    "small": ((5, 3), (5, 9), (8, 0), (8, 4), (8, 7), (8, 8), (9, 0), (9, 7),
+              (9, 9), (10, 5)),
+    "medium.en": ((11, 4), (14, 1), (14, 12), (14, 14), (15, 4), (16, 0),
+                  (16, 4), (16, 9), (17, 12), (17, 14), (18, 7), (18, 10),
+                  (18, 15), (20, 0), (20, 3), (20, 9), (20, 14), (21, 12)),
+    "medium": ((13, 15), (15, 4), (15, 15), (16, 1), (20, 0), (23, 4)),
+    "large": ((9, 19), (11, 2), (11, 4), (11, 17), (22, 7), (22, 11),
+              (22, 17), (23, 2), (23, 15)),  # large-v1
+    "large-v2": ((10, 12), (13, 17), (16, 11), (16, 12), (16, 13), (17, 15),
+                 (17, 16), (18, 4), (18, 11), (18, 19), (19, 11), (21, 2),
+                 (21, 3), (22, 3), (22, 9), (22, 12), (23, 5), (23, 7),
+                 (23, 13), (25, 5), (26, 1), (26, 12), (27, 15)),
+    "large-v3": ((7, 0), (10, 17), (12, 18), (13, 12), (16, 1), (17, 14),
+                 (19, 11), (21, 4), (24, 1), (25, 6)),
+    "large-v3-turbo": ((2, 4), (2, 11), (3, 3), (3, 6), (3, 11), (3, 14)),
+}
+
+
+def lookup_alignment_heads(
+    model_name: str | None, cfg: WhisperConfig | None = None,
+) -> tuple[tuple[int, int], ...] | None:
+    """The published head set for ``model_name``; ``None`` when unknown.
+
+    With ``cfg`` given, the set is bounds-checked against the config (a
+    fine-tune that changed depth/heads silently loses the stock set and
+    falls back to the heuristic rather than indexing out of range)."""
+    if not model_name:
+        return None
+    heads = ALIGNMENT_HEADS.get(model_name.strip())
+    if heads is None or cfg is None:
+        return heads
+    if all(l < cfg.n_text_layers and h < cfg.n_heads for l, h in heads):
+        return heads
+    return None
+
+
+def infer_model_name(cfg: WhisperConfig) -> str | None:
+    """Canonical stock-model name for a config, or ``None``.
+
+    Matches the family geometry (d_model, layer counts, mels, vocab). The
+    80-mel 32-layer geometry is shared by large(-v1) and large-v2 — it
+    resolves to ``large-v2`` (the v1 weights are long superseded; pass
+    explicit heads to time a v1 checkpoint)."""
+    from .config import _FAMILY
+
+    for base, (d, h, al, tl) in _FAMILY.items():
+        if base.startswith("distil-"):
+            continue  # no published alignment heads for the distil family
+        if (cfg.d_model, cfg.n_heads, cfg.n_audio_layers,
+                cfg.n_text_layers) != (d, h, al, tl):
+            continue
+        mels = 128 if base.startswith("large-v3") else 80
+        if cfg.n_mels != mels:
+            continue
+        if not cfg.multilingual:
+            if base.startswith("large"):
+                continue  # no English-only large variants
+            return f"{base}.en"
+        if base == "large":
+            return "large-v2"  # ambiguous with large-v2; prefer current
+        if base == "large-v2":
+            return "large-v2"
+        return base
+    return None
+
+
+def resolve_alignment_mask(
+    cfg: WhisperConfig,
+    heads: list[tuple[int, int]] | None = None,
+    model_name: str | None = None,
+) -> jax.Array:
+    """(L, H) alignment-head mask with the full resolution order:
+    explicit ``heads`` > published set for ``model_name`` > published set
+    for the config's inferred stock geometry > top-half heuristic."""
+    if heads is not None:
+        return heads_to_mask(cfg, heads)
+    published = lookup_alignment_heads(model_name, cfg) or \
+        lookup_alignment_heads(infer_model_name(cfg), cfg)
+    if published is not None:
+        return heads_to_mask(cfg, published)
+    return default_alignment_mask(cfg)
+
+
 def default_alignment_mask(cfg: WhisperConfig):
     """(L, H) f32 mask selecting all heads of the top half of decoder layers.
 
-    The published per-model alignment-head sets are distribution assets of
-    openai-whisper; absent those, the upper-half heuristic is the standard
-    fallback (the top layers' cross attention is the most diagonal)."""
+    Fallback for checkpoints whose geometry matches no stock model (see
+    ``ALIGNMENT_HEADS`` for the published sets): the top layers' cross
+    attention is the most diagonal."""
     L, H = cfg.n_text_layers, cfg.n_heads
     mask = jnp.zeros((L, H), jnp.float32)
     return mask.at[L - L // 2 :].set(1.0)
