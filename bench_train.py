@@ -52,6 +52,11 @@ def main():
         # tanh gelu: fwd error below bf16 rounding; the gradient difference
         # is the same order, well under bf16 training noise
         gelu_approx=os.environ.get("BENCH_GELU_APPROX", "1") == "1",
+        # fused LN+QKV / LN+bias+gelu Pallas kernels (ops/fused_block.py) —
+        # the round-5 attack on the VPU/HBM fusion tail (docs/PERF.md);
+        # BENCH_FUSED_LN=0 reverts to the XLA fusions for A/B measurement
+        fused_ln_qkv=os.environ.get("BENCH_FUSED_LN", "1") == "1",
+        fused_ln_mlp=os.environ.get("BENCH_FUSED_LN", "1") == "1",
     )
     params = init_params(cfg, 0)
     rng = np.random.default_rng(0)

@@ -81,6 +81,9 @@ def parse_args():
                    help="decode-time bias-span logit bonus")
     p.add_argument("--flash_attention", action="store_true",
                    help="Pallas flash attention in the encoder (fwd+bwd kernels)")
+    p.add_argument("--fused_ln", action="store_true",
+                   help="fused LayerNorm+QKV and LayerNorm+bias+gelu Pallas "
+                        "kernels on the training path (ops/fused_block.py)")
     p.add_argument("--remat", default="auto",
                    choices=["auto", "full", "dots", "wide", "none"],
                    help="rematerialization policy for transformer blocks: "
@@ -137,7 +140,8 @@ def main():
         # minimizing HBM — the old small-model "none" heuristic is stale
         remat = "full"
     model_cfg = get_config(args.model, flash_attention=args.flash_attention,
-                           remat=remat)
+                           fused_ln_qkv=args.fused_ln,
+                           fused_ln_mlp=args.fused_ln, remat=remat)
     collator = SpeechSeq2SeqCollator(
         pad_token_id=tokenizer.pad_token_id,
         decoder_start_token_id=tokenizer.sot,

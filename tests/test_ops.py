@@ -407,3 +407,142 @@ class TestGeluApprox:
         approx = np.asarray(encode_audio(params, cfg_a, mel))
         scale = np.abs(exact).max()
         assert np.abs(approx - exact).max() < 0.008 * scale  # bf16 eps ~ 0.0078
+
+
+class TestFusedLnMatmul:
+    """ops/fused_block.py: fused LayerNorm+matmul(+bias+gelu) kernel
+    (interpret mode) vs the unfused XLA ops, forward and gradients."""
+
+    def _xla_ref(self, x, g, beta, w, b, act):
+        from whisper_context_biasing_tpu.models.whisper import layer_norm
+
+        y = layer_norm(x, g, beta)
+        out = jnp.dot(y.astype(w.dtype), w,
+                      preferred_element_type=jnp.float32)
+        out = out + b.astype(jnp.float32)
+        if act == "gelu":
+            import jax
+            out = jax.nn.gelu(out, approximate=False)
+        return out.astype(x.dtype)
+
+    @pytest.mark.parametrize("act", [None, "gelu"])
+    @pytest.mark.parametrize("rows,d,e", [(128, 64, 192), (100, 64, 256)])
+    def test_matches_unfused(self, act, rows, d, e):
+        from whisper_context_biasing_tpu.ops import fused_ln_matmul
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((2, rows, d)).astype(np.float32))
+        g = jnp.asarray(1.0 + 0.1 * rng.standard_normal(d).astype(np.float32))
+        beta = jnp.asarray(0.1 * rng.standard_normal(d).astype(np.float32))
+        w = jnp.asarray(rng.standard_normal((d, e)).astype(np.float32) * 0.05)
+        b = jnp.asarray(rng.standard_normal(e).astype(np.float32) * 0.05)
+        ref = self._xla_ref(x, g, beta, w, b, act)
+        out = fused_ln_matmul(x, g, beta, w, b, act=act, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5)
+
+    def test_col_tiling_matches(self, monkeypatch):
+        """Force the weight into multiple col tiles; output must not change."""
+        import whisper_context_biasing_tpu.ops.fused_block as fb
+
+        rng = np.random.default_rng(1)
+        d, e = 64, 512
+        x = jnp.asarray(rng.standard_normal((1, 64, d)).astype(np.float32))
+        g = jnp.ones((d,), jnp.float32)
+        beta = jnp.zeros((d,), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((d, e)).astype(np.float32) * 0.05)
+        one = fb.fused_ln_matmul(x, g, beta, w, act="gelu", interpret=True)
+        monkeypatch.setattr(fb, "_W_TILE_BYTES", d * e)  # forces e//2 tiles
+        fb.fused_ln_matmul.clear_cache()
+        split = fb.fused_ln_matmul(x, g, beta, w, act="gelu", interpret=True)
+        fb.fused_ln_matmul.clear_cache()
+        np.testing.assert_allclose(np.asarray(split), np.asarray(one),
+                                   atol=1e-6)
+
+    def test_grads_match_unfused(self):
+        import jax
+
+        from whisper_context_biasing_tpu.ops import fused_ln_matmul
+
+        rng = np.random.default_rng(2)
+        d, e = 64, 192
+        x = jnp.asarray(rng.standard_normal((2, 40, d)).astype(np.float32))
+        g = jnp.asarray(1.0 + 0.1 * rng.standard_normal(d).astype(np.float32))
+        beta = jnp.asarray(0.1 * rng.standard_normal(d).astype(np.float32))
+        w = jnp.asarray(rng.standard_normal((d, e)).astype(np.float32) * 0.05)
+        b = jnp.asarray(rng.standard_normal(e).astype(np.float32) * 0.05)
+
+        def loss_fused(x, g, beta, w, b):
+            o = fused_ln_matmul(x, g, beta, w, b, act="gelu", interpret=True)
+            return jnp.sum(o * o)
+
+        def loss_ref(x, g, beta, w, b):
+            return jnp.sum(self._xla_ref(x, g, beta, w, b, "gelu") ** 2)
+
+        gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(x, g, beta, w, b)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(x, g, beta, w, b)
+        for a, r in zip(gf, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                       atol=2e-4, rtol=1e-4)
+
+    def test_encoder_fused_matches_xla(self):
+        """End-to-end encoder parity with both fused paths on."""
+        cfg_x = tiny_test_config()
+        cfg_f = tiny_test_config(fused_ln_qkv=True, fused_ln_mlp=True,
+                                 flash_interpret=True)
+        params = init_params(cfg_x, 0)
+        rng = np.random.default_rng(3)
+        mel = jnp.asarray((rng.standard_normal((2, 80, 128)) * 0.4
+                           ).astype(np.float32))
+        ref = np.asarray(encode_audio(params, cfg_x, mel))
+        out = np.asarray(encode_audio(params, cfg_f, mel))
+        np.testing.assert_allclose(out, ref, atol=1e-4)
+
+    def test_train_step_fused_matches_xla(self):
+        """Full WeightCE train step with fused LN+QKV / LN+MLP kernels:
+        loss and one-step parameter updates match the XLA config."""
+        import jax
+
+        from whisper_context_biasing_tpu.train import (
+            init_train_state, make_optimizer, make_train_step,
+        )
+
+        cfg_f = tiny_test_config(fused_ln_qkv=True, fused_ln_mlp=True,
+                                 flash_interpret=True)
+        cfg_x = tiny_test_config()
+        params = init_params(cfg_x, 0)
+        rng = np.random.default_rng(4)
+        batch = {
+            "input_features": jnp.asarray(
+                (rng.standard_normal((2, 80, 128)) * 0.3).astype(np.float32)),
+            "decoder_input_ids": jnp.asarray([[50257, 5, 6, 7]] * 2, jnp.int32),
+            "labels": jnp.asarray([[5, 6, 7, 50256]] * 2, jnp.int32),
+            "bias_spans": jnp.asarray(np.full((2, 1, 2), 50256, np.int32)),
+        }
+        opt = make_optimizer(peak_lr=1e-4, warmup_steps=0, total_steps=10)
+        state_f, m_f = make_train_step(cfg_f, opt, donate=False)(
+            init_train_state(params, opt), batch)
+        state_x, m_x = make_train_step(cfg_x, opt, donate=False)(
+            init_train_state(params, opt), batch)
+        assert float(m_f["loss"]) == pytest.approx(float(m_x["loss"]), rel=1e-5)
+        d = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
+                         state_f.params, state_x.params)
+        assert max(jax.tree.leaves(d)) < 1e-5
+
+    def test_quantized_weights_keep_xla_path(self):
+        """Int8 weight dicts must bypass the fused kernels (decode configs)."""
+        from whisper_context_biasing_tpu.models.whisper import (
+            quantize_decoder_weights,
+        )
+        from whisper_context_biasing_tpu.models import decode_tokens
+
+        cfg = tiny_test_config(fused_ln_qkv=True, fused_ln_mlp=True,
+                               flash_interpret=True, flash_decoder=False)
+        params = quantize_decoder_weights(init_params(cfg, 0))
+        rng = np.random.default_rng(5)
+        mel = jnp.asarray((rng.standard_normal((1, 80, 128)) * 0.4
+                           ).astype(np.float32))
+        enc = encode_audio(params, cfg, mel)
+        toks = jnp.asarray([[50257, 5, 6]], jnp.int32)
+        logits = decode_tokens(params, cfg, toks, enc)[0]
+        assert np.isfinite(np.asarray(logits)).all()

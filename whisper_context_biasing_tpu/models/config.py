@@ -65,6 +65,14 @@ class WhisperConfig:
     # typical activation magnitudes, so bf16 serving configs lose nothing.
     # Off by default: f32/f64 parity tests pin exact gelu (HF semantics).
     gelu_approx: bool = False
+    # fused LayerNorm+matmul Pallas kernels (ops/fused_block.py) on the
+    # full-sequence (training) path: attn_ln folded into the QKV projection
+    # read, and mlp_ln + bias + gelu folded into the first MLP matmul — the
+    # normalized tensor and the (N, 4d) pre-activation never reach HBM.
+    # Inert on the cached decode path and for int8-quantized weights.
+    # flash_interpret=True runs these in interpreter mode too (CPU tests).
+    fused_ln_qkv: bool = False
+    fused_ln_mlp: bool = False
 
     @property
     def head_dim(self) -> int:

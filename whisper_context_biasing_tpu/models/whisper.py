@@ -188,6 +188,59 @@ def _mlp(x, w1, b1, w2, b2, approximate=False):
     return _proj(h, w2, b2)
 
 
+def _ln_qkv(h, ln, attn, cfg):
+    """Pre-attention LayerNorm + QKV projections -> (q, k, v).
+
+    With ``cfg.fused_ln_qkv`` the three projections run as ONE fused
+    LN+matmul Pallas pass over h (ops/fused_block.py: the normalized tensor
+    never reaches HBM and the MXU sees one 3d-wide matmul instead of three
+    d-wide ones). Int8-quantized weights keep the XLA path."""
+    if cfg.fused_ln_qkv and not isinstance(attn["wq"], dict):
+        from ..ops.fused_block import fused_ln_matmul
+
+        d = h.shape[-1]
+        w = jnp.concatenate([attn["wq"], attn["wk"], attn["wv"]], axis=-1)
+        b = jnp.concatenate(  # k has no bias (Whisper convention)
+            [attn["bq"], jnp.zeros((d,), attn["bq"].dtype), attn["bv"]])
+        qkv = fused_ln_matmul(h, ln["scale"], ln["bias"], w.astype(h.dtype),
+                              b, interpret=cfg.flash_interpret)
+        return qkv[..., :d], qkv[..., d : 2 * d], qkv[..., 2 * d :]
+    a = layer_norm(h, ln["scale"], ln["bias"])
+    return (_proj(a, attn["wq"], attn["bq"]), _proj(a, attn["wk"]),
+            _proj(a, attn["wv"], attn["bv"]))
+
+
+def _ln_proj(h, ln, w, b, cfg):
+    """LayerNorm + one projection (the cross-attention query path)."""
+    if cfg.fused_ln_qkv and not isinstance(w, dict):
+        from ..ops.fused_block import fused_ln_matmul
+
+        return fused_ln_matmul(h, ln["scale"], ln["bias"], w.astype(h.dtype),
+                               b, interpret=cfg.flash_interpret)
+    return _proj(layer_norm(h, ln["scale"], ln["bias"]), w, b)
+
+
+def _ln_mlp(h, ln, mlp, cfg):
+    """Pre-MLP LayerNorm + MLP. With ``cfg.fused_ln_mlp`` the LN, first
+    matmul, bias, and gelu run as one fused Pallas pass: neither the
+    normalized input nor the (N, 4d) pre-activation is materialized. The
+    post-gelu output keeps the "mlp_wide" checkpoint name so remat="wide"
+    semantics are unchanged."""
+    if cfg.fused_ln_mlp and not isinstance(mlp["w1"], dict):
+        from ..ops.fused_block import fused_ln_matmul
+
+        wide = checkpoint_name(
+            fused_ln_matmul(h, ln["scale"], ln["bias"],
+                            mlp["w1"].astype(h.dtype), mlp["b1"],
+                            act="gelu_tanh" if cfg.gelu_approx else "gelu",
+                            interpret=cfg.flash_interpret),
+            "mlp_wide")
+        return _proj(wide, mlp["w2"], mlp["b2"])
+    m = layer_norm(h, ln["scale"], ln["bias"])
+    return _mlp(m, mlp["w1"], mlp["b1"], mlp["w2"], mlp["b2"],
+                cfg.gelu_approx)
+
+
 def _layer_slice(tree, i):
     return jax.tree.map(lambda a: a[i], tree)
 
@@ -251,10 +304,7 @@ def encode_audio(params: Params, cfg: WhisperConfig, mel: jax.Array) -> jax.Arra
     }
 
     def block(h, blk):
-        a = layer_norm(h, blk["attn_ln"]["scale"], blk["attn_ln"]["bias"])
-        q = _proj(a, blk["attn"]["wq"], blk["attn"]["bq"])
-        k = _proj(a, blk["attn"]["wk"])
-        v = _proj(a, blk["attn"]["wv"], blk["attn"]["bv"])
+        q, k, v = _ln_qkv(h, blk["attn_ln"], blk["attn"], cfg)
         if cfg.flash_attention:
             from ..ops.flash_attention import flash_attention
 
@@ -264,9 +314,7 @@ def encode_audio(params: Params, cfg: WhisperConfig, mel: jax.Array) -> jax.Arra
         else:
             att = attention(q, k, v, cfg.n_heads)
         h = h + _proj(att, blk["attn"]["wo"], blk["attn"]["bo"])
-        m = layer_norm(h, blk["mlp_ln"]["scale"], blk["mlp_ln"]["bias"])
-        h = h + _mlp(m, blk["mlp"]["w1"], blk["mlp"]["b1"],
-                     blk["mlp"]["w2"], blk["mlp"]["b2"], cfg.gelu_approx)
+        h = h + _ln_mlp(h, blk["mlp_ln"], blk["mlp"], cfg)
         return h, None
 
     block = _remat(block, cfg)  # remat: trade FLOPs for HBM in training
@@ -470,17 +518,11 @@ def decode_tokens(
 
         def block(h, xs):
             blk = xs
-            a = layer_norm(h, blk["sa_ln"]["scale"], blk["sa_ln"]["bias"])
-            q = _proj(a, blk["sa"]["wq"], blk["sa"]["bq"])
-            k = _proj(a, blk["sa"]["wk"])
-            v = _proj(a, blk["sa"]["wv"], blk["sa"]["bv"])
+            q, k, v = _ln_qkv(h, blk["sa_ln"], blk["sa"], cfg)
             h = h + _proj(_self_attn(q, k, v), blk["sa"]["wo"], blk["sa"]["bo"])
-            c = layer_norm(h, blk["ca_ln"]["scale"], blk["ca_ln"]["bias"])
-            cq = _proj(c, blk["ca"]["wq"], blk["ca"]["bq"])
+            cq = _ln_proj(h, blk["ca_ln"], blk["ca"]["wq"], blk["ca"]["bq"], cfg)
             h = h + _proj(_cross_attn(cq, blk["ck"], blk["cv"]), blk["ca"]["wo"], blk["ca"]["bo"])
-            m = layer_norm(h, blk["mlp_ln"]["scale"], blk["mlp_ln"]["bias"])
-            h = h + _mlp(m, blk["mlp"]["w1"], blk["mlp"]["b1"],
-                         blk["mlp"]["w2"], blk["mlp"]["b2"], cfg.gelu_approx)
+            h = h + _ln_mlp(h, blk["mlp_ln"], blk["mlp"], cfg)
             return h, None
 
         xs = dict(blocks, ck=cross_k.astype(dt), cv=cross_v.astype(dt))
