@@ -184,11 +184,17 @@ def main():
     from whisper_context_biasing_tpu.models import get_config, init_params
 
     quant_kv = os.environ.get("BENCH_QUANT_KV", "1") == "1"
+    # fused LN+matmul Pallas forward in the encoder/prefill (forward-only
+    # here — the cached token loop keeps XLA ops). The kernel's backward
+    # loses to XLA in training (docs/PERF.md round 5), but its forward wins
+    # per-op; BENCH_FUSED_LN_FWD A/Bs that win on the headline program.
+    fused_fwd = os.environ.get("BENCH_FUSED_LN_FWD", "0") == "1"
     cfg = get_config(MODEL, dtype="bfloat16", flash_attention=FLASH,
                      flash_block_q=1536 if FLASH else 256,
                      # tanh gelu: error below bf16 rounding, ~10% encoder win
                      gelu_approx=os.environ.get("BENCH_GELU_APPROX", "1") == "1",
                      quantize_cross_kv=quant_kv,
+                     fused_ln_qkv=fused_fwd, fused_ln_mlp=fused_fwd,
                      # Pallas per-batch-row int8 cross attention: fixes the
                      # batch>=32 VMEM spill (docs/PERF.md round 2)
                      fused_quant_cross=quant_kv and

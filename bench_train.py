@@ -53,10 +53,13 @@ def main():
         # is the same order, well under bf16 training noise
         gelu_approx=os.environ.get("BENCH_GELU_APPROX", "1") == "1",
         # fused LN+QKV / LN+bias+gelu Pallas kernels (ops/fused_block.py) —
-        # the round-5 attack on the VPU/HBM fusion tail (docs/PERF.md);
-        # BENCH_FUSED_LN=0 reverts to the XLA fusions for A/B measurement
-        fused_ln_qkv=os.environ.get("BENCH_FUSED_LN", "1") == "1",
-        fused_ln_mlp=os.environ.get("BENCH_FUSED_LN", "1") == "1",
+        # the round-5 attack on the VPU/HBM fusion tail. FALSIFIED for the
+        # training path: the kernel's forward wins ~6%/op but its backward
+        # loses 9-12% end-to-end (extra pre-activation matmul + custom_vjp
+        # fusion boundary; measured A/B + per-op microbench in docs/PERF.md
+        # round 5). Default OFF; BENCH_FUSED_LN=1 re-enables for A/B.
+        fused_ln_qkv=os.environ.get("BENCH_FUSED_LN", "0") == "1",
+        fused_ln_mlp=os.environ.get("BENCH_FUSED_LN", "0") == "1",
     )
     params = init_params(cfg, 0)
     rng = np.random.default_rng(0)

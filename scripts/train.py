@@ -83,7 +83,9 @@ def parse_args():
                    help="Pallas flash attention in the encoder (fwd+bwd kernels)")
     p.add_argument("--fused_ln", action="store_true",
                    help="fused LayerNorm+QKV and LayerNorm+bias+gelu Pallas "
-                        "kernels on the training path (ops/fused_block.py)")
+                        "kernels (ops/fused_block.py). Measured SLOWER than "
+                        "the XLA fusions for training at base.en (docs/"
+                        "PERF.md round 5) — opt-in for larger-d experiments")
     p.add_argument("--remat", default="auto",
                    choices=["auto", "full", "dots", "wide", "none"],
                    help="rematerialization policy for transformer blocks: "

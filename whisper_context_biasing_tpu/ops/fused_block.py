@@ -21,16 +21,24 @@ only the final product is written. Two call sites (models/whisper.py):
     input nor the (N,4d) pre-activation is ever materialized (saves
     1 write + 1 read of (N,d) and 1 write + 1 read of (N,4d)).
 
-Both are training-path fusions (the reference delegates its whole train
-step to HF/torch, /root/reference/scripts/train.py:273; these ops have no
-torch counterpart there). The cached single-token decode path keeps the
+Measured outcome (docs/PERF.md round 5): the forward wins ~6% per op, but
+for TRAINING the backward loses it back — falsified end-to-end (9-12%
+slower than the XLA fusions), so training defaults keep the XLA path and
+``--fused_ln`` is opt-in. The winning application is forward-only
+inference: the decode encoder + prefill at large batch (bench.py
+``BENCH_FUSED_LN_FWD``). The cached single-token decode path keeps the
 XLA ops — its (B,1,d) activations make kernel dispatch overhead dominate.
+(The reference delegates its whole train step to HF/torch,
+/root/reference/scripts/train.py:273; these ops have no counterpart there.)
 
-Backward: custom_vjp whose backward differentiates the pure-JAX reference
-(numerics-identical recompute). Residuals are exactly the kernel INPUTS, so
-under ``jax.checkpoint`` (remat=full) nothing extra is saved and the remat
-replay runs the fused kernel again — the forward saving is paid out twice
-per step.
+Backward: hand-derived custom_vjp. Residuals are exactly the kernel INPUTS
+(the block-level "save nothing" that remat=full otherwise provides), and
+the backward recomputes only what the gradients need: the LayerNorm output
+is rebuilt VPU-only (no matmul), and the pre-activation matmul is re-run
+ONLY for the gelu site (act'(s) needs s). The first cut of this backward
+``jax.vjp``-ed the full reference forward, which re-ran the output matmul
+the gradients never use — one extra (d,E) matmul per site per step, enough
+to measurably lose to the XLA baseline (docs/PERF.md round 5).
 
 Grid: (row blocks, col blocks); the x block index ignores the col dimension
 so Pallas keeps it VMEM-resident across the inner col sweep, streaming only
@@ -87,9 +95,10 @@ def _pick_block_n(d: int, e: int, itemsize: int) -> int:
 
 
 def _reference(x, g, beta, w, b, act):
-    """Pure-JAX computation the kernel implements (and the backward
-    differentiates): f32 LayerNorm statistics, compute-dtype matmul with f32
-    accumulation, f32 bias + activation, cast back to the input dtype."""
+    """Pure-JAX spec of the kernel's computation: f32 LayerNorm statistics,
+    compute-dtype matmul with f32 accumulation, f32 bias + activation, cast
+    back to the input dtype. Kept as the documented semantics the interpret
+    tests and the hand-derived backward are checked against."""
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.var(xf, axis=-1, keepdims=True)
@@ -131,9 +140,53 @@ def _core_fwd(x2d, g, beta, w, b, act, block_m, interpret):
 
 
 def _core_bwd(act, block_m, interpret, res, dout):
+    """Hand-derived backward of ``act(LN(x) @ W + b)``.
+
+    Recomputes the LayerNorm output in f32 (VPU-only — no matmul) and, for
+    activation sites only, the pre-activation ``s = y@W + b`` (the one
+    matmul the gradient genuinely needs, same count as the XLA baseline's
+    remat replay). All reductions run in f32; cotangents are cast to the
+    primal dtypes at the boundary, matching ``jax.vjp`` of the reference
+    within f32 rounding (tests/test_ops.py::TestFusedLnMatmul gradients).
+    """
     x2d, g, beta, w, b = res
-    _, vjp = jax.vjp(lambda *a: _reference(*a, act), x2d, g, beta, w, b)
-    return vjp(dout)
+    xf = x2d.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + _EPS)
+    xhat = (xf - mean) * rstd
+    gf = g.astype(jnp.float32)
+    y = xhat * gf + beta.astype(jnp.float32)
+    yc = y.astype(w.dtype)
+
+    df = dout.astype(jnp.float32)  # cotangent of the f32 pre-cast output
+    if act is not None:
+        s = jnp.dot(yc, w, preferred_element_type=jnp.float32)
+        s = s + b.astype(jnp.float32)
+        _, act_vjp = jax.vjp(lambda t: _apply_act(t, act), s)
+        (ds,) = act_vjp(df)
+    else:
+        ds = df
+
+    db = jnp.sum(ds, axis=0).astype(b.dtype)
+    dw = jax.lax.dot_general(
+        yc, ds.astype(w.dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(w.dtype)  # (d, E)
+    dy = jax.lax.dot_general(
+        ds.astype(w.dtype), w, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (N, d) f32
+
+    dg = jnp.sum(dy * xhat, axis=0).astype(g.dtype)
+    dbeta = jnp.sum(dy, axis=0).astype(beta.dtype)
+    dxhat = dy * gf
+    dx = rstd * (
+        dxhat
+        - jnp.mean(dxhat, axis=-1, keepdims=True)
+        - xhat * jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    )
+    return (dx.astype(x2d.dtype), dg, dbeta, dw, db)
 
 
 _core.defvjp(_core_fwd, _core_bwd)
@@ -151,7 +204,7 @@ def fused_ln_matmul(
     interpret: bool = False,
 ) -> jax.Array:
     """``act(LayerNorm(x) @ w + b)`` in one Pallas pass. Differentiable
-    (backward differentiates the numerics-identical JAX reference). Returns
+    (hand-derived custom_vjp backward, ``_core_bwd``). Returns
     x.shape[:-1] + (E,) in x.dtype."""
     lead = x.shape[:-1]
     d = x.shape[-1]
